@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+
+Loads each <outDir>/<name> parquet (Spark output), runs the matching SQL
+from <outDir>/oracle_sql.json in DuckDB 1.0.0 against views over the
+testdata parquet, sorts columns by name, and compares values row by row.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "documents", "embeddings", "events"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            exp = con.execute(sql)
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error: {e}")
+            n_fail += 1
+            continue
+        if sorted(exp_cols) != sorted(got_cols):
+            print(f"FAIL {name}: cols spark={sorted(got_cols)} duck={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name before hashing values
+        eperm = [exp_cols.index(c) for c in sorted(exp_cols)]
+        gperm = [got_cols.index(c) for c in sorted(got_cols)]
+        er = [tuple(norm(r[i]) for i in eperm) for r in exp_rows]
+        gr = [tuple(norm(r[i]) for i in gperm) for r in got_rows]
+        if er == gr:
+            print(f"PASS {name} ({len(er)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            if len(er) != len(gr):
+                print(f"FAIL {name}: rowcount spark={len(gr)} duck={len(er)}")
+            else:
+                for i, (a, b) in enumerate(zip(gr, er)):
+                    if a != b:
+                        print(f"FAIL {name}: first diff row {i}:\n  spark={a}\n  duck ={b}")
+                        break
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,109 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Keys match SURVEY.md §2 ids exactly; every oracle=YES row has a matching
+  * DuckDB 1.0.0 SQL in [[oracleSql]] with identical column names/aliases.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.qAggBasic(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans / sources / sinks
+    "q_scan_project" -> (Relational.qScanProject _),
+    "q_scan_filter" -> (Relational.qScanFilter _),
+    "q_scan_count" -> (Relational.qScanCount _),
+    "q_sink_roundtrip" -> (Relational.qSinkRoundtrip _),
+    // §2.2 projection / filter / predicates
+    "q_filter_complex" -> (Relational.qFilterComplex _),
+    "q_case_null" -> (Relational.qCaseNull _),
+    // §2.3 joins
+    "q_join_inner" -> (Relational.qJoinInner _),
+    "q_join_broadcast" -> (Relational.qJoinBroadcast _),
+    "q_join_left" -> (Relational.qJoinLeft _),
+    "q_join_full" -> (Relational.qJoinFull _),
+    "q_join_semi" -> (Relational.qJoinSemi _),
+    "q_join_anti" -> (Relational.qJoinAnti _),
+    "q_join_theta" -> (Relational.qJoinTheta _),
+    "q_join_cross" -> (Relational.qJoinCross _),
+    "q_join_asof" -> (Relational.qJoinAsof _),
+    "q_join_multiway" -> (Relational.qJoinMultiway _),
+    // §2.4 aggregation
+    "q_agg_basic" -> (Relational.qAggBasic _),
+    "q_agg_distinct" -> (Relational.qAggDistinct _),
+    "q_agg_having" -> (Relational.qAggHaving _),
+    "q_agg_stats" -> (Relational.qAggStats _),
+    "q_agg_percentile" -> (Relational.qAggPercentile _),
+    "q_agg_rollup" -> (Relational.qAggRollup _),
+    "q_agg_cube" -> (Relational.qAggCube _),
+    "q_agg_gsets" -> (Relational.qAggGsets _),
+    "q_agg_hll" -> (Relational.qAggHll _),
+    // §2.5 windows
+    "q_win_rank" -> (Relational.qWinRank _),
+    "q_win_running" -> (Relational.qWinRunning _),
+    "q_win_lag_lead" -> (Relational.qWinLagLead _),
+    "q_win_ntile_pct" -> (Relational.qWinNtilePct _),
+    "q_win_range_frame" -> (Relational.qWinRangeFrame _),
+    "q_win_time_range" -> (Relational.qWinTimeRange _),
+    // §2.6 sort / limit / top-k
+    "q_sort_multi" -> (Relational.qSortMulti _),
+    "q_topk" -> (Relational.qTopk _),
+    "q_topk_per_group" -> (Relational.qTopkPerGroup _),
+    // §2.7 set ops
+    "q_union_all" -> (Relational.qUnionAll _),
+    "q_union_distinct" -> (Relational.qUnionDistinct _),
+    "q_intersect" -> (Relational.qIntersect _),
+    "q_except" -> (Relational.qExcept _),
+    // §2.11 subqueries
+    "q_subq_scalar" -> (Relational.qSubqScalar _),
+    "q_subq_in" -> (Relational.qSubqIn _),
+  )
+
+  /** DuckDB 1.0.0 SQL oracle per query key (omitted for oracle=unit rows). */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" -> Relational.qScanProjectSql,
+    "q_scan_filter" -> Relational.qScanFilterSql,
+    "q_scan_count" -> Relational.qScanCountSql,
+    "q_filter_complex" -> Relational.qFilterComplexSql,
+    "q_case_null" -> Relational.qCaseNullSql,
+    "q_join_inner" -> Relational.qJoinInnerSql,
+    "q_join_broadcast" -> Relational.qJoinBroadcastSql,
+    "q_join_left" -> Relational.qJoinLeftSql,
+    "q_join_full" -> Relational.qJoinFullSql,
+    "q_join_semi" -> Relational.qJoinSemiSql,
+    "q_join_anti" -> Relational.qJoinAntiSql,
+    "q_join_theta" -> Relational.qJoinThetaSql,
+    "q_join_cross" -> Relational.qJoinCrossSql,
+    "q_join_asof" -> Relational.qJoinAsofSql,
+    "q_join_multiway" -> Relational.qJoinMultiwaySql,
+    "q_agg_basic" -> Relational.qAggBasicSql,
+    "q_agg_distinct" -> Relational.qAggDistinctSql,
+    "q_agg_having" -> Relational.qAggHavingSql,
+    "q_agg_stats" -> Relational.qAggStatsSql,
+    "q_agg_percentile" -> Relational.qAggPercentileSql,
+    "q_agg_rollup" -> Relational.qAggRollupSql,
+    "q_agg_cube" -> Relational.qAggCubeSql,
+    "q_agg_gsets" -> Relational.qAggGsetsSql,
+    "q_win_rank" -> Relational.qWinRankSql,
+    "q_win_running" -> Relational.qWinRunningSql,
+    "q_win_lag_lead" -> Relational.qWinLagLeadSql,
+    "q_win_ntile_pct" -> Relational.qWinNtilePctSql,
+    "q_win_range_frame" -> Relational.qWinRangeFrameSql,
+    "q_win_time_range" -> Relational.qWinTimeRangeSql,
+    "q_sort_multi" -> Relational.qSortMultiSql,
+    "q_topk" -> Relational.qTopkSql,
+    "q_topk_per_group" -> Relational.qTopkPerGroupSql,
+    "q_union_all" -> Relational.qUnionAllSql,
+    "q_union_distinct" -> Relational.qUnionDistinctSql,
+    "q_intersect" -> Relational.qIntersectSql,
+    "q_except" -> Relational.qExceptSql,
+    "q_subq_scalar" -> Relational.qSubqScalarSql,
+    "q_subq_in" -> Relational.qSubqInSql,
+  )
 }

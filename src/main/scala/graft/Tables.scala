@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table readers + shared helpers for all queries.
+  *
+  * Design notes (scale): every reader returns a plain parquet-backed
+  * DataFrame so Catalyst keeps pushdown/pruning; the only materialization
+  * is the tokenized `documents` projection, which ~9 search queries share
+  * (SURVEY.md §4.3).
+  */
+object Tables {
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS,false), which Spark 4.x refuses
+    * to read natively (SURVEY.md §1.3). Read it as a long (ns since epoch)
+    * via the legacy conf and convert with INTEGER division — double division
+    * can round the last microsecond. DuckDB reads the same column as
+    * TIMESTAMP_NS; oracle SQL must CAST(ts AS TIMESTAMP) (ns→µs truncation,
+    * identical semantics).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  // Tokenized documents are reused by the whole §2.9 search family plus
+  // several §2.10 pipeline ops; persist once per (session, sfDir).
+  private val tokenCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** (doc_id, term) token stream. The corpus is space-joined single-space
+    * lowercase tokens with no empties (SURVEY.md §1.2), so a plain split
+    * is exact tokenization.
+    */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}:$sfDir"
+    tokenCache.getOrElseUpdate(
+      key,
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .persist()
+    )
+  }
+
+  /** Distinct (doc_id, term) pairs — posting-list input. */
+  def docTerms(spark: SparkSession, sfDir: String): DataFrame =
+    tokens(spark, sfDir).distinct()
+
+  /** Register the standard tables as temp views for spark.sql queries.
+    * Events is registered with the ts already normalized to µs timestamps.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { name =>
+      t(spark, sfDir, name).createOrReplaceTempView(name)
+    }
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
+}
