@@ -63,6 +63,35 @@ object SparkEntry {
     // §2.11 subqueries
     "q_subq_scalar" -> (Relational.qSubqScalar _),
     "q_subq_in" -> (Relational.qSubqIn _),
+    // §2.8 scalar functions
+    "q_fn_string" -> (Scalars.qFnString _),
+    "q_fn_date" -> (Scalars.qFnDate _),
+    "q_fn_math" -> (Scalars.qFnMath _),
+    "q_fn_array" -> (Scalars.qFnArray _),
+    "q_fn_map" -> (Scalars.qFnMap _),
+    "q_fn_json" -> (Scalars.qFnJson _),
+    // §2.9 search-engine core
+    "q_tokenize" -> (Search.qTokenize _),
+    "q_term_freq" -> (Search.qTermFreq _),
+    "q_doc_freq" -> (Search.qDocFreq _),
+    "q_inverted_index" -> (Search.qInvertedIndex _),
+    "q_tfidf" -> (Search.qTfidf _),
+    "q_search_and" -> (Search.qSearchAnd _),
+    "q_search_or" -> (Search.qSearchOr _),
+    "q_search_phrase" -> (Search.qSearchPhrase _),
+    "q_doc_stats" -> (Search.qDocStats _),
+    // §2.10 LLM-pipeline
+    "q_dedup_exact" -> (Pipeline.qDedupExact _),
+    "q_dedup_near" -> (Pipeline.qDedupNear _),
+    "q_sim_cosine_topk" -> (Pipeline.qSimCosineTopk _),
+    "q_sim_centroids" -> (Pipeline.qSimCentroids _),
+    "q_text_lang_dist" -> (Pipeline.qTextLangDist _),
+    "q_ngrams" -> (Pipeline.qNgrams _),
+    // §2.12 events (batch)
+    "q_evt_tumbling" -> (Events.qEvtTumbling _),
+    "q_evt_sliding" -> (Events.qEvtSliding _),
+    "q_evt_session" -> (Events.qEvtSession _),
+    "q_evt_funnel" -> (Events.qEvtFunnel _),
   )
 
   /** DuckDB 1.0.0 SQL oracle per query key (omitted for oracle=unit rows). */
@@ -105,5 +134,30 @@ object SparkEntry {
     "q_except" -> Relational.qExceptSql,
     "q_subq_scalar" -> Relational.qSubqScalarSql,
     "q_subq_in" -> Relational.qSubqInSql,
+    "q_fn_string" -> Scalars.qFnStringSql,
+    "q_fn_date" -> Scalars.qFnDateSql,
+    "q_fn_math" -> Scalars.qFnMathSql,
+    "q_fn_array" -> Scalars.qFnArraySql,
+    "q_fn_map" -> Scalars.qFnMapSql,
+    "q_fn_json" -> Scalars.qFnJsonSql,
+    "q_tokenize" -> Search.qTokenizeSql,
+    "q_term_freq" -> Search.qTermFreqSql,
+    "q_doc_freq" -> Search.qDocFreqSql,
+    "q_inverted_index" -> Search.qInvertedIndexSql,
+    "q_tfidf" -> Search.qTfidfSql,
+    "q_search_and" -> Search.qSearchAndSql,
+    "q_search_or" -> Search.qSearchOrSql,
+    "q_search_phrase" -> Search.qSearchPhraseSql,
+    "q_doc_stats" -> Search.qDocStatsSql,
+    "q_dedup_exact" -> Pipeline.qDedupExactSql,
+    "q_dedup_near" -> Pipeline.qDedupNearSql,
+    "q_sim_cosine_topk" -> Pipeline.qSimCosineTopkSql,
+    "q_sim_centroids" -> Pipeline.qSimCentroidsSql,
+    "q_text_lang_dist" -> Pipeline.qTextLangDistSql,
+    "q_ngrams" -> Pipeline.qNgramsSql,
+    "q_evt_tumbling" -> Events.qEvtTumblingSql,
+    "q_evt_sliding" -> Events.qEvtSlidingSql,
+    "q_evt_session" -> Events.qEvtSessionSql,
+    "q_evt_funnel" -> Events.qEvtFunnelSql,
   )
 }

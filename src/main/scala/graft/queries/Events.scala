@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch event analytics over the `events` stream table (SURVEY.md §2.12):
+  * tumbling/sliding windows, sessionization, funnels. The same logical ops
+  * run as Structured Streaming in graft.streaming.Streams.
+  */
+object Events {
+
+  def qEvtTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .orderBy("hr", "event_type")
+
+  val qEvtTumblingSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+      |  count(*) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin
+
+  /** 1h windows sliding every 15min. Spark's window() assigns each event to
+    * its 4 containing slide buckets; the oracle generates the same buckets
+    * arithmetically (window starts are epoch-aligned in both). */
+  def qEvtSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .select(col("window.start").as("win_start"), col("n"), col("total"))
+      .orderBy("win_start")
+
+  val qEvtSlidingSql: String =
+    """SELECT CAST(to_timestamp(
+      |    floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 - k * 900)
+      |    AS TIMESTAMP) AS win_start,
+      |  count(*) AS n, round(sum(value), 4) AS total
+      |FROM events, unnest(generate_series(0, 3)) AS t(k)
+      |GROUP BY win_start ORDER BY win_start""".stripMargin
+
+  /** Sessionization with a 30-min inactivity gap: lag → gap flag → running
+    * sum as session id — all window functions, shuffle-once per user. */
+  def qEvtSession(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > 1800000000L, 1)
+          .otherwise(when(lag("ts_us", 1).over(byUser).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum("gap").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      // `div` (integer division) on both sides: DuckDB CAST(double AS
+      // BIGINT) rounds half-even while Spark cast truncates.
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(ts_us) - min(ts_us)) div 1000000").as("dur_sec"),
+        min("ts").as("start_ts"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qEvtSessionSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP))
+      |    AS ts_us, CAST(ts AS TIMESTAMP) AS tss FROM events),
+      |flagged AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w
+      |    > 1800000000 OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS gap
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS BIGINT) AS session_id FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  (max(ts_us) - min(ts_us)) // 1000000 AS dur_sec,
+      |  min(tss) AS start_ts
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** signup→purchase funnel per user: earliest signup, earliest purchase at
+    * or after it, conversion flag. Conditional aggregation, single shuffle. */
+  def qEvtFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    signup
+      .join(purchase, Seq("user_id"), "left")
+      .filter(col("p_ts").isNull || col("p_ts") >= col("signup_ts"))
+      .groupBy("user_id", "signup_ts")
+      .agg(min("p_ts").as("first_purchase_ts"))
+      .withColumn("converted", col("first_purchase_ts").isNotNull)
+      .orderBy("user_id")
+  }
+
+  val qEvtFunnelSql: String =
+    """WITH s AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+      |SELECT s.user_id, s.signup_ts,
+      |  (SELECT min(CAST(e.ts AS TIMESTAMP)) FROM events e
+      |   WHERE e.user_id = s.user_id AND e.event_type = 'purchase'
+      |     AND CAST(e.ts AS TIMESTAMP) >= s.signup_ts) AS first_purchase_ts,
+      |  (SELECT min(CAST(e.ts AS TIMESTAMP)) FROM events e
+      |   WHERE e.user_id = s.user_id AND e.event_type = 'purchase'
+      |     AND CAST(e.ts AS TIMESTAMP) >= s.signup_ts) IS NOT NULL
+      |    AS converted
+      |FROM s ORDER BY user_id""".stripMargin
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** LLM-data-pipeline operators (SURVEY.md §2.10): dedup, similarity
+  * search, corpus/text analysis. These are the training-data-pipeline
+  * extensions mandated by BASELINE.json's north star.
+  */
+object Pipeline {
+
+  /** Exact dedup by content hash: md5 groupKey, keep lowest doc_id.
+    * At scale this is one hash-shuffle on the digest — no full-text
+    * comparisons. */
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "h")
+      .orderBy("doc_id")
+  }
+
+  val qDedupExactSql: String =
+    """SELECT doc_id, h FROM (
+      |  SELECT doc_id, md5(text) AS h,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Near-dup pairs by token-set Jaccard over a doc_id%10 sample
+    * (SURVEY.md §7.4-4: the tiny vocabulary makes an unrestricted token
+    * self-join quadratic; the deterministic sample bounds it). Jaccard is
+    * a ratio of exact ints → bit-identical across engines. */
+  def qDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = Tables.docTerms(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = dt.toDF("d1", "term")
+    val b = dt.toDF("d2", "term")
+    a.join(b, Seq("term"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("d1", "sz1"), "d1")
+      .join(sizes.toDF("d2", "sz2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("d1"), asc("d2"))
+      .limit(20)
+  }
+
+  val qDedupNearSql: String =
+    """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
+      |    AS term FROM documents WHERE doc_id % 10 = 0),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM dt a JOIN dt b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY d1, d2)
+      |SELECT d1, d2, round(CAST(inter AS DOUBLE) /
+      |    (s1.sz + s2.sz - inter), 4) AS jaccard
+      |FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
+
+  /** Brute-force cosine top-k against vec_id=0, all math in double
+    * (SURVEY.md §2 rule C). The query vector is a broadcast single row;
+    * the scan side never shuffles — this is the exact-search baseline the
+    * ANN variant (q_sim_ann_ivf) trades against. */
+  def qSimCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"))
+    val dot = expr("aggregate(zip_with(e, qe, (x, y) -> x * y), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    val na = expr("sqrt(aggregate(e, CAST(0.0 AS DOUBLE), " +
+      "(acc, v) -> acc + v * v))")
+    val nb = expr("sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), " +
+      "(acc, v) -> acc + v * v))")
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(dot / (na * nb), 4).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val qSimCosineTopkSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |parts AS (SELECT vec_id,
+      |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+      |      AS dot,
+      |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i]
+      |      AS DOUBLE)) AS na2,
+      |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb2
+      |  FROM embeddings e CROSS JOIN q,
+      |    unnest(generate_series(1, len(e.embedding))) AS t(i)
+      |  WHERE e.vec_id <> 0 GROUP BY vec_id)
+      |SELECT vec_id, round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos
+      |FROM parts ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Per-label centroids: avg of each embedding position (1-based). */
+  def qSimCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("p"),
+        col("col").cast("double").as("v"))
+      .groupBy("label", "p")
+      .agg(round(avg("v"), 4).as("c"))
+      .orderBy("label", "p")
+
+  val qSimCentroidsSql: String =
+    """SELECT label, CAST(i AS BIGINT) AS p,
+      |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS c
+      |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |GROUP BY label, p ORDER BY label, p""".stripMargin
+
+  /** lang × source distribution with share of corpus. */
+  def qTextLangDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+    docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pct",
+        round(lit(100.0) * col("n") / sum("n").over(Window.partitionBy()), 4))
+      .orderBy("lang", "source")
+  }
+
+  val qTextLangDistSql: String =
+    """SELECT lang, source, count(*) AS n,
+      |  round(100.0 * count(*) / sum(count(*)) OVER (), 4) AS pct
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Top-20 bigrams. Bigrams are built inside a single projection
+    * (sequence+transform) — no self-join, no extra shuffle. */
+  def qNgrams(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |    element_at(split(text, ' '), i + 1)))""".stripMargin))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+
+  val qNgramsSql: String =
+    """SELECT arr[i] || ' ' || arr[i + 1] AS bigram, count(*) AS n
+      |FROM (SELECT string_split(text, ' ') AS arr FROM documents) d,
+      |  unnest(generate_series(1, len(arr) - 1)) AS t(i)
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+}

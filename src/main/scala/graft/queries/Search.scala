@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Search-engine core — the reference's actual domain (SURVEY.md §2.9):
+  * tokenize → tf/df → inverted index → tf-idf → ranked keyword queries.
+  *
+  * Scale notes: the tokenized projection is persisted once per sfDir
+  * (Tables.tokens); tf/df/index are single-shuffle groupBys on the token
+  * stream; search queries reduce to semi-join + aggregate over postings —
+  * the Spark-native analog of the reference's posting-list intersection.
+  */
+object Search {
+
+  /** tf per (doc_id, term). */
+  private def tf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tokens(spark, sfDir)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** df per term. */
+  private def df(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.docTerms(spark, sfDir)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+
+  /** Single-row corpus size, cross-joined (broadcast) where needed. */
+  private def nDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents").agg(count(lit(1)).as("n_docs"))
+
+  /** Raw (unrounded) tf-idf per (doc_id, term): tf * ln(N / df). */
+  private def tfidfRaw(spark: SparkSession, sfDir: String): DataFrame =
+    tf(spark, sfDir)
+      .join(broadcast(df(spark, sfDir)), "term")
+      .crossJoin(broadcast(nDocs(spark, sfDir)))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+
+  // Shared oracle CTEs (DuckDB side of the same pipeline).
+  private val tokSql =
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+  private val tfidfCte: String =
+    s"""WITH tok AS ($tokSql),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       |       GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scores AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+       |           FROM tf JOIN df USING (term) CROSS JOIN n)""".stripMargin
+
+  def qTokenize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tokens(spark, sfDir)
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("term")
+
+  val qTokenizeSql: String =
+    s"""SELECT term, count(*) AS n FROM ($tokSql)
+       |GROUP BY term ORDER BY term""".stripMargin
+
+  def qTermFreq(spark: SparkSession, sfDir: String): DataFrame =
+    tf(spark, sfDir).orderBy("doc_id", "term")
+
+  val qTermFreqSql: String =
+    s"""SELECT doc_id, term, count(*) AS tf FROM ($tokSql)
+       |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin
+
+  def qDocFreq(spark: SparkSession, sfDir: String): DataFrame =
+    df(spark, sfDir)
+      .crossJoin(broadcast(nDocs(spark, sfDir)))
+      .orderBy("term")
+
+  val qDocFreqSql: String =
+    s"""SELECT term, count(DISTINCT doc_id) AS df,
+       |  (SELECT count(*) FROM documents) AS n_docs
+       |FROM ($tokSql) GROUP BY term ORDER BY term""".stripMargin
+
+  def qInvertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.docTerms(spark, sfDir)
+      .groupBy("term")
+      .agg(sort_array(collect_set("doc_id")).as("ids"))
+      .orderBy("term")
+
+  val qInvertedIndexSql: String =
+    s"""SELECT term, list(DISTINCT doc_id ORDER BY doc_id) AS ids
+       |FROM ($tokSql) GROUP BY term ORDER BY term""".stripMargin
+
+  def qTfidf(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfRaw(spark, sfDir)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "term")
+
+  val qTfidfSql: String =
+    s"""$tfidfCte
+       |SELECT doc_id, term, tf, df, round(score, 4) AS score
+       |FROM scores ORDER BY doc_id, term""".stripMargin
+
+  /** Conjunctive keyword query: docs containing ALL terms, tf-idf ranked.
+    * Posting intersection ≡ groupBy(doc) HAVING n_distinct_terms = |q|. */
+  def qSearchAnd(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfRaw(spark, sfDir)
+      .filter(col("term").isin("spark", "join"))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"),
+        round(sum("score"), 4).as("score"))
+      .filter(col("nt") === 2)
+      .select("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+
+  val qSearchAndSql: String =
+    s"""$tfidfCte
+       |SELECT doc_id, round(sum(score), 4) AS score FROM scores
+       |WHERE term IN ('spark', 'join')
+       |GROUP BY doc_id HAVING count(DISTINCT term) = 2
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Disjunctive keyword query: docs containing ANY term. */
+  def qSearchOr(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfRaw(spark, sfDir)
+      .filter(col("term").isin("vector", "stream"))
+      .groupBy("doc_id")
+      .agg(round(sum("score"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+
+  val qSearchOrSql: String =
+    s"""$tfidfCte
+       |SELECT doc_id, round(sum(score), 4) AS score FROM scores
+       |WHERE term IN ('vector', 'stream')
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Phrase query 'hash join' via positional bigram adjacency. The oracle
+    * uses padded-LIKE containment, exactly equivalent on this single-space
+    * corpus (SURVEY.md §2.9 footnote). */
+  def qSearchPhrase(spark: SparkSession, sfDir: String): DataFrame = {
+    val pos = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "term")
+    val a = pos.filter(col("term") === "hash").as("a")
+    val b = pos.filter(col("term") === "join").as("b")
+    a.join(b,
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.pos") + 1 === col("b.pos"), "left_semi")
+      .select("doc_id").distinct()
+      .orderBy("doc_id")
+  }
+
+  val qSearchPhraseSql: String =
+    """SELECT doc_id FROM documents
+      |WHERE ' ' || text || ' ' LIKE '% hash join %'
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-language corpus stats. Averages stay as sum+count pairs: the avg
+    * of exact ints over power-of-two counts lands on round(4) ties. */
+  def qDocStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("n_tokens"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+
+  val qDocStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+}
