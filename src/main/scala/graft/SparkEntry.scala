@@ -92,6 +92,16 @@ object SparkEntry {
     "q_evt_sliding" -> (Events.qEvtSliding _),
     "q_evt_session" -> (Events.qEvtSession _),
     "q_evt_funnel" -> (Events.qEvtFunnel _),
+    // §2.12 structured streaming (oracle=unit)
+    "s_stream_tumbling" -> (graft.streaming.Streams.sStreamTumbling _),
+    "s_stream_dedup" -> (graft.streaming.Streams.sStreamDedup _),
+    "s_stream_late" -> (graft.streaming.Streams.sStreamLate _),
+    "s_stream_stateful" -> (graft.streaming.Streams.sStreamStateful _),
+    // §2.13 UDF / UDAF / UDTF / custom Expression
+    "q_udf_scalar" -> (graft.udf.Custom.qUdfScalar _),
+    "q_udaf_typed" -> (graft.udf.Custom.qUdafTyped _),
+    "q_udtf_explode" -> (graft.udf.Custom.qUdtfExplode _),
+    "x_expr_custom" -> (graft.udf.Custom.xExprCustom _),
   )
 
   /** DuckDB 1.0.0 SQL oracle per query key (omitted for oracle=unit rows). */
@@ -159,5 +169,8 @@ object SparkEntry {
     "q_evt_sliding" -> Events.qEvtSlidingSql,
     "q_evt_session" -> Events.qEvtSessionSql,
     "q_evt_funnel" -> Events.qEvtFunnelSql,
+    "q_udf_scalar" -> graft.udf.Custom.qUdfScalarSql,
+    "q_udaf_typed" -> graft.udf.Custom.qUdafTypedSql,
+    "q_udtf_explode" -> graft.udf.Custom.qUdtfExplodeSql,
   )
 }

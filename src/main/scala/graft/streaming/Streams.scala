@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Structured Streaming rows (SURVEY.md §2.12 s_*): the same logical ops
+  * as the batch events queries, run through readStream-equivalent
+  * MemoryStream sources with watermarks and state.
+  *
+  * Each returns the materialized memory-sink table as a deterministic
+  * batch DataFrame (feed order is fixed, windows are flushed by a
+  * far-future sentinel event), so Verify can dump rows; semantics are
+  * additionally unit-tested in StreamingSpec.
+  */
+object Streams {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private val sentinelTs = Timestamp.valueOf("2030-01-01 00:00:00")
+
+  private def eventRows(spark: SparkSession, sfDir: String): Array[Ev] = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.event_id)
+  }
+
+  private def newStream(spark: SparkSession): MemoryStream[Ev] =
+    MemoryStream[Ev](Encoders.product[Ev], spark)
+
+  /** Tumbling 1h window + watermark, append mode. The sentinel advances
+    * the watermark past every real window so append emits them all. */
+  def sStreamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = newStream(spark)
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+      .writeStream.format("memory").queryName("s_stream_tumbling")
+      .outputMode("append").start()
+    try {
+      stream.addData(eventRows(spark, sfDir).toSeq)
+      q.processAllAvailable()
+      stream.addData(Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("s_stream_tumbling")
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Streaming exact dedup on event_id: every event is fed twice; the
+    * sink must contain each exactly once. */
+  def sStreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = eventRows(spark, sfDir)
+    val stream = newStream(spark)
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("s_stream_dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.toSeq)
+      q.processAllAvailable()
+      stream.addData(rows.toSeq) // exact duplicates, second delivery
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("s_stream_dedup")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy("event_type")
+  }
+
+  /** Late-data drop: batch 1 advances the watermark; batch 2 replays
+    * events older than watermark − 10 min, which must be dropped from the
+    * windowed aggregation. */
+  def sStreamLate(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = eventRows(spark, sfDir)
+    val cutoff = rows.map(_.ts.getTime).max
+    val (early, late) = rows.partition(_.ts.getTime >= cutoff - 3 * 3600 * 1000L)
+    val stream = newStream(spark)
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+      .writeStream.format("memory").queryName("s_stream_late")
+      .outputMode("append").start()
+    try {
+      // Only the last 3 hours arrive first → watermark = max − 10 min.
+      stream.addData(early.toSeq)
+      q.processAllAvailable()
+      // Everything older is now late beyond the watermark → dropped.
+      stream.addData(late.toSeq)
+      q.processAllAvailable()
+      stream.addData(Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("s_stream_late")
+      .filter(col("win_start") < lit(sentinelTs))
+      .orderBy("win_start")
+  }
+
+  /** Custom per-user running state via flatMapGroupsWithState: running
+    * event count + value sum per user, updated across two batches. */
+  def sStreamStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = eventRows(spark, sfDir).filter(_.user_id < 8)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val stream = newStream(spark)
+    val updater = (user: Long, evs: Iterator[Ev],
+        state: GroupState[(Long, Double)]) => {
+      val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+      val batch = evs.toSeq
+      val next = (n0 + batch.size, s0 + batch.map(_.value).sum)
+      state.update(next)
+      Iterator((user, next._1, next._2))
+    }
+    val q = stream.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updater)
+      .toDF("user_id", "n_events", "value_sum")
+      .writeStream.format("memory").queryName("s_stream_stateful")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update mode appends one row per (user, batch); keep the final state.
+    spark.table("s_stream_stateful")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        round(max("value_sum"), 4).as("value_sum"))
+      .orderBy("user_id")
+  }
+}

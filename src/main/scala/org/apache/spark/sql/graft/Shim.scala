@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made this conversion
+  * `private[sql]` (Column wraps a ColumnNode, not an Expression), so
+  * custom Catalyst expressions need this one-file shim living inside the
+  * `org.apache.spark.sql` package namespace — the standard pattern for
+  * third-party Catalyst extensions.
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
