@@ -201,11 +201,18 @@ object Relational {
       |              AND o.o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  /** NOT-EXISTS anti join. Restricted to 'P'-status orders so the result
+    * is non-empty at every scale factor (every customer has SOME order in
+    * this data — the unrestricted variant degenerates to an empty, and
+    * therefore evidence-free, oracle).
+    */
   def qJoinAnti(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = t(spark, sfDir, "customer")
-    val orders = t(spark, sfDir, "orders")
+    val openOrders = t(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "P")
     cust
-      .join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .join(openOrders, cust("c_custkey") === openOrders("o_custkey"),
+        "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   }
@@ -213,7 +220,8 @@ object Relational {
   val qJoinAntiSql: String =
     """SELECT c_custkey, c_name FROM customer c
       |WHERE NOT EXISTS (SELECT 1 FROM orders o
-      |                  WHERE o.o_custkey = c.c_custkey)
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderstatus = 'P')
       |ORDER BY c_custkey""".stripMargin
 
   /** Non-equi band join: price bands × lineitem. The band table is a tiny

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the LLM-pipeline operators (SURVEY.md §2.10, §5.3). */
+class PipelineSpec extends SparkSpecBase {
+
+  test("exact dedup is idempotent and keeps ≤ input rows") {
+    val docs = Tables.t(spark, sf, "documents")
+    val once = queries.Pipeline.qDedupExact(spark, sf)
+    assert(once.count() <= docs.count())
+    // one survivor per distinct content hash
+    assert(once.select("h").distinct().count() == once.count())
+    assert(once.count() ==
+      docs.select(md5(col("text"))).distinct().count())
+  }
+
+  test("near-dup jaccard is in (0, 1] and pairs are ordered d1 < d2") {
+    val pairs = queries.Pipeline.qDedupNear(spark, sf)
+    val bad = pairs.filter(
+      col("jaccard") <= 0.0 || col("jaccard") > 1.0 ||
+        col("d1") >= col("d2")).count()
+    assert(bad == 0)
+  }
+
+  test("cosine similarity is within [-1, 1] and descending") {
+    val top = queries.Pipeline.qSimCosineTopk(spark, sf).collect()
+    assert(top.nonEmpty)
+    val sims = top.map(r => r.getDouble(r.fieldIndex("cos")))
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("centroids: one row per (label, position), all 64 positions") {
+    val c = queries.Pipeline.qSimCentroids(spark, sf)
+    val labels = Tables.t(spark, sf, "embeddings")
+      .select("label").distinct().count()
+    assert(c.count() == labels * 64)
+  }
+
+  test("lang distribution percentages sum to ~100 per corpus") {
+    val dist = queries.Pipeline.qTextLangDist(spark, sf)
+    val total = dist.agg(sum("n")).head.getLong(0)
+    assert(total == Tables.t(spark, sf, "documents").count())
+  }
+
+  test("bigram count == tokens − docs (one bigram per adjacent pair)") {
+    val allBigrams = Tables.t(spark, sf, "documents")
+      .select(split(col("text"), " ").as("arr"))
+      .select((size(col("arr")) - 1).as("nb"))
+      .agg(sum("nb")).head.getLong(0)
+    val tokens = Tables.tokens(spark, sf).count()
+    val docs = Tables.t(spark, sf, "documents").count()
+    assert(allBigrams == tokens - docs)
+  }
+}

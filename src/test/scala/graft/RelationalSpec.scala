@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-checks for relational rows whose oracle formulation differs from
+  * the Spark implementation (as-of binary search, sessionization), plus
+  * set-operation laws (SURVEY.md §5.3).
+  */
+class RelationalSpec extends SparkSpecBase {
+
+  test("as-of binary search equals brute-force interval join") {
+    val got = queries.Relational.qJoinAsof(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val od = Tables.t(spark, sf, "orders")
+      .select(col("o_orderdate").cast("timestamp").as("d")).distinct()
+    val brute = ev.join(od, ev("ts") >= od("d"), "left")
+      .groupBy("event_id").agg(max("d").as("asof_date"))
+      .orderBy("event_id")
+    assert(got.except(brute).count() == 0 && brute.except(got).count() == 0)
+  }
+
+  test("session durations are non-negative; session count ≤ event count") {
+    val s = queries.Events.qEvtSession(spark, sf)
+    assert(s.filter(col("dur_sec") < 0).count() == 0)
+    assert(s.count() <= Tables.events(spark, sf).count())
+    // every event lands in exactly one session
+    assert(s.agg(sum("n_events")).head.getLong(0) ==
+      Tables.events(spark, sf).count())
+  }
+
+  test("set-operation laws on custkey sets") {
+    val a = Tables.t(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = Tables.t(spark, sf, "customer")
+      .filter(col("c_acctbal") > 0).select("c_custkey")
+    assert(a.union(a).distinct().count() == a.count())      // A ∪ A = A
+    assert(a.intersect(b).except(a).count() == 0)           // A ∩ B ⊆ A
+    assert(a.except(b).intersect(b).count() == 0)           // (A∖B) ∩ B = ∅
+    val inclExcl = a.union(b).distinct().count() +
+      a.intersect(b).count()
+    assert(inclExcl == a.count() + b.count())               // |A∪B|+|A∩B|
+  }
+
+  test("top-k per group returns ≤ 3 rows per supplier, correctly ranked") {
+    val t = queries.Relational.qTopkPerGroup(spark, sf)
+    val over = t.groupBy("l_suppkey").count().filter(col("count") > 3)
+    assert(over.count() == 0)
+  }
+
+  test("rollup row count = detail + subtotal + grand-total rows") {
+    val r = queries.Relational.qAggRollup(spark, sf)
+    val detail = Tables.t(spark, sf, "nation")
+      .join(Tables.t(spark, sf, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name").distinct().count()
+    val regions = Tables.t(spark, sf, "region").count()
+    assert(r.count() == detail + regions + 1)
+  }
+}

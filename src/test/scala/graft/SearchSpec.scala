@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Algebraic invariants of the search-engine core (SURVEY.md §5.3). */
+class SearchSpec extends SparkSpecBase {
+
+  test("sum of term frequencies == total token count") {
+    val tfSum = queries.Search.qTermFreq(spark, sf)
+      .agg(sum("tf")).head.getLong(0)
+    val tokens = Tables.tokens(spark, sf).count()
+    assert(tfSum == tokens)
+  }
+
+  test("posting-list length == document frequency per term") {
+    val idx = queries.Search.qInvertedIndex(spark, sf)
+      .select(col("term"), size(col("ids")).as("len"))
+    val df = queries.Search.qDocFreq(spark, sf)
+    val mismatches = idx.join(df, "term")
+      .filter(col("len") =!= col("df")).count()
+    assert(mismatches == 0)
+  }
+
+  test("tf-idf score == round(tf * ln(N/df), 4) for every row") {
+    val n = Tables.t(spark, sf, "documents").count().toDouble
+    val bad = queries.Search.qTfidf(spark, sf)
+      .filter(col("score") =!=
+        round(col("tf") * log(lit(n) / col("df")), 4)).count()
+    assert(bad == 0)
+  }
+
+  test("conjunctive search results contain ALL query terms") {
+    val hits = queries.Search.qSearchAnd(spark, sf).select("doc_id")
+    val tok = Tables.docTerms(spark, sf)
+    for (term <- Seq("spark", "join")) {
+      val without = hits.join(
+        tok.filter(col("term") === term), Seq("doc_id"), "left_anti").count()
+      assert(without == 0, s"hit missing term '$term'")
+    }
+  }
+
+  test("phrase hits all contain the phrase as a substring") {
+    val phrase = queries.Search.qSearchPhrase(spark, sf).select("doc_id")
+    val docs = Tables.t(spark, sf, "documents")
+    val verified = phrase.join(docs, "doc_id")
+      .filter(col("text").contains("hash join")).count()
+    assert(verified == phrase.count() && verified > 0)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming semantics (SURVEY.md §2.12 s_* rows). */
+class StreamingSpec extends SparkSpecBase {
+
+  test("streaming tumbling window matches the batch formulation") {
+    val streamed = streaming.Streams.sStreamTumbling(spark, sf)
+      .select(col("win_start"), col("event_type"), col("n"))
+    val batch = queries.Events.qEvtTumbling(spark, sf)
+      .select(col("hr").as("win_start"), col("event_type"), col("n"))
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("streaming dedup removes the duplicate second delivery") {
+    val dedup = streaming.Streams.sStreamDedup(spark, sf)
+    val total = dedup.agg(sum("n_unique")).head.getLong(0)
+    val events = Tables.events(spark, sf).count()
+    assert(total == events, "each event must survive exactly once")
+  }
+
+  test("late-data drop: late replays never exceed on-time counts") {
+    val windows = streaming.Streams.sStreamLate(spark, sf)
+    val counted = windows.agg(sum("n")).head.getLong(0)
+    val events = Tables.events(spark, sf).count()
+    assert(counted <= events)
+    assert(windows.count() > 0)
+  }
+
+  test("stateful running totals equal batch per-user aggregates") {
+    val state = streaming.Streams.sStreamStateful(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .filter(col("user_id") < 8)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("value_sum"))
+    val diff = state.except(batch).count() + batch.except(state).count()
+    assert(diff == 0)
+  }
+}
