@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Extended training-data-pipeline operators: sketch-based dedup
+  * (MinHash+LSH, SimHash), embedding near-dup, IVF-style ANN, text
+  * quality/token analysis, and document fingerprinting.
+  *
+  * Scale notes: every operator here is one or two hash-partitioned
+  * shuffles over per-document sketches — never over raw text pairs. The
+  * quadratic steps (candidate pairs) are confined to LSH buckets /
+  * deterministic samples, which is exactly how these run at corpus scale.
+  * This synthetic corpus has a ~31-term vocabulary, so buckets degenerate
+  * to near-all-pairs locally; real corpora produce small buckets.
+  */
+object PipelinePlus {
+
+  private val K = 8 // minhash signature length; 4 bands × 2 rows
+
+  /** Distinct (doc_id, term) over the deterministic doc_id%10 sample the
+    * §2.10 near-dup family shares. */
+  private def sampleTerms(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.docTerms(spark, sfDir).filter(col("doc_id") % 10 === 0)
+
+  // ───────────────────────── MinHash + LSH dedup ─────────────────────────
+
+  /** MinHash (K=8, md5-keyed "permutations") + LSH banding (4 bands × 2):
+    * docs sharing any band bucket become candidate pairs; the signature
+    * match fraction estimates token-set Jaccard. Top-20 pairs by estimate.
+    */
+  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = sampleTerms(spark, sfDir)
+    // (doc_id, k, mh): minimum md5(term:k) per doc per hash index
+    val sig = dt
+      .crossJoin(spark.range(K).select(col("id").as("k")))
+      .groupBy("doc_id", "k")
+      .agg(min(md5(concat(col("term"), lit(":"), col("k")))).as("mh"))
+    // band signature = ordered concat of the band's minhashes
+    val bands = sig
+      .withColumn("band", expr("k div 2"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("k"), col("mh")))),
+        x => x.getField("mh")), "|").as("bsig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val est = cand
+      .join(sig.toDF("d1", "k", "mh1"), Seq("d1"))
+      .join(sig.toDF("d2", "k", "mh2"), Seq("d2", "k"))
+      .groupBy("d1", "d2")
+      .agg(round(avg(when(col("mh1") === col("mh2"), 1.0).otherwise(0.0)), 4)
+        .as("est_jaccard"))
+    est.orderBy(desc("est_jaccard"), asc("d1"), asc("d2")).limit(20)
+  }
+
+  val qDedupMinhashSql: String =
+    s"""WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
+      |    AS term FROM documents WHERE doc_id % 10 = 0),
+      |sig AS (SELECT doc_id, k, min(md5(term || ':' || k)) AS mh
+      |  FROM dt, generate_series(0, ${K - 1}) t(k) GROUP BY doc_id, k),
+      |bands AS (SELECT doc_id, k // 2 AS band,
+      |    string_agg(mh, '|' ORDER BY k) AS bsig
+      |  FROM sig GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+      |    AND a.doc_id < b.doc_id),
+      |est AS (SELECT d1, d2, round(avg(CASE WHEN s1.mh = s2.mh
+      |      THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
+      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
+      |  GROUP BY d1, d2)
+      |SELECT * FROM est ORDER BY est_jaccard DESC, d1, d2 LIMIT 20"""
+      .stripMargin
+
+  // ─────────────────────────── SimHash dedup ───────────────────────────
+
+  private val SimBits = 16
+
+  /** 16-bit SimHash over the distinct-token set (term hash = first 15 hex
+    * chars of md5, i.e. 60 bits, parsed identically by Spark `conv` and
+    * DuckDB's 0x-cast). Pairs ranked by Hamming distance.
+    */
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = sampleTerms(spark, sfDir)
+      .withColumn("h",
+        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
+    val sim = dt
+      .crossJoin(spark.range(SimBits).select(col("id").as("b")))
+      .withColumn("contrib",
+        when(expr("shiftright(h, cast(b AS int)) % 2") === 1, 1)
+          .otherwise(-1))
+      .groupBy("doc_id", "b")
+      .agg(sum("contrib").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(1L, cast(b AS int))")).otherwise(0L))
+        .as("simhash"))
+    sim.toDF("d1", "h1").join(sim.toDF("d2", "h2"), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .orderBy(asc("hamming"), asc("d1"), asc("d2"))
+      .limit(20)
+  }
+
+  val qDedupSimhashSql: String =
+    s"""WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
+      |    AS term FROM documents WHERE doc_id % 10 = 0),
+      |th AS (SELECT doc_id, term,
+      |    ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM dt),
+      |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1
+      |      THEN 1 ELSE -1 END) AS s
+      |  FROM th, generate_series(0, ${SimBits - 1}) t(b) GROUP BY doc_id, b),
+      |sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b
+      |      ELSE 0 END) AS simhash FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      |ORDER BY hamming, d1, d2 LIMIT 20""".stripMargin
+
+  // ───────────────────── embedding-cosine near-dup ─────────────────────
+
+  /** Near-duplicate vectors: top-20 pairs by cosine over the vec_id%5
+    * sample (pairs within LSH/IVF cells at scale; deterministic sample
+    * here). All math in double (§2 rule C). */
+  def qDedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val withNorm = e.withColumn("n",
+      sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val a = withNorm.toDF("v1", "va", "na")
+    val b = withNorm.toDF("v2", "vb", "nb")
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 4)
+          .as("cos"))
+      .orderBy(desc("cos"), asc("v1"), asc("v2"))
+      .limit(20)
+  }
+
+  val qDedupEmbedSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 5 = 0)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |  round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+      |    AS DOUBLE), 4) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin
+
+  // ──────────────────────────── IVF-style ANN ────────────────────────────
+
+  /** IVF-flavoured ANN: label-averaged centroids act as the coarse
+    * quantizer (k=10 cells); the query probes its nearest centroid and
+    * brute-forces cosine only within that cell. Centroids are rounded to
+    * 4 dp BEFORE assignment so the argmax is engine-stable; assignment
+    * ties break on label asc.
+    */
+  def qSimIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // centroid per label, position-wise mean rounded to 4dp
+    val cent = emb
+      .select(col("label").as("clabel"), posexplode(col("v")))
+      .groupBy("clabel", "pos")
+      .agg(round(avg("col"), 4).as("c"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(va, vb, (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+      val na = sqrt(aggregate(va, lit(0.0), (a, x) => a + x * x))
+      val nb = sqrt(aggregate(vb, lit(0.0), (a, x) => a + x * x))
+      dot / (na * nb)
+    }
+    // assign every vector (and thus the query) to its best cell
+    val wBest = Window.partitionBy("vec_id")
+      .orderBy(desc("cell_cos"), asc("clabel"))
+    val assigned = emb.crossJoin(cent)
+      .withColumn("cell_cos", round(cosine(col("v"), col("cvec")), 4))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("clabel"))
+    val qcell = assigned.filter(col("vec_id") === 0)
+      .select(col("clabel").as("qcell"), col("v").as("qv"))
+    assigned.join(broadcast(qcell), col("clabel") === col("qcell"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("qv")), 4).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val qSimIvfSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |cent AS (SELECT label AS clabel,
+      |    list(round(CAST(c AS DOUBLE), 4) ORDER BY p) AS cvec
+      |  FROM (SELECT label, p, avg(CAST(embedding[p] AS DOUBLE)) AS c
+      |    FROM e, unnest(generate_series(1, len(embedding))) t(p)
+      |    GROUP BY label, p) GROUP BY label),
+      |scored AS (SELECT vec_id, label, embedding, clabel,
+      |    round(CAST(list_cosine_similarity(
+      |      CAST(embedding AS DOUBLE[]), cvec) AS DOUBLE), 4) AS cell_cos,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY round(CAST(list_cosine_similarity(
+      |        CAST(embedding AS DOUBLE[]), cvec) AS DOUBLE), 4) DESC,
+      |        clabel) AS rn
+      |  FROM e CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, label, embedding, clabel FROM scored
+      |  WHERE rn = 1),
+      |q AS (SELECT clabel AS qcell, embedding AS qv FROM assigned
+      |  WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  round(CAST(list_cosine_similarity(a.embedding, q.qv) AS DOUBLE), 4)
+      |    AS cos
+      |FROM assigned a JOIN q ON a.clabel = q.qcell
+      |WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  // ─────────────────────────── text analysis ───────────────────────────
+
+  private val Stopwords = Seq("query", "window", "scan")
+
+  /** Per-document quality scoring: token counts, type-token ratio,
+    * average token length, stopword ratio, composite score. */
+  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    // quality must be computed from the UNROUNDED ratios — deriving it
+    // from the rounded ttr/stop_ratio columns lands exactly on the
+    // .00005 rounding grid, where Spark (half-up) and DuckDB (half-even)
+    // disagree (SURVEY.md §2 rule B).
+    val ttr = size(array_distinct(col("arr"))).cast("double") /
+      size(col("arr"))
+    val stopRatio = size(filter(col("arr"),
+      x => x.isInCollection(Stopwords))).cast("double") / size(col("arr"))
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("arr")).cast("long").as("n_tok"),
+        size(array_distinct(col("arr"))).cast("long").as("n_unique"),
+        round(ttr, 4).as("ttr"),
+        round((length(col("text")) - size(col("arr")) + 1).cast("double") /
+          size(col("arr")), 4).as("avg_tok_len"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(lit(0.5) * ttr + lit(0.5) * (lit(1.0) - stopRatio), 4)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qTextQualitySql: String =
+    """SELECT doc_id,
+      |  len(arr)::BIGINT AS n_tok,
+      |  len(list_distinct(arr))::BIGINT AS n_unique,
+      |  round(len(list_distinct(arr)) / CAST(len(arr) AS DOUBLE), 4) AS ttr,
+      |  round((length(text) - len(arr) + 1) / CAST(len(arr) AS DOUBLE), 4)
+      |    AS avg_tok_len,
+      |  round(len(list_filter(arr, x -> x IN ('query','window','scan')))
+      |    / CAST(len(arr) AS DOUBLE), 4) AS stop_ratio,
+      |  round(0.5 * (len(list_distinct(arr)) / CAST(len(arr) AS DOUBLE))
+      |    + 0.5 * (1.0 - len(list_filter(arr,
+      |        x -> x IN ('query','window','scan')))
+      |      / CAST(len(arr) AS DOUBLE)), 4) AS quality
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS arr
+      |  FROM documents) ORDER BY doc_id""".stripMargin
+
+  /** Token counting three ways: whitespace, a BPE-ish regex ([a-z0-9]+
+    * runs), and the chars/4 estimate LLM pipelines use for budgeting. */
+  def qTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long")
+          .as("re_tokens"),
+        ceil(length(col("text")).cast("double") / 4).cast("long")
+          .as("est_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val qTokenCountSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS re_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: lexicographic min-md5 over 3-token shingles —
+    * a winnowing-style content signature that survives local edits. */
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("arr")) - 2, lit(1))),
+        i => concat_ws(" ",
+          element_at(col("arr"), i),
+          element_at(col("arr"), i + 1),
+          element_at(col("arr"), i + 2)))).as("sh"))
+      .groupBy("doc_id")
+      .agg(min(md5(col("sh"))).as("fingerprint"),
+        countDistinct("sh").as("n_shingles"))
+      .orderBy("doc_id")
+
+  val qFingerprintSql: String =
+    """SELECT doc_id, min(md5(sh)) AS fingerprint,
+      |  count(DISTINCT sh) AS n_shingles
+      |FROM (SELECT doc_id,
+      |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+      |    unnest(generate_series(1, greatest(len(arr) - 2, 1))) t(i))
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Language ID by char-bigram naive-bayes, trained on the corpus's own
+    * lang labels (oracle=unit: float-sum argmax is not engine-portable;
+    * LangIdSpec asserts determinism, shape, and better-than-random
+    * self-classification where the corpus allows it).
+    */
+  def qTextLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+        .as("g"))
+    val profile = grams.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum("c").over(Window.partitionBy("lang")))
+      .select(col("lang").as("plang"), col("g"),
+        log((col("c") + 1.0) / (col("tot") + 1.0)).as("lp"))
+    // the profile is a tiny dim (langs × distinct bigrams) — broadcast it
+    // so the gram stream never shuffles
+    val scored = grams.join(broadcast(profile), Seq("g"))
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(sum("lp").as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("actual"),
+        col("plang").as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  // ───────────────────────── multimodal columns ─────────────────────────
+
+  /** Multimodal metadata surface: opaque binary payload (here derived
+    * deterministically from text — the container ships no codec libs) +
+    * typed metadata columns, exactly the schema a real image/audio table
+    * carries. Oracle-checked on the metadata; payload plumbing is
+    * exercised in MultimodalSpec. */
+  def qMmMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long")
+          .as("payload_bytes"),
+        md5(col("text")).as("payload_digest"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"))
+      .orderBy("doc_id")
+
+  val qMmMetaSql: String =
+    """SELECT doc_id, n_chars,
+      |  octet_length(encode(text))::BIGINT AS payload_bytes,
+      |  md5(text) AS payload_digest,
+      |  (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS modality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Decode/feature-extract plumbing for binary payloads (oracle=unit).
+    * The "decoder" is a deterministic stand-in (no codec libs in this
+    * container): FNV-seeded pseudo-features + parsed dimensions. The
+    * Spark-side shape is the real thing: binary in, fixed-width float
+    * features out, one narrow mapPartitions pass, no shuffle.
+    */
+  def qMmDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = 8
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val h = graft.functions.Fnv1a64.hash(payload)
+        val feats = Array.tabulate(dim) { i =>
+          // deterministic fake "decoded features" from the payload hash
+          ((h >>> (i * 8)) & 0xff).toFloat / 255f
+        }
+        val width = 1 + (math.abs(h) % 1024).toInt
+        val height = 1 + (math.abs(h >>> 32) % 1024).toInt
+        (id, feats, width, height)
+      })
+      .toDF("doc_id", "features", "width", "height")
+      .orderBy("doc_id")
+  }
+}

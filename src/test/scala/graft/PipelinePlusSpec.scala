@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Extended pipeline family (§2.10b): sketches, ANN, text analysis,
+  * multimodal plumbing. */
+class PipelinePlusSpec extends SparkSpecBase {
+
+  test("minhash: identical token sets ⇒ identical signatures (est 1.0)") {
+    // q_dedup_near found jaccard-1.0 pairs; those must minhash to est 1.0
+    val exact = queries.Pipeline.qDedupNear(spark, sf)
+      .filter(col("jaccard") === 1.0).select("d1", "d2")
+    val mh = queries.PipelinePlus.qDedupMinhash(spark, sf)
+    val disagree = exact.join(mh, Seq("d1", "d2"))
+      .filter(col("est_jaccard") =!= 1.0).count()
+    assert(disagree == 0)
+  }
+
+  test("simhash: identical token sets ⇒ hamming distance 0") {
+    val exact = queries.Pipeline.qDedupNear(spark, sf)
+      .filter(col("jaccard") === 1.0).select("d1", "d2")
+    val sh = queries.PipelinePlus.qDedupSimhash(spark, sf)
+    val nonzero = exact.join(sh, Seq("d1", "d2"))
+      .filter(col("hamming") =!= 0).count()
+    assert(nonzero == 0)
+  }
+
+  test("embedding near-dup cosines are within [-1,1], descending") {
+    val rows = queries.PipelinePlus.qDedupEmbed(spark, sf).collect()
+    val sims = rows.map(r => r.getDouble(r.fieldIndex("cos")))
+    assert(sims.nonEmpty)
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("IVF results never beat the brute-force global best") {
+    val ivf = queries.PipelinePlus.qSimIvf(spark, sf).collect()
+    val brute = queries.Pipeline.qSimCosineTopk(spark, sf).collect()
+    val bruteBest = brute.map(r => r.getDouble(r.fieldIndex("cos"))).max
+    val ivfBest = ivf.map(r => r.getDouble(r.fieldIndex("cos"))).max
+    assert(ivfBest <= bruteBest + 1e-9)
+    // probing one cell must still return a full top-10
+    assert(ivf.length == 10)
+  }
+
+  test("token counting: whitespace and regex agree on this corpus") {
+    // corpus tokens are [a-z0-9]+ runs, so the BPE-ish regex tokenizer
+    // must agree with the whitespace one exactly
+    val bad = queries.PipelinePlus.qTokenCount(spark, sf)
+      .filter(col("ws_tokens") =!= col("re_tokens")).count()
+    assert(bad == 0)
+  }
+
+  test("quality score stays in [0,1] and ttr*n_tok == n_unique") {
+    val q = queries.PipelinePlus.qTextQuality(spark, sf)
+    assert(q.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+    val bad = q.filter(
+      abs(col("ttr") * col("n_tok") - col("n_unique")) > 0.5).count()
+    assert(bad == 0)
+  }
+
+  test("identical texts fingerprint identically; fingerprints are hex") {
+    val fp = queries.PipelinePlus.qFingerprint(spark, sf)
+    val docs = Tables.t(spark, sf, "documents")
+    val byText = docs.join(fp, "doc_id")
+      .groupBy("text").agg(countDistinct("fingerprint").as("nfp"))
+    assert(byText.filter(col("nfp") > 1).count() == 0)
+    assert(fp.filter(not(col("fingerprint").rlike("^[0-9a-f]{32}$")))
+      .count() == 0)
+  }
+
+  test("lang-id is deterministic, total, and in-domain") {
+    val a = queries.PipelinePlus.qTextLangId(spark, sf)
+    val b = queries.PipelinePlus.qTextLangId(spark, sf)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    assert(a.count() == Tables.t(spark, sf, "documents").count())
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    assert(a.filter(not(col("predicted").isInCollection(langs))).count() == 0)
+  }
+
+  test("mm metadata: payload bytes == n_chars on an ASCII corpus") {
+    val m = queries.PipelinePlus.qMmMeta(spark, sf)
+    assert(m.filter(col("payload_bytes") =!= col("n_chars")).count() == 0)
+    assert(m.filter(not(col("modality")
+      .isInCollection(Seq("image", "audio", "video")))).count() == 0)
+  }
+
+  test("mm decode: fixed-width features, deterministic, bounded") {
+    val d = queries.PipelinePlus.qMmDecode(spark, sf)
+    val rows = d.collect()
+    assert(rows.length == Tables.t(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val feats = r.getSeq[Float](r.fieldIndex("features"))
+      assert(feats.length == 8)
+      assert(feats.forall(f => f >= 0f && f <= 1f))
+      assert(r.getInt(r.fieldIndex("width")) >= 1)
+      assert(r.getInt(r.fieldIndex("height")) >= 1)
+    }
+    val again = queries.PipelinePlus.qMmDecode(spark, sf)
+    assert(d.except(again).count() == 0)
+  }
+}
