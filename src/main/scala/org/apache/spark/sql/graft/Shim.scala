@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The session's FunctionRegistry (private[sql] in Spark 4) so native
+    * expressions can be registered on an already-built session. */
+  def functionRegistry(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.sessionState.functionRegistry
 }
