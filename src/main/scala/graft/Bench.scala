@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // size-based AQE coalescing: with parallelismFirst (the default)
+      // AQE keeps tiny partitions to maximize parallelism, which at small
+      // SFs turns every query into pure task-launch overhead; at cluster
+      // scale size-based is the recommended setting too.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -325,19 +325,32 @@ object PipelinePlus {
     */
   def qTextLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.t(spark, sfDir, "documents")
-    val grams = docs.select(col("doc_id"), col("lang"),
-      explode(expr(
-        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-        .as("g"))
-    val profile = grams.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    // pre-aggregate to per-doc gram COUNTS immediately: the raw gram
+    // stream is |corpus chars| rows, the counts are |doc × distinct
+    // grams| (~6× smaller here, far more at corpus scale) — everything
+    // downstream joins/shuffles the compact form
+    // char bigrams via one split + two slices: substring(text, i, 2) in a
+    // lambda re-scans the string per position (UTF8String char lookup is
+    // O(len)), turning the explode O(len²) per doc
+    val gramCounts = docs
+      .withColumn("ca", split(col("text"), ""))
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("ca"), lit(1), size(col("ca")) - 1),
+          slice(col("ca"), lit(2), size(col("ca")) - 1),
+          (a, b) => concat(a, b))).as("g"))
+      .groupBy("doc_id", "lang", "g")
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val profile = gramCounts.groupBy("lang", "g").agg(sum("c").as("c"))
       .withColumn("tot", sum("c").over(Window.partitionBy("lang")))
       .select(col("lang").as("plang"), col("g"),
         log((col("c") + 1.0) / (col("tot") + 1.0)).as("lp"))
     // the profile is a tiny dim (langs × distinct bigrams) — broadcast it
-    // so the gram stream never shuffles
-    val scored = grams.join(broadcast(profile), Seq("g"))
+    // so the gram-count stream never shuffles for the join
+    val scored = gramCounts.join(broadcast(profile), Seq("g"))
       .groupBy(col("doc_id"), col("lang"), col("plang"))
-      .agg(sum("lp").as("score"))
+      .agg(sum(col("lp") * col("c")).as("score"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("actual"),

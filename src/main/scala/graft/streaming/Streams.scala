@@ -34,9 +34,20 @@ object Streams {
   private def newStream(spark: SparkSession): MemoryStream[Ev] =
     MemoryStream[Ev](Encoders.product[Ev], spark)
 
+  /** Stateful streaming ops allocate one state store per shuffle
+    * partition PER MICRO-BATCH; at harness scale 32 stores make the
+    * MemoryStream pipelines scheduling-bound (9s vs 1s measured). Run the
+    * pipeline at 8 and restore the session conf afterwards. */
+  private def withStreamPartitions[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling 1h window + watermark, append mode. The sentinel advances
     * the watermark past every real window so append emits them all. */
-  def sStreamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
+  def sStreamTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
     val stream = newStream(spark)
     val q = stream.toDF()
       .withWatermark("ts", "10 minutes")
@@ -55,11 +66,12 @@ object Streams {
     spark.table("s_stream_tumbling")
       .filter(col("event_type") =!= "sentinel")
       .orderBy("win_start", "event_type")
-  }
+    }
 
   /** Streaming exact dedup on event_id: every event is fed twice; the
     * sink must contain each exactly once. */
-  def sStreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def sStreamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
     val rows = eventRows(spark, sfDir)
     val stream = newStream(spark)
     val q = stream.toDF()
@@ -77,12 +89,13 @@ object Streams {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_unique"))
       .orderBy("event_type")
-  }
+    }
 
   /** Late-data drop: batch 1 advances the watermark; batch 2 replays
     * events older than watermark − 10 min, which must be dropped from the
     * windowed aggregation. */
-  def sStreamLate(spark: SparkSession, sfDir: String): DataFrame = {
+  def sStreamLate(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
     val rows = eventRows(spark, sfDir)
     val cutoff = rows.map(_.ts.getTime).max
     val (early, late) = rows.partition(_.ts.getTime >= cutoff - 3 * 3600 * 1000L)
@@ -107,11 +120,12 @@ object Streams {
     spark.table("s_stream_late")
       .filter(col("win_start") < lit(sentinelTs))
       .orderBy("win_start")
-  }
+    }
 
   /** Custom per-user running state via flatMapGroupsWithState: running
     * event count + value sum per user, updated across two batches. */
-  def sStreamStateful(spark: SparkSession, sfDir: String): DataFrame = {
+  def sStreamStateful(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
     import spark.implicits._
     val rows = eventRows(spark, sfDir).filter(_.user_id < 8)
     val (b1, b2) = rows.splitAt(rows.length / 2)
@@ -143,5 +157,5 @@ object Streams {
       .agg(max("n_events").as("n_events"),
         round(max("value_sum"), 4).as("value_sum"))
       .orderBy("user_id")
-  }
+    }
 }
