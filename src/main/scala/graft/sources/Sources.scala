@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Source/sink breadth beyond the parquet scan (SURVEY.md §2.1b):
+  * partition-pruned parquet sink, CSV and JSON roundtrips. All
+  * oracle=unit (side-effecting writes); each returns a DataFrame whose
+  * rows re-derive from the re-read copy so Verify still dumps evidence.
+  */
+object Sources {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Hive-style partitioned parquet sink + partition-pruned re-read.
+    * The pruned scan must touch only the selected partition directory —
+    * the physical plan carries the partition filter, not a data filter
+    * (SourcesSpec asserts this).
+    */
+  def qSinkPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_part_")
+    Tables.t(spark, sfDir, "lineitem")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("l_returnflag") === "A")
+      .agg(count(lit(1)).as("n_a"), round(sum("l_quantity"), 4).as("qty_a"))
+    pruned
+  }
+
+  /** CSV sink → source roundtrip: write orders as headered CSV, re-read
+    * with explicit schema, verify the aggregate survives the text
+    * representation (timestamps/floats are the lossy suspects). */
+  def qSourceCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_csv_")
+    val orders = Tables.t(spark, sfDir, "orders")
+    orders.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+      .csv(dir)
+    spark.read
+      .option("header", "true")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+      .schema(orders.schema)
+      .csv(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** JSON-lines sink → source roundtrip on the events table (nested
+    * `props` stays a raw string; ts normalized to µs before write). */
+  def qSourceJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_json_")
+    val ev = Tables.events(spark, sfDir)
+    ev.write.mode("overwrite").json(dir)
+    spark.read.schema(ev.schema).json(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .orderBy("event_type")
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink rows (§2.1b): partition pruning must be structural, and
+  * text roundtrips must be lossless for the checked aggregates. */
+class SourcesSpec extends SparkSpecBase {
+
+  test("partitioned sink prunes: scan carries a partition filter") {
+    val df = sources.Sources.qSinkPartitioned(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") ||
+      physical.contains("partitionFilters"),
+      s"no partition filter in plan:\n$physical")
+    // and the numbers match the direct parquet path
+    val direct = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_returnflag") === "A")
+      .agg(count(lit(1)).as("n_a"), round(sum("l_quantity"), 4).as("qty_a"))
+    assert(df.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("CSV roundtrip preserves per-status aggregates") {
+    val rt = sources.Sources.qSourceCsv(spark, sf)
+    val direct = Tables.t(spark, sf, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderstatus")
+    assert(rt.collect().toSeq == direct.collect().toSeq)
+  }
+
+  test("JSON roundtrip preserves per-type aggregates") {
+    val rt = sources.Sources.qSourceJson(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .orderBy("event_type")
+    assert(rt.collect().toSeq == direct.collect().toSeq)
+  }
+}
