@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time one query repeatedly.
+  * Usage: runMain graft.Time <sfDir> <query> [reps]
+  */
+object Time {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark)
+    val fn = SparkEntry.queries(name)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

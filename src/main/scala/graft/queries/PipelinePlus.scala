@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -325,36 +325,50 @@ object PipelinePlus {
     */
   def qTextLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.t(spark, sfDir, "documents")
-    // pre-aggregate to per-doc gram COUNTS immediately: the raw gram
-    // stream is |corpus chars| rows, the counts are |doc × distinct
-    // grams| (~6× smaller here, far more at corpus scale) — everything
-    // downstream joins/shuffles the compact form
     // char bigrams via one split + two slices: substring(text, i, 2) in a
     // lambda re-scans the string per position (UTF8String char lookup is
     // O(len)), turning the explode O(len²) per doc
-    val gramCounts = docs
-      .withColumn("ca", split(col("text"), ""))
-      .select(col("doc_id"), col("lang"),
-        explode(zip_with(
-          slice(col("ca"), lit(1), size(col("ca")) - 1),
-          slice(col("ca"), lit(2), size(col("ca")) - 1),
-          (a, b) => concat(a, b))).as("g"))
-      .groupBy("doc_id", "lang", "g")
-      .agg(count(lit(1)).as("c"))
-      .persist()
-    val profile = gramCounts.groupBy("lang", "g").agg(sum("c").as("c"))
-      .withColumn("tot", sum("c").over(Window.partitionBy("lang")))
-      .select(col("lang").as("plang"), col("g"),
-        log((col("c") + 1.0) / (col("tot") + 1.0)).as("lp"))
-    // the profile is a tiny dim (langs × distinct bigrams) — broadcast it
-    // so the gram-count stream never shuffles for the join
-    val scored = gramCounts.join(broadcast(profile), Seq("g"))
-      .groupBy(col("doc_id"), col("lang"), col("plang"))
-      .agg(sum(col("lp") * col("c")).as("score"))
-    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("plang"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    def bigrams(text: Column): Column = {
+      val ca = split(text, "")
+      zip_with(
+        slice(ca, lit(1), size(ca) - 1),
+        slice(ca, lit(2), size(ca) - 1),
+        (a, b) => concat(a, b))
+    }
+    // Pass 1: per-lang bigram profile. Its size is bounded by
+    // |langs| × |alphabet|² regardless of corpus size, so collecting it to
+    // the driver is the same move as broadcasting a dim table — at 100 TB
+    // this is still a few thousand rows.
+    val prof = docs
+      .select(col("lang"), explode(bigrams(col("text"))).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .collect()
+    val tot = prof.groupBy(_.getString(0)).map { case (l, rs) =>
+      l -> rs.map(_.getLong(2)).sum
+    }
+    val langs = tot.keys.toSeq.sorted
+    // Pass 2: score every doc in ONE narrow codegen pass — per-lang
+    // log-prob maps as literal columns (add-1 smoothing; unseen gram →
+    // the smoothing floor), argmax via sort_array over (-score, lang)
+    // structs (score desc, lang asc tiebreak). No join, no window, no
+    // shuffle except the final orderBy.
+    val scoreCols = langs.map { l =>
+      val floor = math.log(1.0 / (tot(l) + 1.0))
+      val entries = prof.filter(_.getString(0) == l).flatMap { r =>
+        Seq(lit(r.getString(1)),
+          lit(math.log((r.getLong(2) + 1.0) / (tot(l) + 1.0))))
+      }
+      val lpMap = map(entries.toIndexedSeq: _*)
+      struct(
+        -aggregate(col("grams"), lit(0.0),
+          (acc, g) => acc + coalesce(element_at(lpMap, g), lit(floor)))
+          .as("negScore"),
+        lit(l).as("l"))
+    }
+    docs
+      .withColumn("grams", bigrams(col("text")))
       .select(col("doc_id"), col("lang").as("actual"),
-        col("plang").as("predicted"))
+        element_at(sort_array(array(scoreCols: _*)), 1)("l").as("predicted"))
       .orderBy("doc_id")
   }
 
