@@ -104,4 +104,34 @@ object Events {
       |     AND CAST(e.ts AS TIMESTAMP) >= s.signup_ts) IS NOT NULL
       |    AS converted
       |FROM s ORDER BY user_id""".stripMargin
+
+  /** Cohort retention: users grouped by first-seen day, distinct actives
+    * per (cohort, day offset). Two hash shuffles (first-seen agg + the
+    * cohort re-agg); the self-join is on user_id, the natural partition
+    * key of an events stream at scale.
+    */
+  def qEvtRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+    val first = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+    ev.join(first, "user_id")
+      .withColumn("day_offset",
+        datediff(col("d"), col("cohort_day")).cast("long"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val qEvtRetentionSql: String =
+    """WITH ev AS (SELECT user_id,
+      |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+      |f AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id),
+      |r AS (SELECT f.d0,
+      |    date_diff('day', CAST(f.d0 AS DATE), CAST(ev.d AS DATE)) AS off,
+      |    count(DISTINCT ev.user_id) AS n_users
+      |  FROM ev JOIN f ON ev.user_id = f.user_id
+      |  GROUP BY f.d0, off)
+      |SELECT CAST(d0 AS TIMESTAMP) AS cohort_day, off AS day_offset,
+      |  n_users
+      |FROM r ORDER BY cohort_day, day_offset""".stripMargin
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second wave of training-data-pipeline operators (SURVEY.md §2.10b):
+  * shingle-level (n-gram) Jaccard near-dup, random-hyperplane LSH
+  * bucketing for cosine ANN, and embedding normalization/quantization.
+  *
+  * Scale notes: all three follow the sketch-then-bucket discipline — the
+  * only joins are on shingle/bucket keys, never raw-text or all-pairs
+  * cross joins, so each is one or two hash shuffles at corpus scale.
+  */
+object PipelineExtra {
+
+  // ───────────────────── n-gram (shingle) Jaccard dedup ─────────────────
+
+  /** Near-dup by 3-token-shingle Jaccard over the shared doc_id%10 sample
+    * (complements q_dedup_near's token-SET Jaccard: shingles see word
+    * order, so reordered near-identical docs score lower). Top-20 pairs.
+    */
+  def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("arr")) - 2, lit(1))),
+        i => concat_ws(" ",
+          element_at(col("arr"), i),
+          element_at(col("arr"), i + 1),
+          element_at(col("arr"), i + 2)))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("d1", "sh")
+    val b = sh.toDF("d2", "sh")
+    a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("inter") /
+          (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("d1"), asc("d2"))
+      .limit(20)
+  }
+
+  val qDedupNgramSql: String =
+    """WITH sh AS (SELECT DISTINCT doc_id,
+      |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+      |        WHERE doc_id % 10 = 0),
+      |    unnest(generate_series(1, greatest(len(arr) - 2, 1))) t(i)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT d1, d2,
+      |  round(inter / (s1.n + s2.n - inter), 4) AS jaccard
+      |FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
+
+  // ─────────────────── random-hyperplane LSH for cosine ─────────────────
+
+  private val Planes = 8
+
+  /** Deterministic integer "random" hyperplane component for (plane p,
+    * 1-based dim d) — identical arithmetic on both engines, no RNG. */
+  private def planeW(p: Int, d: Column): Column =
+    ((lit(p) * 31 + d * 17) % 7 - 3).cast("double")
+
+  /** LSH-bucketed cosine near-dup: 8 sign-of-projection bits form the
+    * bucket key; exact cosine is computed only within buckets (the scale
+    * path for q_dedup_embed's sampled brute force — candidate count drops
+    * from O(n²) to O(Σ bucket²)). Top-20 pairs by cosine.
+    */
+  def qSimLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dims = sequence(lit(1), size(col("v")))
+    val bits = (0 until Planes).map { p =>
+      val dot = aggregate(
+        zip_with(col("v"), transform(dims, d => planeW(p, d)),
+          (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val sig = e.withColumn("bucket", concat(bits: _*))
+      .withColumn("n",
+        sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val a = sig.select(col("vec_id").as("v1"), col("v").as("va"),
+      col("n").as("na"), col("bucket"))
+    val b = sig.select(col("vec_id").as("v2"), col("v").as("vb"),
+      col("n").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), col("bucket"),
+        round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 4)
+          .as("cos"))
+      .orderBy(desc("cos"), asc("v1"), asc("v2"))
+      .limit(20)
+  }
+
+  val qSimLshSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |sig AS (SELECT vec_id,
+      |    string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+      |               ORDER BY p) AS bucket
+      |  FROM (SELECT vec_id, p,
+      |      sum(v[d] * (((p * 31 + d * 17) % 7) - 3)) AS dot
+      |    FROM e, unnest(generate_series(0, 7)) t1(p),
+      |      unnest(generate_series(1, len(v))) t2(d)
+      |    GROUP BY vec_id, p)
+      |  GROUP BY vec_id)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2, sa.bucket,
+      |  round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+      |    AS DOUBLE), 4) AS cos
+      |FROM embeddings a JOIN sig sa ON a.vec_id = sa.vec_id
+      |JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+      |JOIN embeddings b ON b.vec_id = sb.vec_id
+      |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin
+
+  // ─────────────── embedding normalization / quantization ───────────────
+
+  /** Unit-L2 normalization + int8 quantization of every embedding — the
+    * standard pre-index transform for an ANN store (4 bytes → 1 byte per
+    * dim). One narrow codegen pass, no shuffle except the final sort.
+    */
+  def qEmbedNorm(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("l2_norm",
+        sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("vec_id"), col("label"),
+        round(col("l2_norm"), 4).as("l2_norm"),
+        transform(col("v"),
+          x => round(x * 127 / col("l2_norm"), 0).cast("int")).as("quant"))
+      .orderBy("vec_id")
+
+  val qEmbedNormSql: String =
+    """SELECT vec_id, label, round(l2_norm, 4) AS l2_norm,
+      |  list_transform(v, x -> CAST(round(x * 127 / l2_norm, 0) AS INT))
+      |    AS quant
+      |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x * x), 'sum')) AS l2_norm
+      |  FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+}

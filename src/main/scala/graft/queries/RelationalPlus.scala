@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Relational breadth beyond the §2.1–2.7 core: pivot/unpivot reshaping,
+  * ordered string aggregation, deterministic mode, bitwise/struct scalar
+  * surfaces, and a salt-based skew-join pattern (SURVEY.md §2.14).
+  *
+  * Same conventions as [[Relational]]: total ORDER BY, round(_, 4) on
+  * doubles, explicit null ordering where nulls can appear.
+  */
+object RelationalPlus {
+
+  // ─────────────────────────── pivot / unpivot ──────────────────────────
+
+  /** Wide pivot: order totals by priority × status. Pivot values are
+    * pinned explicitly — at scale an unpinned pivot needs a distinct-scan
+    * planning pass over the full fact table.
+    */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 4))
+      .withColumnRenamed("F", "total_f")
+      .withColumnRenamed("O", "total_o")
+      .withColumnRenamed("P", "total_p")
+      .orderBy("o_orderpriority")
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 4) AS total_f,
+      |  round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 4) AS total_o,
+      |  round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 4) AS total_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Long unpivot (melt): part's numeric measures to (key, metric, val)
+    * rows via the native unpivot operator (single narrow pass; the
+    * UNION-ALL equivalent re-scans the table per measure).
+    */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "val")
+      .withColumn("val", round(col("val"), 4))
+      .orderBy("p_partkey", "metric")
+
+  val qUnpivotSql: String =
+    """SELECT p_partkey, metric, round(val, 4) AS val FROM (
+      |  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+      |) ORDER BY p_partkey, metric""".stripMargin
+
+  // ──────────────────── ordered string agg / mode ───────────────────────
+
+  /** listagg/string_agg with deterministic ordering: supplier roster per
+    * nation. sort_array(collect_list(...)) gives an engine-portable total
+    * order regardless of shuffle arrival order.
+    */
+  def qAggListagg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        concat_ws(",", sort_array(collect_list("s_name"))).as("suppliers"),
+        count(lit(1)).as("n_suppliers"))
+      .orderBy("n_name")
+
+  val qAggListaggSql: String =
+    """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+      |  count(*) AS n_suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Deterministic per-group mode: most frequent brand per part type,
+    * ties broken by brand asc. Built-in mode() has engine-defined ties, so
+    * both sides use the count + row_number formulation.
+    */
+  def qAggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = t(spark, sfDir, "part")
+      .groupBy("p_type", "p_brand").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("p_type").orderBy(desc("c"), asc("p_brand"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_type"), col("p_brand").as("mode_brand"),
+        col("c").as("n"))
+      .orderBy("p_type")
+  }
+
+  val qAggModeSql: String =
+    """SELECT p_type, p_brand AS mode_brand, c AS n FROM (
+      |  SELECT p_type, p_brand, count(*) AS c,
+      |    row_number() OVER (PARTITION BY p_type
+      |                       ORDER BY count(*) DESC, p_brand) AS rn
+      |  FROM part GROUP BY p_type, p_brand
+      |) WHERE rn = 1 ORDER BY p_type""".stripMargin
+
+  // ─────────────────────── bitwise / struct scalars ─────────────────────
+
+  /** Bitwise surface: AND/OR/XOR/shifts/popcount on integer keys.
+    * DuckDB's `^` is exponentiation, so the oracle uses xor(). */
+  def qFnBitwise(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(lit(255L))).as("k_and"),
+        (col("o_orderkey").bitwiseOR(col("o_custkey"))).as("k_or"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("k_xor"),
+        shiftleft(col("o_orderkey"), 3).as("k_shl"),
+        shiftright(col("o_orderkey"), 2).as("k_shr"),
+        bit_count(col("o_orderkey")).cast("int").as("k_pop"))
+      .orderBy("o_orderkey")
+
+  val qFnBitwiseSql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS k_and,
+      |  o_orderkey | o_custkey AS k_or,
+      |  xor(o_orderkey, o_custkey) AS k_xor,
+      |  o_orderkey << 3 AS k_shl,
+      |  o_orderkey >> 2 AS k_shr,
+      |  CAST(bit_count(o_orderkey) AS INT) AS k_pop
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Struct build + field access + struct-valued comparison ordering:
+    * top-50 orders by (totalprice desc, key asc) selected via a struct
+    * sort key, fields projected back out.
+    */
+  def qFnStruct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .withColumn("sk",
+        struct((-col("o_totalprice")).as("np"), col("o_orderkey").as("k")))
+      .orderBy("sk")
+      .limit(50)
+      .select(col("o_orderkey"), col("sk.k").as("sk_key"),
+        round(-col("sk.np"), 4).as("price"))
+      .orderBy(desc("price"), asc("o_orderkey"))
+
+  val qFnStructSql: String =
+    """SELECT o_orderkey, sk.k AS sk_key, round(-sk.np, 4) AS price FROM (
+      |  SELECT o_orderkey,
+      |    {'np': -o_totalprice, 'k': o_orderkey} AS sk
+      |  FROM orders ORDER BY sk LIMIT 50
+      |) ORDER BY price DESC, o_orderkey""".stripMargin
+
+  // ───────────────────────── skew-salted join ───────────────────────────
+
+  /** Salt-based skew join: the dim side is exploded into SALT replicas and
+    * the fact side picks a deterministic salt, so one hot key spreads over
+    * SALT reducers instead of one. The result is identical to the plain
+    * join — which is exactly what the oracle checks.
+    */
+  private val SALT = 8
+
+  def qJoinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .withColumn("salt", (col("l_linenumber") % SALT).cast("int"))
+    val od = t(spark, sfDir, "orders")
+      .withColumn("salt", explode(sequence(lit(0), lit(SALT - 1))))
+    li.join(od,
+        li("l_orderkey") === od("o_orderkey") && li("salt") === od("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qJoinSaltedSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+}

@@ -62,4 +62,41 @@ object Sources {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
       .orderBy("event_type")
   }
+
+  /** Bucketed sink + shuffle-free co-located join: lineitem and orders
+    * written bucketed+sorted on the join key (8 buckets), then sort-merge
+    * joined — the scan's bucketing satisfies the join's distribution so
+    * the plan carries NO Exchange on either side (SourcesSpec asserts
+    * this). This is the pre-shuffle pattern that turns every later join
+    * on the key into a map-side join at warehouse scale.
+    */
+  def qSinkBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = bucketedJoin(spark, sfDir)
+    joined
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_extendedprice"), 4).as("gross"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The bucketed join itself, exposed so the spec can assert its plan is
+    * Exchange-free below the join. */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_bucket_")
+    Seq("graft_li_b", "graft_od_b").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+    Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/li").saveAsTable("graft_li_b")
+    Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/od").saveAsTable("graft_od_b")
+    // merge hint: broadcast would bypass the bucketing we're exercising
+    spark.table("graft_li_b").hint("merge")
+      .join(spark.table("graft_od_b"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
 }

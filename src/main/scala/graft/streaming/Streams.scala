@@ -158,4 +158,56 @@ object Streams {
         round(max("value_sum"), 4).as("value_sum"))
       .orderBy("user_id")
     }
+
+  /** Stream-static join: the event stream enriched per micro-batch against
+    * a static parquet dim (customer) — no state store, the static side is
+    * (re)broadcast per batch, which is exactly the cluster-scale shape.
+    * Complete-mode aggregation keeps the memory sink deterministic.
+    */
+  def sStreamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
+    val cust = graft.Tables.t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = newStream(spark)
+    val q = stream.toDF()
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .writeStream.format("memory").queryName("s_stream_join")
+      .outputMode("complete").start()
+    try {
+      stream.addData(eventRows(spark, sfDir).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("s_stream_join")
+      .orderBy("c_mktsegment", "event_type")
+    }
+
+  /** Native streaming session windows: session_window(ts, 30 min) per
+    * user with watermark-driven state eviction; the sentinel closes every
+    * open session so append mode emits them all.
+    */
+  def sStreamSession(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
+    val stream = newStream(spark)
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("user_id"), col("n_events"))
+      .writeStream.format("memory").queryName("s_stream_session")
+      .outputMode("append").start()
+    try {
+      stream.addData(eventRows(spark, sfDir).toSeq)
+      q.processAllAvailable()
+      stream.addData(Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("s_stream_session")
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+    }
 }

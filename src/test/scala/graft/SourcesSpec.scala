@@ -36,4 +36,22 @@ class SourcesSpec extends SparkSpecBase {
       .orderBy("event_type")
     assert(rt.collect().toSeq == direct.collect().toSeq)
   }
+
+  test("bucketed join is Exchange-free and matches the plain join") {
+    val joined = sources.Sources.bucketedJoin(spark, sf)
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"bucketed join still shuffles:\n$physical")
+    val bucketed = sources.Sources.qSinkBucketed(spark, sf).collect().toSeq
+    val plain = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+      .join(Tables.t(spark, sf, "orders")
+        .select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_extendedprice"), 4).as("gross"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(bucketed == plain)
+  }
 }

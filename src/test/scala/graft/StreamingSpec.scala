@@ -39,4 +39,26 @@ class StreamingSpec extends SparkSpecBase {
     val diff = state.except(batch).count() + batch.except(state).count()
     assert(diff == 0)
   }
+
+  test("stream-static join matches the batch join aggregates") {
+    val streamed = streaming.Streams.sStreamJoin(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .join(Tables.t(spark, sf, "customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+    val diff = streamed.except(batch).count() + batch.except(streamed).count()
+    assert(diff == 0)
+  }
+
+  test("streaming session windows match batch sessionization counts") {
+    val streamed = streaming.Streams.sStreamSession(spark, sf)
+    // batch analog: 30-min-gap sessionization per user (q_evt_session)
+    val batch = queries.Events.qEvtSession(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+    val diff = streamed.except(batch).count() + batch.except(streamed).count()
+    assert(diff == 0)
+  }
 }
