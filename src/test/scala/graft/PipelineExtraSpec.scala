@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the second-wave pipeline + relational-breadth operators
+  * that the DuckDB oracle can't express (invariants, not values).
+  */
+class PipelineExtraSpec extends SparkSpecBase {
+
+  test("embed_norm: quantized components bounded, norms positive, total") {
+    val df = queries.PipelineExtra.qEmbedNorm(spark, sf)
+    assert(df.count() == Tables.t(spark, sf, "embeddings").count())
+    assert(df.filter(col("l2_norm") <= 0).count() == 0)
+    val outOfRange = df.select(explode(col("quant")).as("q"))
+      .filter(col("q") > 127 || col("q") < -127)
+    assert(outOfRange.count() == 0)
+  }
+
+  test("LSH pairs are bucket-consistent and cosine-bounded") {
+    val df = queries.PipelineExtra.qSimLsh(spark, sf).collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      val cos = r.getDouble(r.fieldIndex("cos"))
+      assert(cos >= -1.0001 && cos <= 1.0001)
+      assert(r.getLong(r.fieldIndex("v1")) < r.getLong(r.fieldIndex("v2")))
+    }
+    val coss = df.map(r => r.getDouble(r.fieldIndex("cos")))
+    assert(coss.sameElements(coss.sortBy(-_)), "not sorted by cos desc")
+  }
+
+  test("ngram jaccard within (0, 1], ordered pairs") {
+    val rows = queries.PipelineExtra.qDedupNgram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getLong(r.fieldIndex("d1")) < r.getLong(r.fieldIndex("d2")))
+    }
+  }
+
+  test("salted join equals the plain join") {
+    val salted = queries.RelationalPlus.qJoinSalted(spark, sf).collect().toSeq
+    val plain = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("unpivot doubles the row count; pivot keeps one row per priority") {
+    val parts = Tables.t(spark, sf, "part").count()
+    assert(queries.RelationalPlus.qUnpivot(spark, sf).count() == 2 * parts)
+    assert(queries.RelationalPlus.qPivot(spark, sf).count() == 5)
+  }
+
+  test("retention: offsets non-negative, day-0 actives equal cohort size") {
+    val ret = queries.Events.qEvtRetention(spark, sf)
+    assert(ret.filter(col("day_offset") < 0).count() == 0)
+    // every user appears in their cohort's day-0 row
+    val day0 = ret.filter(col("day_offset") === 0)
+      .agg(sum("n_users")).head.getLong(0)
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(day0 == users)
+  }
+}
