@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{Fnv1a64, TokenCount}
+import graft.functions.{ArrayDot, Fnv1a64, TokenCount}
 
 /** Rewrites `size(split(s, ' ', -1))` → [[TokenCount]] — a byte scan
   * instead of array materialization. Only fires under the non-legacy
@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fnv1a64Descriptor)
     ext.injectFunction(GraftExtensions.tokenCountDescriptor)
+    ext.injectFunction(GraftExtensions.arrayDotDescriptor)
     ext.injectOptimizerRule(_ => OptimizeTokenCount)
   }
 }
@@ -57,11 +58,16 @@ object GraftExtensions {
       "token_count(str) - number of single-space-separated tokens",
       children => TokenCount(children.head))
 
+  val arrayDotDescriptor =
+    descriptor("array_dot",
+      "array_dot(a, b) - dot product of two double arrays",
+      children => ArrayDot(children.head, children(1)))
+
   /** Idempotently install the functions + rule on a live session (covers
     * harness-built sessions where `spark.sql.extensions` wasn't set). */
   def install(spark: SparkSession): Unit = {
     val registry = org.apache.spark.sql.graft.Shim.functionRegistry(spark)
-    Seq(fnv1a64Descriptor, tokenCountDescriptor).foreach {
+    Seq(fnv1a64Descriptor, tokenCountDescriptor, arrayDotDescriptor).foreach {
       case (ident, info, builder) =>
         registry.registerFunction(ident, info, builder)
     }

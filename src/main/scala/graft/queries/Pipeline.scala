@@ -75,12 +75,11 @@ object Pipeline {
       .withColumn("e", col("embedding").cast("array<double>"))
     val q = emb.filter(col("vec_id") === 0)
       .select(col("e").as("qe"))
-    val dot = expr("aggregate(zip_with(e, qe, (x, y) -> x * y), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    val na = expr("sqrt(aggregate(e, CAST(0.0 AS DOUBLE), " +
-      "(acc, v) -> acc + v * v))")
-    val nb = expr("sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), " +
-      "(acc, v) -> acc + v * v))")
+    // native codegen'd kernel (same left-to-right summation as the
+    // aggregate/zip_with HOF formulation — bit-identical results)
+    val dot = graft.functions.VectorOps.dot(col("e"), col("qe"))
+    val na = graft.functions.VectorOps.l2norm(col("e"))
+    val nb = graft.functions.VectorOps.l2norm(col("qe"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(dot / (na * nb), 4).as("cos"))

@@ -80,23 +80,20 @@ object PipelineExtra {
         transform(col("embedding"), x => x.cast("double")).as("v"))
     val dims = sequence(lit(1), size(col("v")))
     val bits = (0 until Planes).map { p =>
-      val dot = aggregate(
-        zip_with(col("v"), transform(dims, d => planeW(p, d)),
-          (x, w) => x * w),
-        lit(0.0), (a, x) => a + x)
+      val dot = graft.functions.VectorOps.dot(
+        col("v"), transform(dims, d => planeW(p, d)))
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
     val sig = e.withColumn("bucket", concat(bits: _*))
-      .withColumn("n",
-        sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("n", graft.functions.VectorOps.l2norm(col("v")))
     val a = sig.select(col("vec_id").as("v1"), col("v").as("va"),
       col("n").as("na"), col("bucket"))
     val b = sig.select(col("vec_id").as("v2"), col("v").as("vb"),
       col("n").as("nb"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"), col("bucket"),
-        round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 4)
+        round(graft.functions.VectorOps.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 4)
           .as("cos"))
       .orderBy(desc("cos"), asc("v1"), asc("v2"))
       .limit(20)
@@ -132,8 +129,7 @@ object PipelineExtra {
     Tables.t(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("l2_norm",
-        sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("l2_norm", graft.functions.VectorOps.l2norm(col("v")))
       .select(col("vec_id"), col("label"),
         round(col("l2_norm"), 4).as("l2_norm"),
         transform(col("v"),

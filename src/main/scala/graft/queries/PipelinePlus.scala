@@ -135,13 +135,13 @@ object PipelinePlus {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     val withNorm = e.withColumn("n",
-      sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      graft.functions.VectorOps.l2norm(col("v")))
     val a = withNorm.toDF("v1", "va", "na")
     val b = withNorm.toDF("v2", "vb", "nb")
     a.join(b, col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
-        round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")), 4)
+        round(graft.functions.VectorOps.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 4)
           .as("cos"))
       .orderBy(desc("cos"), asc("v1"), asc("v2"))
       .limit(20)
@@ -176,13 +176,10 @@ object PipelinePlus {
       .groupBy("clabel")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cvec"))
-    def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column) = {
-      val dot = aggregate(zip_with(va, vb, (x, y) => x * y),
-        lit(0.0), (a, x) => a + x)
-      val na = sqrt(aggregate(va, lit(0.0), (a, x) => a + x * x))
-      val nb = sqrt(aggregate(vb, lit(0.0), (a, x) => a + x * x))
-      dot / (na * nb)
-    }
+    def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column) =
+      graft.functions.VectorOps.dot(va, vb) /
+        (graft.functions.VectorOps.l2norm(va) *
+          graft.functions.VectorOps.l2norm(vb))
     // assign every vector (and thus the query) to its best cell
     val wBest = Window.partitionBy("vec_id")
       .orderBy(desc("cell_cos"), asc("clabel"))

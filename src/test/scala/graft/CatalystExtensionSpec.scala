@@ -34,6 +34,27 @@ class CatalystExtensionSpec extends SparkSpecBase {
       "hash join".getBytes(StandardCharsets.UTF_8)))
   }
 
+  test("array_dot equals the aggregate/zip_with HOF bit-for-bit") {
+    val emb = Tables.t(spark, sf, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val bad = emb.select(
+      functions.VectorOps.dot(col("v"), col("v")).as("native"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(bad.count() == 0)
+  }
+
+  test("array_dot SQL registration and null/ragged behavior") {
+    val r = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)), " +
+        "array_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)), " +
+        "array_dot(array(1.0d, 2.0d, 9.0d), array(5.0d))").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1))
+    assert(r.getDouble(2) == 5.0) // shorter length wins, no throw
+  }
+
   test("OptimizeTokenCount rewrites size(split(s, ' ')) in the plan") {
     val df = Tables.t(spark, sf, "documents")
       .select(size(split(col("text"), " ")).as("n"))
