@@ -134,4 +134,28 @@ object Events {
       |SELECT CAST(d0 AS TIMESTAMP) AS cohort_day, off AS day_offset,
       |  n_users
       |FROM r ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Statistical outliers: z-score of value against the per-event-type
+    * mean/stddev, top-20 by |z|. One partial+final agg to build the tiny
+    * per-type stats dim (broadcast back), one narrow scoring pass.
+    */
+  def qEvtAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val stats = ev.groupBy(col("event_type").as("et"))
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+    ev.join(broadcast(stats), col("event_type") === col("et"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+      .orderBy(abs(col("z")).desc, col("event_id").asc)
+      .limit(20)
+  }
+
+  val qEvtAnomalySql: String =
+    """WITH s AS (SELECT event_type AS et, avg(value) AS mu,
+      |    stddev_samp(value) AS sigma FROM events GROUP BY event_type)
+      |SELECT event_id, event_type, value,
+      |  round((value - mu) / sigma, 4) AS z
+      |FROM events JOIN s ON event_type = et
+      |ORDER BY abs(round((value - mu) / sigma, 4)) DESC, event_id
+      |LIMIT 20""".stripMargin
 }

@@ -173,4 +173,93 @@ object Search {
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** BM25-ranked conjunctive-ish query (k1=1.2, b=0.75) over the same
+    * terms as q_search_and — the standard upgrade over raw TF-IDF: term
+    * saturation (k1) + doc-length normalization (b). All inputs are
+    * broadcast-sized stats; the per-doc score is one narrow expression.
+    * Formula association mirrors the oracle SQL exactly so the doubles
+    * agree at round(4).
+    */
+  def qSearchBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val dl = Tables.tokens(spark, sfDir)
+      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(avg(col("dl").cast("double")).as("avgdl"))
+    val scored = tf(spark, sfDir)
+      .filter(col("term").isin("spark", "join"))
+      .join(broadcast(df(spark, sfDir)), "term")
+      .crossJoin(broadcast(nDocs(spark, sfDir)))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s",
+        // commutes literal factors to Column-first form; IEEE * and +
+        // are commutative so this is bit-equal to the oracle's
+        // `tf + 1.2 * (0.25 + 0.75 * dl / avgdl)` association
+        col("idf") * ((col("tf") * 2.2) /
+          (col("tf") + (col("dl") * 0.75 / col("avgdl") + 0.25) * 1.2)))
+    scored.groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"), round(sum("s"), 4).as("score"))
+      .filter(col("nt") === 2)
+      .select("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val qSearchBm25Sql: String =
+    s"""WITH tok AS ($tokSql),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+       |       GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |ad AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+       |scored AS (SELECT tf.doc_id, tf.term,
+       |    ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |      ((tf.tf * 2.2) /
+       |       (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |  JOIN dl USING (doc_id) CROSS JOIN ad
+       |  WHERE tf.term IN ('spark', 'join'))
+       |SELECT doc_id, round(sum(s), 4) AS score FROM scored
+       |GROUP BY doc_id HAVING count(DISTINCT term) = 2
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Document-document similarity: cosine over TF-IDF term vectors,
+    * top-20 pairs on the shared doc_id%10 sample. The join is on term
+    * (posting co-occurrence), never doc×doc — the sparse-vector
+    * formulation that survives corpus scale.
+    */
+  def qDocSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = tfidfRaw(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("term"), col("score"))
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("score") * col("score"))).as("nrm"))
+    val a = w.toDF("d1", "term", "s1")
+    val b = w.toDF("d2", "term", "s2")
+    a.join(b, Seq("term")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(sum(col("s1") * col("s2")).as("dot"))
+      .join(norms.toDF("d1", "n1"), "d1")
+      .join(norms.toDF("d2", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("dot") / (col("n1") * col("n2")), 4).as("cos"))
+      .orderBy(desc("cos"), asc("d1"), asc("d2"))
+      .limit(20)
+  }
+
+  val qDocSimSql: String =
+    s"""$tfidfCte,
+       |w AS (SELECT doc_id, term, score FROM scores WHERE doc_id % 10 = 0),
+       |nrm AS (SELECT doc_id, sqrt(sum(score * score)) AS nrm FROM w
+       |        GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    sum(a.score * b.score) AS dot
+       |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT d1, d2, round(dot / (x.nrm * y.nrm), 4) AS cos
+       |FROM pairs JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
+       |ORDER BY cos DESC, d1, d2 LIMIT 20""".stripMargin
 }
