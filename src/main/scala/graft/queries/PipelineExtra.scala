@@ -145,4 +145,109 @@ object PipelineExtra {
       |      x -> x * x), 'sum')) AS l2_norm
       |  FROM embeddings)
       |ORDER BY vec_id""".stripMargin
+
+  // ─────────────── deterministic train/val/test split ───────────────
+
+  /** Content-hash split into train/val/test (80/10/10). Hashing CONTENT
+    * (not doc_id) keeps exact duplicates in the same split — the property
+    * that stops train/test leakage — and is reproducible on any engine /
+    * any partitioning. Same md5→int trick as the SimHash sketch.
+    */
+  def qSplitTrain(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("bucket",
+        (conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long") % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "lang", "bucket", "split")
+      .orderBy("doc_id")
+
+  val qSplitTrainSql: String =
+    """SELECT doc_id, lang, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS INT)
+      |      AS bucket
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ─────────────── cross-source contamination check ───────────────
+
+  /** Benchmark-contamination scan: winnowing fingerprints (min-md5 over
+    * 3-token shingles) colliding ACROSS sources — the "did my training
+    * source copy my eval source" join. Counts per source pair; the join
+    * key is the fingerprint, so cost is one hash shuffle of |docs| rows.
+    */
+  def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), explode(transform(
+        sequence(lit(1), greatest(size(col("arr")) - 2, lit(1))),
+        i => concat_ws(" ",
+          element_at(col("arr"), i),
+          element_at(col("arr"), i + 1),
+          element_at(col("arr"), i + 2)))).as("sh"))
+      .groupBy("doc_id", "source")
+      .agg(min(md5(col("sh"))).as("fp"))
+    val a = fp.toDF("d1", "src1", "fp")
+    val b = fp.toDF("d2", "src2", "fp")
+    a.join(b, Seq("fp"))
+      .filter(col("src1") < col("src2"))
+      .groupBy("src1", "src2")
+      .agg(count(lit(1)).as("n_collisions"),
+        countDistinct("d1").as("n_docs_1"),
+        countDistinct("d2").as("n_docs_2"))
+      .orderBy("src1", "src2")
+  }
+
+  val qContaminationSql: String =
+    """WITH fp AS (SELECT doc_id, source, min(md5(sh)) AS fp
+      |  FROM (SELECT doc_id, source,
+      |      arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
+      |    FROM (SELECT doc_id, source, string_split(text, ' ') AS arr
+      |          FROM documents),
+      |      unnest(generate_series(1, greatest(len(arr) - 2, 1))) t(i))
+      |  GROUP BY doc_id, source)
+      |SELECT a.source AS src1, b.source AS src2,
+      |  count(*) AS n_collisions,
+      |  count(DISTINCT a.doc_id) AS n_docs_1,
+      |  count(DISTINCT b.doc_id) AS n_docs_2
+      |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin
+
+  // ─────────────── token-budget shard packing ───────────────
+
+  /** Pack documents into training shards of ≈2000 tokens by running
+    * token count (shard boundary when the budget fills). The global
+    * window is the spec here; at corpus scale the same logic runs per
+    * range-partition (shard ids offset by partition) — noted rather than
+    * simulated because the testdata is one partition anyway.
+    */
+  def qShardPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum("ntok").over(w))
+      .select(col("doc_id"), col("ntok"),
+        ((col("cum") - col("ntok")) / 2000L).cast("long").as("shard"))
+      .orderBy("doc_id")
+  }
+
+  val qShardPackSql: String =
+    """SELECT doc_id, ntok,
+      |  CAST(floor((cum - ntok) / 2000) AS BIGINT) AS shard
+      |FROM (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+      |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |            CURRENT ROW) AS cum
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -177,4 +177,19 @@ object RelationalPlus {
       |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Approximate percentiles (t-digest style sketch) next to the exact
+    * values — the single-pass mergeable-sketch path a 100 TB percentile
+    * actually takes. oracle=unit: sketch internals are engine-specific;
+    * PipelineExtraSpec asserts the approximation error bound instead.
+    */
+  def qAggApproxPct(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50_approx"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        round(expr("approx_percentile(value, 0.9, 1000)"), 4).as("p90_approx"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_exact"))
+      .orderBy("event_type")
 }

@@ -210,4 +210,36 @@ object Streams {
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
       .orderBy("user_id")
     }
+
+  /** foreachBatch sink: each micro-batch appended to a parquet dataset —
+    * the production pattern for arbitrary/transactional sinks. Three
+    * batches in, re-read the dataset, aggregate; totals must equal the
+    * fed rows exactly (no loss, no duplication across batch boundaries).
+    */
+  def sStreamForeach(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_febatch_").toString
+    val rows = eventRows(spark, sfDir)
+    val batches = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val stream = newStream(spark)
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(dir)
+      }
+      .start()
+    try {
+      batches.foreach { bs =>
+        stream.addData(bs.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"),
+        countDistinct("batch_id").as("n_batches"))
+      .orderBy("event_type")
+    }
 }

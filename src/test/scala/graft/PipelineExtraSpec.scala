@@ -57,6 +57,41 @@ class PipelineExtraSpec extends SparkSpecBase {
     assert(queries.RelationalPlus.qPivot(spark, sf).count() == 5)
   }
 
+  test("approx percentiles land within 5% of exact") {
+    val rows = queries.RelationalPlus.qAggApproxPct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(("p50_approx", "p50_exact"), ("p90_approx", "p90_exact"))
+        .foreach { case (a, e) =>
+          val approx = r.getDouble(r.fieldIndex(a))
+          val exact = r.getDouble(r.fieldIndex(e))
+          assert(math.abs(approx - exact) <= math.abs(exact) * 0.05 + 1e-9,
+            s"$a=$approx vs $e=$exact")
+        }
+    }
+  }
+
+  test("split: deterministic, total, dup texts share a split") {
+    val s1 = queries.PipelineExtra.qSplitTrain(spark, sf)
+    assert(s1.count() == Tables.t(spark, sf, "documents").count())
+    // same text ⇒ same split (content-hash property, the leakage guard)
+    val perText = Tables.t(spark, sf, "documents")
+      .join(s1, "doc_id")
+      .groupBy(md5(col("text"))).agg(countDistinct("split").as("ns"))
+    assert(perText.filter(col("ns") > 1).count() == 0)
+  }
+
+  test("shard packing: shard id is exactly floor(start offset / budget)") {
+    val packed = queries.PipelineExtra.qShardPack(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    var cum = 0L
+    packed.foreach { r =>
+      assert(r.getLong(2) == cum / 2000,
+        s"doc ${r.getLong(0)}: shard ${r.getLong(2)} != ${cum / 2000}")
+      cum += r.getLong(1)
+    }
+  }
+
   test("retention: offsets non-negative, day-0 actives equal cohort size") {
     val ret = queries.Events.qEvtRetention(spark, sf)
     assert(ret.filter(col("day_offset") < 0).count() == 0)

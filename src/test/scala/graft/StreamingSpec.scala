@@ -51,6 +51,19 @@ class StreamingSpec extends SparkSpecBase {
     assert(diff == 0)
   }
 
+  test("foreachBatch sink: no loss or duplication across batches") {
+    val fe = streaming.Streams.sStreamForeach(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+    val joined = fe.join(batch.withColumnRenamed("n", "n_b")
+      .withColumnRenamed("total", "total_b"), "event_type")
+    assert(joined.filter(col("n") =!= col("n_b") ||
+      col("total") =!= col("total_b")).count() == 0)
+    assert(fe.agg(max("n_batches")).head.getLong(0) >= 2,
+      "expected multiple micro-batches to land in the sink")
+  }
+
   test("streaming session windows match batch sessionization counts") {
     val streamed = streaming.Streams.sStreamSession(spark, sf)
     // batch analog: 30-min-gap sessionization per user (q_evt_session)
