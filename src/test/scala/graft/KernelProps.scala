@@ -49,4 +49,25 @@ object KernelProps extends Properties("graft.kernels") {
       j >= 0.0 && j <= 1.0 && jaccard(a, a) == 1.0 &&
         j == jaccard(b, a)
     }
+
+  private val vec: Gen[Array[Double]] =
+    Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0)).map(_.toArray)
+
+  private def arr(xs: Array[Double]) =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(xs)
+
+  property("ArrayDot matches sequential fold bit-for-bit") =
+    Prop.forAll(vec, vec) { (a, b) =>
+      functions.ArrayDot.dot(arr(a), arr(b)) ==
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    }
+
+  property("ArrayDot symmetric, Cauchy–Schwarz holds") =
+    Prop.forAll(vec, vec) { (a, b) =>
+      val ab = functions.ArrayDot.dot(arr(a), arr(b))
+      val ba = functions.ArrayDot.dot(arr(b), arr(a))
+      val aa = functions.ArrayDot.dot(arr(a), arr(a))
+      val bb = functions.ArrayDot.dot(arr(b), arr(b))
+      ab == ba && ab * ab <= aa * bb * (1 + 1e-9)
+    }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the properties that make these plans
+  * survive a 100 TB scale-up (pushdown, pruning, broadcast, cache reuse)
+  * are asserted here so a refactor can't silently lose them
+  * (SURVEY.md §4.4).
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_scan_filter pushes the shipdate predicate to the parquet scan") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"no pushed filter:\n$p")
+  }
+
+  test("q_scan_project reads only the projected columns") {
+    val p = plan("q_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_comment"),
+      s"scan reads unprojected columns: $read")
+  }
+
+  test("q_join_broadcast compiles to broadcast joins, no sort-merge") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dim join fell back to sort-merge:\n$p")
+  }
+
+  test("q_join_multiway keeps the fact side shuffle-free into the joins") {
+    val p = plan("q_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast chain:\n$p")
+    // the only Exchanges allowed are for the final agg/sort, i.e. they
+    // appear ABOVE every join in the operator tree: no Exchange may have
+    // a join below it... cheap proxy: count Exchanges below the deepest
+    // join by checking the segment of the plan after the first join line
+    val lines = p.linesIterator.toSeq
+    val firstJoin = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val lastJoin = lines.lastIndexWhere(_.contains("BroadcastHashJoin"))
+    val betweenJoins = lines.slice(firstJoin, lastJoin)
+    assert(!betweenJoins.exists(l =>
+        l.contains("Exchange hashpartitioning")),
+      s"fact-side shuffle between joins:\n$p")
+  }
+
+  test("tokenized documents are persisted and reused across the family") {
+    val t = Tables.tokens(spark, sf)
+    assert(t.storageLevel.useMemory || t.storageLevel.useDisk,
+      "tokens projection is not persisted")
+    // same instance is returned on re-request (memoized per sfDir)
+    assert(Tables.tokens(spark, sf) eq t)
+  }
+
+  test("q_agg_basic aggregates partially before the shuffle") {
+    val p = plan("q_agg_basic")
+    // two-phase hash aggregation: partial_ function forms below the
+    // Exchange, final above — Spark prints partial aggs with `partial_`
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side partial aggregation:\n$p")
+  }
+}
