@@ -178,6 +178,81 @@ object RelationalPlus {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Conditional aggregation surface: count_if / bool_and / bool_or /
+    * filtered sum. The when()-based sum is null-skipping, identical to
+    * SQL's FILTER clause. */
+  def qAggCondagg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("count_if(o_totalprice > 100000)").as("n_big"),
+        expr("bool_and(o_orderstatus = 'F')").as("all_f"),
+        expr("bool_or(o_orderstatus = 'P')").as("any_p"),
+        round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), 4)
+          .as("open_total"))
+      .orderBy("o_orderpriority")
+
+  val qAggCondaggSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+      |  bool_and(o_orderstatus = 'F') AS all_f,
+      |  bool_or(o_orderstatus = 'P') AS any_p,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+      |    AS open_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** first_value / last_value / nth_value over the full partition frame:
+    * per supplier, the earliest / latest / second shipment's price
+    * (deterministic order keys throughout). */
+  def qWinFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, sfDir, "lineitem")
+      .select(col("l_suppkey"),
+        round(first("l_extendedprice").over(w), 4).as("first_price"),
+        round(last("l_extendedprice").over(w), 4).as("last_price"),
+        round(nth_value(col("l_extendedprice"), 2).over(w), 4)
+          .as("second_price"))
+      .distinct()
+      .orderBy("l_suppkey")
+  }
+
+  val qWinFirstLastSql: String =
+    """SELECT DISTINCT l_suppkey,
+      |  round(first_value(l_extendedprice) OVER w, 4) AS first_price,
+      |  round(last_value(l_extendedprice) OVER w, 4) AS last_price,
+      |  round(nth_value(l_extendedprice, 2) OVER w, 4) AS second_price
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** Correlated LATERAL join: top-2 suppliers by account balance per
+    * nation — the per-row-subquery shape (Catalyst decorrelates it into
+    * a join; DuckDB runs the lateral directly). */
+  def qJoinLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "nation").createOrReplaceTempView("nation")
+    t(spark, sfDir, "supplier").createOrReplaceTempView("supplier")
+    spark.sql(
+      """SELECT n_name, s_name, round(s_acctbal, 4) AS bal
+        |FROM nation,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier
+        |         WHERE s_nationkey = n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2)
+        |ORDER BY n_name, bal DESC, s_name""".stripMargin)
+  }
+
+  val qJoinLateralSql: String =
+    """SELECT n_name, s_name, round(s_acctbal, 4) AS bal
+      |FROM nation,
+      |LATERAL (SELECT s_name, s_acctbal FROM supplier
+      |         WHERE s_nationkey = n_nationkey
+      |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+      |ORDER BY n_name, bal DESC, s_name""".stripMargin
+
   /** Approximate percentiles (t-digest style sketch) next to the exact
     * values — the single-pass mergeable-sketch path a 100 TB percentile
     * actually takes. oracle=unit: sketch internals are engine-specific;
