@@ -420,4 +420,57 @@ object PipelinePlus {
       .toDF("doc_id", "features", "width", "height")
       .orderBy("doc_id")
   }
+
+  /** Multimodal "resize": bilinear-ish downsample of a decoded pixel
+    * array to a fixed 4-bucket grid (mean pool per bucket). The decode
+    * step is the deterministic stand-in (no codec libs in the container);
+    * the Spark-side shape — typed mapPartitions, fixed output schema, no
+    * shuffle until the final sort — is the real pattern.
+    */
+  def qMmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        // "pixels": the raw payload bytes; resize = mean-pool into 4
+        // equal buckets (last bucket absorbs the remainder)
+        val n = payload.length
+        val pooled = Array.tabulate(4) { b =>
+          val lo = b * n / 4
+          val hi = if (b == 3) n else (b + 1) * n / 4
+          if (hi <= lo) 0f
+          else {
+            var s = 0L
+            var i = lo
+            while (i < hi) { s += payload(i) & 0xff; i += 1 }
+            s.toFloat / (hi - lo)
+          }
+        }
+        (id, n, pooled)
+      })
+      .toDF("doc_id", "n_bytes", "pooled")
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal "frame sampling": treat the payload as a byte stream of
+    * 16-byte frames and keep every 4th frame's checksum — the video
+    * frame-sample shape (decode → stride-sample → per-frame feature).
+    */
+  def qMmFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val frameSize = 16
+        val nFrames = payload.length / frameSize
+        (0 until nFrames by 4).map { f =>
+          val frame = payload.slice(f * frameSize, (f + 1) * frameSize)
+          (id, f, graft.functions.Fnv1a64.hash(frame))
+        }
+      })
+      .toDF("doc_id", "frame_idx", "frame_hash")
+      .orderBy("doc_id", "frame_idx")
+  }
 }

@@ -85,6 +85,41 @@ class PipelinePlusSpec extends SparkSpecBase {
       .isInCollection(Seq("image", "audio", "video")))).count() == 0)
   }
 
+  test("mm resize: pooled buckets equal a driver-side reference") {
+    val rows = queries.PipelinePlus.qMmResize(spark, sf).collect()
+    val texts = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.take(20).foreach { r =>
+      val payload = texts(r.getLong(0)).getBytes("UTF-8")
+      val n = payload.length
+      assert(r.getInt(r.fieldIndex("n_bytes")) == n)
+      val pooled = r.getSeq[Float](r.fieldIndex("pooled"))
+      assert(pooled.length == 4)
+      val b0 = payload.slice(0, n / 4)
+      val ref0 = b0.map(_ & 0xff).sum.toFloat / b0.length
+      assert(math.abs(pooled.head - ref0) < 1e-5)
+    }
+  }
+
+  test("mm frames: every 4th 16-byte frame, hash-stable") {
+    val df = queries.PipelinePlus.qMmFrames(spark, sf)
+    val again = queries.PipelinePlus.qMmFrames(spark, sf)
+    assert(df.except(again).count() == 0 && again.except(df).count() == 0)
+    val counts = df.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    texts.take(20).foreach { r =>
+      val n = r.getString(1).getBytes("UTF-8").length
+      val expected = (0 until n / 16 by 4).size.toLong
+      assert(counts.getOrElse(r.getLong(0), 0L) == expected)
+    }
+    // frame indices are the sampled stride
+    assert(df.filter(col("frame_idx") % 4 =!= 0).count() == 0)
+  }
+
   test("mm decode: fixed-width features, deterministic, bounded") {
     val d = queries.PipelinePlus.qMmDecode(spark, sf)
     val rows = d.collect()
