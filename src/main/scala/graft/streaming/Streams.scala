@@ -242,4 +242,29 @@ object Streams {
         countDistinct("batch_id").as("n_batches"))
       .orderBy("event_type")
     }
+
+  /** File-source streaming: readStream over a parquet directory with
+    * Trigger.AvailableNow — the backfill-then-stop pattern for draining
+    * a warehouse directory through a streaming topology. maxFilesPerTrigger
+    * forces multiple micro-batches over the 3 part files.
+    */
+  def sStreamFile(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_filestream_").toString
+    val ev = graft.Tables.events(spark, sfDir)
+    ev.repartition(3).write.mode("overwrite").parquet(dir)
+    val q = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .writeStream.format("memory").queryName("s_stream_file")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    spark.table("s_stream_file").orderBy("event_type")
+    }
 }

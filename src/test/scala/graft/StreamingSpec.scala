@@ -51,6 +51,15 @@ class StreamingSpec extends SparkSpecBase {
     assert(diff == 0)
   }
 
+  test("file-source stream drains the directory and matches batch totals") {
+    val fs = streaming.Streams.sStreamFile(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+    val diff = fs.except(batch).count() + batch.except(fs).count()
+    assert(diff == 0)
+  }
+
   test("foreachBatch sink: no loss or duplication across batches") {
     val fe = streaming.Streams.sStreamForeach(spark, sf)
     val batch = Tables.events(spark, sf)
