@@ -17,10 +17,9 @@ object Golden {
       perm.map { i =>
         row.get(i) match {
           case null => "∅"
+          case b: Array[Byte] => b.map("%02x".format(_)).mkString
           case a: Seq[_] => a.mkString("[", ",", "]")
           case a: Array[_] => a.mkString("[", ",", "]")
-          case b: Array[Byte] @unchecked if b.isInstanceOf[Array[Byte]] =>
-            b.map("%02x".format(_)).mkString
           case v => v.toString
         }
       }.mkString("")

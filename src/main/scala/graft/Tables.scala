@@ -52,6 +52,31 @@ object Tables {
   def docTerms(spark: SparkSession, sfDir: String): DataFrame =
     tokens(spark, sfDir).distinct()
 
+  /** 3-token shingles of a corpus text column, shared by the fingerprint /
+    * n-gram-dedup / contamination family. Docs with fewer than 3 tokens
+    * yield the whole text as their single shingle — the oracle SQL mirrors
+    * the same CASE — so short docs can't hit out-of-bounds element_at
+    * (ANSI mode) or a null-propagating concat that diverges from DuckDB.
+    */
+  def shingles3(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val arr = split(text, " ")
+    when(size(arr) >= 3,
+      transform(sequence(lit(1), size(arr) - 2),
+        i => concat_ws(" ",
+          element_at(arr, i),
+          element_at(arr, i + 1),
+          element_at(arr, i + 2))))
+      .otherwise(array(text))
+  }
+
+  /** DuckDB rendering of [[shingles3]] — interpolate over a relation that
+    * exposes `text` and `arr` (= string_split(text, ' ')). */
+  val shingles3Sql: String =
+    """CASE WHEN len(arr) >= 3
+      |  THEN list_transform(generate_series(1, len(arr) - 2),
+      |    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+      |  ELSE [text] END""".stripMargin
+
   /** Register the standard tables as temp views for spark.sql queries.
     * Events is registered with the ts already normalized to µs timestamps.
     */

@@ -85,9 +85,12 @@ object Events {
       .select(col("user_id"), col("ts").as("p_ts"))
     signup
       .join(purchase, Seq("user_id"), "left")
-      .filter(col("p_ts").isNull || col("p_ts") >= col("signup_ts"))
+      // conditional min instead of a row filter: a user whose purchases
+      // all precede signup must still appear (with NULL), matching the
+      // oracle's correlated-subquery semantics
       .groupBy("user_id", "signup_ts")
-      .agg(min("p_ts").as("first_purchase_ts"))
+      .agg(min(when(col("p_ts") >= col("signup_ts"), col("p_ts")))
+        .as("first_purchase_ts"))
       .withColumn("converted", col("first_purchase_ts").isNotNull)
       .orderBy("user_id")
   }

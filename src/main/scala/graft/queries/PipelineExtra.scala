@@ -23,13 +23,8 @@ object PipelineExtra {
   def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables.t(spark, sfDir, "documents")
       .filter(col("doc_id") % 10 === 0)
-      .withColumn("arr", split(col("text"), " "))
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), greatest(size(col("arr")) - 2, lit(1))),
-        i => concat_ws(" ",
-          element_at(col("arr"), i),
-          element_at(col("arr"), i + 1),
-          element_at(col("arr"), i + 2)))).as("sh"))
+      .select(col("doc_id"),
+        explode(Tables.shingles3(col("text"))).as("sh"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("d1", "sh")
@@ -46,11 +41,10 @@ object PipelineExtra {
   }
 
   val qDedupNgramSql: String =
-    """WITH sh AS (SELECT DISTINCT doc_id,
-      |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-      |        WHERE doc_id % 10 = 0),
-      |    unnest(generate_series(1, greatest(len(arr) - 2, 1))) t(i)),
+    s"""WITH sh AS (SELECT DISTINCT doc_id, sh FROM
+      |  (SELECT doc_id, unnest(${Tables.shingles3Sql}) AS sh
+      |   FROM (SELECT doc_id, text, string_split(text, ' ') AS arr
+      |         FROM documents WHERE doc_id % 10 = 0))),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -184,13 +178,8 @@ object PipelineExtra {
     */
   def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
     val fp = Tables.t(spark, sfDir, "documents")
-      .withColumn("arr", split(col("text"), " "))
-      .select(col("doc_id"), col("source"), explode(transform(
-        sequence(lit(1), greatest(size(col("arr")) - 2, lit(1))),
-        i => concat_ws(" ",
-          element_at(col("arr"), i),
-          element_at(col("arr"), i + 1),
-          element_at(col("arr"), i + 2)))).as("sh"))
+      .select(col("doc_id"), col("source"),
+        explode(Tables.shingles3(col("text"))).as("sh"))
       .groupBy("doc_id", "source")
       .agg(min(md5(col("sh"))).as("fp"))
     val a = fp.toDF("d1", "src1", "fp")
@@ -205,12 +194,10 @@ object PipelineExtra {
   }
 
   val qContaminationSql: String =
-    """WITH fp AS (SELECT doc_id, source, min(md5(sh)) AS fp
-      |  FROM (SELECT doc_id, source,
-      |      arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
-      |    FROM (SELECT doc_id, source, string_split(text, ' ') AS arr
-      |          FROM documents),
-      |      unnest(generate_series(1, greatest(len(arr) - 2, 1))) t(i))
+    s"""WITH fp AS (SELECT doc_id, source, min(md5(sh)) AS fp
+      |  FROM (SELECT doc_id, source, unnest(${Tables.shingles3Sql}) AS sh
+      |    FROM (SELECT doc_id, source, text, string_split(text, ' ') AS arr
+      |          FROM documents))
       |  GROUP BY doc_id, source)
       |SELECT a.source AS src1, b.source AS src2,
       |  count(*) AS n_collisions,

@@ -294,25 +294,19 @@ object PipelinePlus {
     * a winnowing-style content signature that survives local edits. */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "documents")
-      .withColumn("arr", split(col("text"), " "))
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), greatest(size(col("arr")) - 2, lit(1))),
-        i => concat_ws(" ",
-          element_at(col("arr"), i),
-          element_at(col("arr"), i + 1),
-          element_at(col("arr"), i + 2)))).as("sh"))
+      .select(col("doc_id"),
+        explode(Tables.shingles3(col("text"))).as("sh"))
       .groupBy("doc_id")
       .agg(min(md5(col("sh"))).as("fingerprint"),
         countDistinct("sh").as("n_shingles"))
       .orderBy("doc_id")
 
   val qFingerprintSql: String =
-    """SELECT doc_id, min(md5(sh)) AS fingerprint,
+    s"""SELECT doc_id, min(md5(sh)) AS fingerprint,
       |  count(DISTINCT sh) AS n_shingles
-      |FROM (SELECT doc_id,
-      |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-      |    unnest(generate_series(1, greatest(len(arr) - 2, 1))) t(i))
+      |FROM (SELECT doc_id, unnest(${Tables.shingles3Sql}) AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS arr
+      |        FROM documents))
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Language ID by char-bigram naive-bayes, trained on the corpus's own

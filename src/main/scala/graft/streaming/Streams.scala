@@ -151,11 +151,13 @@ object Streams {
       stream.addData(b2.toSeq)
       q.processAllAvailable()
     } finally q.stop()
-    // Update mode appends one row per (user, batch); keep the final state.
+    // Update mode appends one row per (user, batch); keep the final
+    // state — the PAIR from the row with the highest n_events, not two
+    // independent maxes (value_sum can decrease if values are negative).
     spark.table("s_stream_stateful")
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"),
-        round(max("value_sum"), 4).as("value_sum"))
+        round(expr("max_by(value_sum, n_events)"), 4).as("value_sum"))
       .orderBy("user_id")
     }
 

@@ -57,6 +57,19 @@ class PipelineExtraSpec extends SparkSpecBase {
     assert(queries.RelationalPlus.qPivot(spark, sf).count() == 5)
   }
 
+  test("shingles3: short docs yield the whole text as one shingle") {
+    import org.apache.spark.sql.functions.explode
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b"), (2L, "only"), (3L, "x y z"), (4L, "p q r s")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), explode(Tables.shingles3(col("text"))).as("sh"))
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "a b"), (2L, "only"),
+      (3L, "x y z"),
+      (4L, "p q r"), (4L, "q r s")))
+  }
+
   test("approx percentiles land within 5% of exact") {
     val rows = queries.RelationalPlus.qAggApproxPct(spark, sf).collect()
     assert(rows.nonEmpty)
