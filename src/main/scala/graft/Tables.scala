@@ -58,8 +58,17 @@ object Tables {
     * the same CASE — so short docs can't hit out-of-bounds element_at
     * (ANSI mode) or a null-propagating concat that diverges from DuckDB.
     */
-  def shingles3(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val arr = split(text, " ")
+  def shingles3(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shingles3Arr(split(text, " "), text)
+
+  /** Variant taking a pre-bound token-array column. Callers on a hot path
+    * must `withColumn("arr", split(...))` first and pass that attribute:
+    * inlining the split here puts it inside the transform lambda, where
+    * it re-evaluates per shingle — O(len²) per doc (3× measured on the
+    * fingerprint family at sf0.1).
+    */
+  def shingles3Arr(arr: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(size(arr) >= 3,
       transform(sequence(lit(1), size(arr) - 2),
         i => concat_ws(" ",
@@ -67,7 +76,6 @@ object Tables {
           element_at(arr, i + 1),
           element_at(arr, i + 2))))
       .otherwise(array(text))
-  }
 
   /** DuckDB rendering of [[shingles3]] — interpolate over a relation that
     * exposes `text` and `arr` (= string_split(text, ' ')). */

@@ -23,8 +23,9 @@ object PipelineExtra {
   def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = Tables.t(spark, sfDir, "documents")
       .filter(col("doc_id") % 10 === 0)
+      .withColumn("arr", split(col("text"), " "))
       .select(col("doc_id"),
-        explode(Tables.shingles3(col("text"))).as("sh"))
+        explode(Tables.shingles3Arr(col("arr"), col("text"))).as("sh"))
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("d1", "sh")
@@ -178,8 +179,9 @@ object PipelineExtra {
     */
   def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
     val fp = Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
       .select(col("doc_id"), col("source"),
-        explode(Tables.shingles3(col("text"))).as("sh"))
+        explode(Tables.shingles3Arr(col("arr"), col("text"))).as("sh"))
       .groupBy("doc_id", "source")
       .agg(min(md5(col("sh"))).as("fp"))
     val a = fp.toDF("d1", "src1", "fp")

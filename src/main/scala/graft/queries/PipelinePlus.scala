@@ -294,8 +294,9 @@ object PipelinePlus {
     * a winnowing-style content signature that survives local edits. */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
       .select(col("doc_id"),
-        explode(Tables.shingles3(col("text"))).as("sh"))
+        explode(Tables.shingles3Arr(col("arr"), col("text"))).as("sh"))
       .groupBy("doc_id")
       .agg(min(md5(col("sh"))).as("fingerprint"),
         countDistinct("sh").as("n_shingles"))
