@@ -253,6 +253,27 @@ object RelationalPlus {
       |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
       |ORDER BY n_name, bal DESC, s_name""".stripMargin
 
+  /** Fixed-width histogram of order totals (20 × 25k buckets, clamped):
+    * the single-shuffle binned-aggregation shape dashboards are built
+    * on. Bucketing by arithmetic (not width_bucket) keeps the
+    * formulation engine-portable.
+    */
+  def qAggHist(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .withColumn("bucket",
+        least(greatest(floor(col("o_totalprice") / 25000.0), lit(0.0)),
+          lit(19.0)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("bucket")
+
+  val qAggHistSql: String =
+    """SELECT CAST(least(greatest(floor(o_totalprice / 25000.0), 0), 19)
+      |    AS INT) AS bucket,
+      |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+      |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Approximate percentiles (t-digest style sketch) next to the exact
     * values — the single-pass mergeable-sketch path a 100 TB percentile
     * actually takes. oracle=unit: sketch internals are engine-specific;
