@@ -13,4 +13,7 @@ object VectorOps {
     Shim.column(ArrayDot(Shim.expression(a), Shim.expression(b)))
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
 }

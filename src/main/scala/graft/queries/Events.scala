@@ -146,6 +146,10 @@ object Events {
     val ev = Tables.events(spark, sfDir)
     val stats = ev.groupBy(col("event_type").as("et"))
       .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+      // a constant-valued group has sigma = 0: Spark's x/0 is NULL but
+      // DuckDB's is NaN (which sorts FIRST under DESC) — exclude
+      // degenerate groups on both sides instead
+      .filter(col("sigma") > 0)
     ev.join(broadcast(stats), col("event_type") === col("et"))
       .select(col("event_id"), col("event_type"), col("value"),
         round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
@@ -154,8 +158,9 @@ object Events {
   }
 
   val qEvtAnomalySql: String =
-    """WITH s AS (SELECT event_type AS et, avg(value) AS mu,
+    """WITH s AS (SELECT * FROM (SELECT event_type AS et, avg(value) AS mu,
       |    stddev_samp(value) AS sigma FROM events GROUP BY event_type)
+      |  WHERE sigma > 0)
       |SELECT event_id, event_type, value,
       |  round((value - mu) / sigma, 4) AS z
       |FROM events JOIN s ON event_type = et

@@ -77,12 +77,11 @@ object Pipeline {
       .select(col("e").as("qe"))
     // native codegen'd kernel (same left-to-right summation as the
     // aggregate/zip_with HOF formulation — bit-identical results)
-    val dot = graft.functions.VectorOps.dot(col("e"), col("qe"))
-    val na = graft.functions.VectorOps.l2norm(col("e"))
-    val nb = graft.functions.VectorOps.l2norm(col("qe"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(dot / (na * nb), 4).as("cos"))
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("e"), col("qe")), 4)
+          .as("cos"))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(10)
   }

@@ -177,9 +177,7 @@ object PipelinePlus {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cvec"))
     def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column) =
-      graft.functions.VectorOps.dot(va, vb) /
-        (graft.functions.VectorOps.l2norm(va) *
-          graft.functions.VectorOps.l2norm(vb))
+      graft.functions.VectorOps.cosine(va, vb)
     // assign every vector (and thus the query) to its best cell
     val wBest = Window.partitionBy("vec_id")
       .orderBy(desc("cell_cos"), asc("clabel"))
@@ -408,8 +406,9 @@ object PipelinePlus {
           // deterministic fake "decoded features" from the payload hash
           ((h >>> (i * 8)) & 0xff).toFloat / 255f
         }
-        val width = 1 + (math.abs(h) % 1024).toInt
-        val height = 1 + (math.abs(h >>> 32) % 1024).toInt
+        // mask, not math.abs: abs(Long.MinValue) is negative
+        val width = 1 + (h & 0x3ff).toInt
+        val height = 1 + ((h >>> 32) & 0x3ff).toInt
         (id, feats, width, height)
       })
       .toDF("doc_id", "features", "width", "height")

@@ -53,8 +53,7 @@ object Relational {
 
   /** Parquet write→read roundtrip (oracle=unit; rows-only check). */
   def qSinkRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_roundtrip").toString
+    val dir = graft.TmpDirs.create("graft_roundtrip")
     val src = t(spark, sfDir, "nation")
     src.write.mode("overwrite").parquet(s"$dir/nation")
     spark.read.parquet(s"$dir/nation")
@@ -257,13 +256,6 @@ object Relational {
     """SELECT r_name, n_name FROM region CROSS JOIN nation
       |ORDER BY r_name, n_name""".stripMargin
 
-  /** As-of join: latest o_orderdate ≤ each event's ts.
-    *
-    * Scale design: orders has few distinct dates (~2.4k regardless of SF),
-    * so we reduce the build side to distinct dates + lead() intervals and
-    * broadcast it; each event probes the interval table. No shuffle of the
-    * (large) events side, no correlated-subquery quadratic blowup.
-    */
   /** As-of join, scalably: the right side collapses to DISTINCT order
     * dates — bounded by calendar days (~2.4k) at ANY scale factor — which
     * broadcast as a sorted array; each event binary-searches its floor.
@@ -582,10 +574,13 @@ object Relational {
 
   /** Sliding 1h event-time window via RANGE frame over epoch seconds. */
   def qWinTimeRange(spark: SparkSession, sfDir: String): DataFrame = {
+    // MICROsecond range frame: second-truncated ordering would make
+    // same-truncated-second events frame peers in Spark but not in the
+    // oracle's µs-precision RANGE INTERVAL frame
     val ev = graft.Tables.events(spark, sfDir)
-      .withColumn("ts_sec", unix_timestamp(col("ts")))
-    val w = Window.partitionBy("user_id").orderBy("ts_sec")
-      .rangeBetween(-3600, 0)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600L * 1000000L, 0)
     ev.select(col("user_id"), col("event_id"),
         round(sum("value").over(w), 4).as("sum_1h"),
         count(lit(1)).over(w).as("n_1h"))

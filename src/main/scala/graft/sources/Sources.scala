@@ -14,7 +14,7 @@ import graft.Tables
 object Sources {
 
   private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.TmpDirs.create(prefix)
 
   /** Hive-style partitioned parquet sink + partition-pruned re-read.
     * The pruned scan must touch only the selected partition directory —

@@ -69,14 +69,17 @@ object Streams {
     }
 
   /** Streaming exact dedup on event_id: every event is fed twice; the
-    * sink must contain each exactly once. */
+    * sink must contain each exactly once. dropDuplicatesWithinWatermark
+    * (not plain dropDuplicates on a non-event-time key) so the state
+    * store evicts keys older than the watermark instead of growing
+    * unboundedly — the actual production-dedup contract. */
   def sStreamDedup(spark: SparkSession, sfDir: String): DataFrame =
     withStreamPartitions(spark) {
     val rows = eventRows(spark, sfDir)
     val stream = newStream(spark)
     val q = stream.toDF()
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .writeStream.format("memory").queryName("s_stream_dedup")
       .outputMode("append").start()
     try {
@@ -220,8 +223,7 @@ object Streams {
     */
   def sStreamForeach(spark: SparkSession, sfDir: String): DataFrame =
     withStreamPartitions(spark) {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_febatch_").toString
+    val dir = graft.TmpDirs.create("graft_febatch_")
     val rows = eventRows(spark, sfDir)
     val batches = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
     val stream = newStream(spark)
@@ -252,8 +254,7 @@ object Streams {
     */
   def sStreamFile(spark: SparkSession, sfDir: String): DataFrame =
     withStreamPartitions(spark) {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_filestream_").toString
+    val dir = graft.TmpDirs.create("graft_filestream_")
     val ev = graft.Tables.events(spark, sfDir)
     ev.repartition(3).write.mode("overwrite").parquet(dir)
     val q = spark.readStream
@@ -266,7 +267,11 @@ object Streams {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(120000) finally q.stop()
+    try {
+      val finished = q.awaitTermination(120000)
+      require(finished, "s_stream_file: AvailableNow drain timed out — " +
+        "refusing to return a partial result")
+    } finally q.stop()
     spark.table("s_stream_file").orderBy("event_type")
     }
 }
