@@ -698,6 +698,36 @@ object Relational {
       |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
       |ORDER BY o_custkey""".stripMargin
 
+  /** Bag-semantics intersect: each custkey kept min(m, n) times. A bare
+    * multiset result has no unique sort key, so aggregate to (key,
+    * multiplicity) for the deterministic output (rule A). */
+  def qIntersectAll(spark: SparkSession, sfDir: String): DataFrame =
+    orderCustkeys(spark, sfDir, "1-URGENT")
+      .intersectAll(orderCustkeys(spark, sfDir, "2-HIGH"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("o_custkey")
+
+  val qIntersectAllSql: String =
+    """SELECT o_custkey, count(*) AS multiplicity FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Bag-semantics difference: multiplicities subtract (m − n, floor 0). */
+  def qExceptAll(spark: SparkSession, sfDir: String): DataFrame =
+    orderCustkeys(spark, sfDir, "1-URGENT")
+      .exceptAll(orderCustkeys(spark, sfDir, "2-HIGH"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("o_custkey")
+
+  val qExceptAllSql: String =
+    """SELECT o_custkey, count(*) AS multiplicity FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   // ──────────────────────────── §2.11 subqueries ────────────────────────
 
   def qSubqScalar(spark: SparkSession, sfDir: String): DataFrame = {
