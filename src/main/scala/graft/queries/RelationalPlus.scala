@@ -253,6 +253,54 @@ object RelationalPlus {
       |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
       |ORDER BY n_name, bal DESC, s_name""".stripMargin
 
+  /** Schema-evolving union: legs with different columns aligned by NAME,
+    * missing columns null-filled — the heterogeneous-batch append shape
+    * (schema drift across ingestion generations). */
+  def qUnionByname(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = t(spark, sfDir, "customer")
+      .select(col("c_custkey").as("id"),
+        round(col("c_acctbal"), 4).as("bal"), lit("cust").as("src"))
+    val b = t(spark, sfDir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_name").as("sname"),
+        lit("supp").as("src"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("src", "id")
+  }
+
+  val qUnionBynameSql: String =
+    """SELECT * FROM (
+      |  SELECT c_custkey AS id, round(c_acctbal, 4) AS bal, 'cust' AS src
+      |  FROM customer
+      |  UNION ALL BY NAME
+      |  SELECT s_suppkey AS id, s_name AS sname, 'supp' AS src
+      |  FROM supplier)
+      |ORDER BY src, id""".stripMargin
+
+  /** Trig/hyperbolic scalar surface. round(4) absorbs any last-ulp libm
+    * differences between engines. */
+  def qFnTrig(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        round(sin(col("p_retailprice") / 1000.0), 4).as("v_sin"),
+        round(cos(col("p_retailprice") / 1000.0), 4).as("v_cos"),
+        round(tan(col("p_size") / 100.0), 4).as("v_tan"),
+        round(atan2(col("p_size").cast("double"), lit(7.0)), 4).as("v_atan2"),
+        round(degrees(col("p_size") / 100.0), 4).as("v_deg"),
+        round(radians(col("p_size").cast("double")), 4).as("v_rad"),
+        round(asin(col("p_size") / 100.0), 4).as("v_asin"))
+      .orderBy("p_partkey")
+
+  val qFnTrigSql: String =
+    """SELECT p_partkey,
+      |  round(sin(p_retailprice / 1000.0), 4) AS v_sin,
+      |  round(cos(p_retailprice / 1000.0), 4) AS v_cos,
+      |  round(tan(p_size / 100.0), 4) AS v_tan,
+      |  round(atan2(CAST(p_size AS DOUBLE), 7.0), 4) AS v_atan2,
+      |  round(degrees(p_size / 100.0), 4) AS v_deg,
+      |  round(radians(CAST(p_size AS DOUBLE)), 4) AS v_rad,
+      |  round(asin(p_size / 100.0), 4) AS v_asin
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** Fixed-width histogram of order totals (20 × 25k buckets, clamped):
     * the single-shuffle binned-aggregation shape dashboards are built
     * on. Bucketing by arithmetic (not width_bucket) keeps the
