@@ -14,6 +14,13 @@ class ContractSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every oracle SQL carries a total ORDER BY (determinism rule A)") {
+    val missing = SparkEntry.oracleSql.collect {
+      case (k, sql) if !sql.toUpperCase.contains("ORDER BY") => k
+    }
+    assert(missing.isEmpty, s"oracles without ORDER BY: $missing")
+  }
+
   // Streaming rows get their own suite (they drive MemoryStream pipelines);
   // everything else must produce a non-empty deterministic result here.
   private val streamingKeys =
