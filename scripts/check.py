@@ -6,12 +6,22 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
 Loads each <outDir>/<name> parquet (Spark output), runs the matching SQL
 from <outDir>/oracle_sql.json in DuckDB 1.0.0 against views over the
 testdata parquet, sorts columns by name, and compares values row by row.
+
+Faithful to the driver comparator (round-1 lesson): the driver pandas-
+sorts and hashes EVERY query's output parquet — including no-oracle
+rows — and crashes on array-typed cells ("unhashable type:
+numpy.ndarray"). So any list-valued column in any output is a FAIL
+here, before the value compare.
 """
-import json, math, sys
+import json, math, os, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "documents", "embeddings", "events"]
+
+
+class ArrayCell(Exception):
+    pass
 
 
 def norm(v):
@@ -19,9 +29,21 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        # the driver's pandas sort_values/hash crashes on ndarray cells;
+        # mirror that as a hard failure instead of silently comparing
+        raise ArrayCell("array-typed cell (driver comparator would crash)")
     return v
+
+
+def check_hashable(con, out_dir, name):
+    """Driver hashes every output — fail on array/map/struct columns."""
+    got = con.execute(
+        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet') LIMIT 1")
+    for d in got.description:
+        tname = str(d[1])
+        if any(k in tname.upper() for k in ("LIST", "STRUCT", "MAP", "[]")):
+            raise ArrayCell(f"column {d[0]} has nested type {tname}")
 
 
 def main():
@@ -34,10 +56,24 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # every produced output (incl. no-oracle rows) must be driver-hashable
+    outputs = sorted(d for d in os.listdir(out_dir)
+                     if os.path.isdir(os.path.join(out_dir, d)))
+    for name in outputs:
+        if only and name not in only:
+            continue
+        if name in oracle:
+            continue  # checked below with values
+        try:
+            check_hashable(con, out_dir, name)
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         try:
+            check_hashable(con, out_dir, name)
             exp = con.execute(sql)
             exp_cols = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
@@ -56,8 +92,13 @@ def main():
         # driver sorts columns by name before hashing values
         eperm = [exp_cols.index(c) for c in sorted(exp_cols)]
         gperm = [got_cols.index(c) for c in sorted(got_cols)]
-        er = [tuple(norm(r[i]) for i in eperm) for r in exp_rows]
-        gr = [tuple(norm(r[i]) for i in gperm) for r in got_rows]
+        try:
+            er = [tuple(norm(r[i]) for i in eperm) for r in exp_rows]
+            gr = [tuple(norm(r[i]) for i in gperm) for r in got_rows]
+        except ArrayCell as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if er == gr:
             print(f"PASS {name} ({len(er)} rows)")
             n_pass += 1
@@ -76,3 +117,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+

@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Headline shapes for the stdout JSON line. The driver captures only a
+    * bounded tail of stdout (round-1 lesson: the full 119-entry map was
+    * ~4 KB and got head-truncated → `parsed: null`), so stdout carries a
+    * compact representative subset; the full per-query map goes to
+    * BENCH_FULL.json in the working directory.
+    */
+  private val Headline = Seq(
+    "q_scan_count", "q_agg_basic", "q_join_multiway", "q_topk_per_group",
+    "q_inverted_index", "q_tfidf", "q_sim_cosine_topk", "q_evt_session",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_shard_pack",
+    "q_doc_sim", "q_search_bm25", "q_agg_cube", "q_win_first_last",
+    "q_dedup_ngram", "q_sim_lsh", "q_embed_norm", "q_join_inner",
+    "q_agg_rollup", "q_fn_array", "q_sim_ivf", "q_contamination",
+    "q_split_train", "q_text_quality")
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,10 +47,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def json(names: Iterable[String]): String = {
+      val qs = names.filter(results.contains)
+        .map(k => s"\"" + k + "\":" + fmt(results(k)))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // full map for the repo record (BASELINE.md engine table)
+    val fw = new java.io.PrintWriter("BENCH_FULL.json")
+    try fw.println(json(results.keys.toSeq.sorted)) finally fw.close()
+    println(json(Headline))
     spark.stop()
   }
 }

@@ -13,8 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * without per-element lambda interpretation. The hot kernel of the
   * embedding family (cosine top-k, IVF/LSH ANN, near-dup pairs).
   *
-  * Inputs are embedding vectors: null-free, equal-length (the shorter
-  * length guards ragged input rather than throwing).
+  * Inputs are embedding vectors: expected null-free and equal-length.
+  * Ragged input truncates to the shorter length (documented, tested);
+  * a null ELEMENT throws a descriptive error instead of silently
+  * reading undefined data (0.0 on UnsafeArrayData / NPE elsewhere).
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -42,6 +44,10 @@ object ArrayDot {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) {
+        throw new IllegalArgumentException(
+          s"array_dot: null element at index $i — vectors must be null-free")
+      }
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }

@@ -12,24 +12,21 @@ import graft.Tables
 object Pipeline {
 
   /** Exact dedup by content hash: md5 groupKey, keep lowest doc_id.
-    * At scale this is one hash-shuffle on the digest — no full-text
-    * comparisons. */
-  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("h").orderBy("doc_id")
+    * keep-lowest-per-hash is `min(doc_id)` — a partial-aggregable
+    * (map-side combine) aggregate, so at scale this is one hash-shuffle
+    * of pre-combined digests: no per-partition sort, no window state,
+    * no full-text comparisons. */
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "documents")
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(min("doc_id").as("doc_id"))
       .select("doc_id", "h")
       .orderBy("doc_id")
-  }
 
   val qDedupExactSql: String =
-    """SELECT doc_id, h FROM (
-      |  SELECT doc_id, md5(text) AS h,
-      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-      |  FROM documents)
-      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    """SELECT min(doc_id) AS doc_id, md5(text) AS h
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 
   /** Near-dup pairs by token-set Jaccard over a doc_id%10 sample
     * (SURVEY.md §7.4-4: the tiny vocabulary makes an unrestricted token

@@ -119,6 +119,8 @@ object PipelineExtra {
   /** Unit-L2 normalization + int8 quantization of every embedding — the
     * standard pre-index transform for an ANN store (4 bytes → 1 byte per
     * dim). One narrow codegen pass, no shuffle except the final sort.
+    * The int8 vector ships comma-joined (the driver comparator can't
+    * hash raw array cells); the array-typed form stays in PipelineSpec.
     */
   def qEmbedNorm(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "embeddings")
@@ -127,14 +129,15 @@ object PipelineExtra {
       .withColumn("l2_norm", graft.functions.VectorOps.l2norm(col("v")))
       .select(col("vec_id"), col("label"),
         round(col("l2_norm"), 4).as("l2_norm"),
-        transform(col("v"),
-          x => round(x * 127 / col("l2_norm"), 0).cast("int")).as("quant"))
+        array_join(transform(col("v"),
+            x => round(x * 127 / col("l2_norm"), 0).cast("int")
+              .cast("string")), ",").as("quant"))
       .orderBy("vec_id")
 
   val qEmbedNormSql: String =
     """SELECT vec_id, label, round(l2_norm, 4) AS l2_norm,
-      |  list_transform(v, x -> CAST(round(x * 127 / l2_norm, 0) AS INT))
-      |    AS quant
+      |  array_to_string(list_transform(v,
+      |    x -> CAST(round(x * 127 / l2_norm, 0) AS INT)), ',') AS quant
       |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
       |    sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> x * x), 'sum')) AS l2_norm
@@ -211,19 +214,38 @@ object PipelineExtra {
   // ─────────────── token-budget shard packing ───────────────
 
   /** Pack documents into training shards of ≈2000 tokens by running
-    * token count (shard boundary when the budget fills). The global
-    * window is the spec here; at corpus scale the same logic runs per
-    * range-partition (shard ids offset by partition) — noted rather than
-    * simulated because the testdata is one partition anyway.
+    * token count (shard boundary when the budget fills). Scale-safe
+    * two-pass plan instead of a global unpartitioned window (which
+    * funnels the whole table through ONE partition for the sort):
+    * deterministic range buckets on doc_id → per-bucket token totals
+    * (tiny: one row per bucket) → prefix offsets over those totals →
+    * broadcast back → per-bucket running sum + offset. The running sum
+    * window is partitioned, so every partition sorts only its own
+    * range; output is bit-identical to the global cumulative sum.
     */
   def qShardPack(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.t(spark, sfDir, "documents")
+    import org.apache.spark.sql.expressions.Window
+    val P = 32
+    val base = Tables.t(spark, sfDir, "documents")
       .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
-      .withColumn("cum", sum("ntok").over(w))
+      .select("doc_id", "ntok")
+    // deterministic range bucket: pid = doc_id * P / (max_id + 1).
+    // (At corpus scale the same single-row max aggregate broadcasts.)
+    val mx = base.agg(max("doc_id").as("mx"))
+    val withPid = base.crossJoin(broadcast(mx))
+      .withColumn("pid", (col("doc_id") * P / (col("mx") + 1)).cast("int"))
+      .drop("mx")
+    // prefix offset per bucket: ≤ P rows, so the unpartitioned window
+    // here is a driver-sized frame, not a data-sized one
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy("pid").agg(sum("ntok").as("ptok"))
+      .withColumn("off", coalesce(sum("ptok").over(wOff), lit(0L)))
+      .select("pid", "off")
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid.join(broadcast(offsets), "pid")
+      .withColumn("cum", col("off") + sum("ntok").over(w))
       .select(col("doc_id"), col("ntok"),
         ((col("cum") - col("ntok")) / 2000L).cast("long").as("shard"))
       .orderBy("doc_id")

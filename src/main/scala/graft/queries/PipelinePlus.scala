@@ -85,7 +85,13 @@ object PipelinePlus {
 
   /** 16-bit SimHash over the distinct-token set (term hash = first 15 hex
     * chars of md5, i.e. 60 bits, parsed identically by Spark `conv` and
-    * DuckDB's 0x-cast). Pairs ranked by Hamming distance.
+    * DuckDB's 0x-cast). Candidate pairs come from 4 bands of 4 bits each:
+    * two sketches are candidates iff at least one band agrees, which by
+    * pigeonhole finds every pair with Hamming ≤ 3 — the near-dup zone.
+    * The band join is an equi-join on (band, value) — a hash shuffle on
+    * bucket keys, NEVER the all-pairs theta join (which is a
+    * BroadcastNestedLoop / O(n²) at corpus scale). Candidates ranked by
+    * exact Hamming distance; the oracle is reformulated identically.
     */
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val dt = sampleTerms(spark, sfDir)
@@ -102,7 +108,20 @@ object PipelinePlus {
       .agg(sum(when(col("s") > 0,
         expr("shiftleft(1L, cast(b AS int))")).otherwise(0L))
         .as("simhash"))
-    sim.toDF("d1", "h1").join(sim.toDF("d2", "h2"), col("d1") < col("d2"))
+    // 4 bands × 4 bits: band value = (simhash >> 4*band) & 15
+    val bands = sim
+      .crossJoin(spark.range(SimBits / 4).select(col("id").as("band")))
+      .withColumn("bv",
+        expr("shiftright(simhash, cast(band * 4 AS int)) % 16"))
+    val cand = bands.select(col("doc_id").as("d1"),
+        col("simhash").as("h1"), col("band"), col("bv"))
+      .join(bands.select(col("doc_id").as("d2"),
+        col("simhash").as("h2"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "h1", "h2")
+      .distinct()
+    cand
       .select(col("d1"), col("d2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
       .orderBy(asc("hamming"), asc("d1"), asc("d2"))
@@ -118,11 +137,16 @@ object PipelinePlus {
       |      THEN 1 ELSE -1 END) AS s
       |  FROM th, generate_series(0, ${SimBits - 1}) t(b) GROUP BY doc_id, b),
       |sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b
-      |      ELSE 0 END) AS simhash FROM bits GROUP BY doc_id)
-      |SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-      |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-      |ORDER BY hamming, d1, d2 LIMIT 20""".stripMargin
+      |      ELSE 0 END) AS simhash FROM bits GROUP BY doc_id),
+      |bands AS (SELECT doc_id, simhash, band,
+      |    (simhash >> (band * 4)::INT) % 16 AS bv
+      |  FROM sim, generate_series(0, ${SimBits / 4 - 1}) t(band)),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |    a.simhash AS h1, b.simhash AS h2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      |    AND a.doc_id < b.doc_id)
+      |SELECT d1, d2, bit_count(xor(h1, h2)) AS hamming
+      |FROM cand ORDER BY hamming, d1, d2 LIMIT 20""".stripMargin
 
   // ───────────────────── embedding-cosine near-dup ─────────────────────
 
@@ -409,7 +433,9 @@ object PipelinePlus {
         // mask, not math.abs: abs(Long.MinValue) is negative
         val width = 1 + (h & 0x3ff).toInt
         val height = 1 + ((h >>> 32) & 0x3ff).toInt
-        (id, feats, width, height)
+        // comma-joined wire format: the driver hashes every output
+        // column and can't sort/hash raw array cells
+        (id, feats.map(f => f"$f%.6f").mkString(","), width, height)
       })
       .toDF("doc_id", "features", "width", "height")
       .orderBy("doc_id")
@@ -441,7 +467,8 @@ object PipelinePlus {
             s.toFloat / (hi - lo)
           }
         }
-        (id, n, pooled)
+        // comma-joined wire format (driver comparator; see qMmDecode)
+        (id, n, pooled.map(p => f"$p%.4f").mkString(","))
       })
       .toDF("doc_id", "n_bytes", "pooled")
       .orderBy("doc_id")

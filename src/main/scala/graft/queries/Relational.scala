@@ -439,8 +439,11 @@ object Relational {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
       .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
 
+  // CAST: DuckDB sum(BIGINT) yields HUGEINT, which pandas reads as float64
+  // and hash-mismatches Spark's int64 (same hazard as qFnJsonSql/qDocStatsSql).
   val qAggCubeSql: String =
-    """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS chars
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents GROUP BY CUBE (lang, source)
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 

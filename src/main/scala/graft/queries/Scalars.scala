@@ -109,9 +109,14 @@ object Scalars {
         size(col("embedding")).cast("long").as("n"),
         round(element_at(col("embedding"), 1).cast("double"), 4).as("first"),
         round(element_at(col("embedding"), -1).cast("double"), 4).as("last"),
-        sort_array(array_intersect(
-          slice(col("embedding"), 1, 5),
-          slice(col("embedding"), 3, 5))).as("inter"),
+        // serialized (scaled-long) — the driver comparator can't hash raw
+        // array cells; floor(x*1e4 + 0.5) is the same IEEE arithmetic on
+        // both engines, so the string is engine-stable
+        array_join(transform(sort_array(array_intersect(
+            slice(col("embedding"), 1, 5),
+            slice(col("embedding"), 3, 5))),
+          x => floor(x.cast("double") * 10000 + 0.5).cast("long")
+            .cast("string")), ",").as("inter"),
         array_contains(slice(col("embedding"), 2, 63),
           element_at(col("embedding"), 1)).as("has_first_in_tail"))
       .orderBy("vec_id")
@@ -121,8 +126,11 @@ object Scalars {
       |  len(embedding) AS n,
       |  round(CAST(embedding[1] AS DOUBLE), 4) AS first,
       |  round(CAST(embedding[-1] AS DOUBLE), 4) AS last,
-      |  list_sort(list_intersect(list_slice(embedding, 1, 5),
-      |    list_slice(embedding, 3, 7))) AS inter,
+      |  array_to_string(list_transform(
+      |    list_sort(list_intersect(list_slice(embedding, 1, 5),
+      |      list_slice(embedding, 3, 7))),
+      |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+      |         AS VARCHAR)), ',') AS inter,
       |  list_contains(list_slice(embedding, 2, 64), embedding[1])
       |    AS has_first_in_tail
       |FROM embeddings ORDER BY vec_id""".stripMargin

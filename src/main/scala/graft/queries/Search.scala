@@ -79,14 +79,22 @@ object Search {
        |  (SELECT count(*) FROM documents) AS n_docs
        |FROM ($tokSql) GROUP BY term ORDER BY term""".stripMargin
 
+  /** Posting lists serialized to a comma-joined string: the driver's
+    * comparator hashes every output column and cannot sort/hash raw
+    * array cells, so the wire format is scalar. The array-typed posting
+    * list itself stays covered in SearchSpec. */
   def qInvertedIndex(spark: SparkSession, sfDir: String): DataFrame =
     Tables.docTerms(spark, sfDir)
       .groupBy("term")
-      .agg(sort_array(collect_set("doc_id")).as("ids"))
+      .agg(array_join(transform(sort_array(collect_set(col("doc_id"))),
+        _.cast("string")), ",").as("ids"),
+        count(lit(1)).as("df"))
       .orderBy("term")
 
   val qInvertedIndexSql: String =
-    s"""SELECT term, list(DISTINCT doc_id ORDER BY doc_id) AS ids
+    s"""SELECT term,
+       |  array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') AS ids,
+       |  count(DISTINCT doc_id) AS df
        |FROM ($tokSql) GROUP BY term ORDER BY term""".stripMargin
 
   def qTfidf(spark: SparkSession, sfDir: String): DataFrame =

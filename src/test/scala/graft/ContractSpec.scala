@@ -15,10 +15,23 @@ class ContractSpec extends SparkSpecBase {
   }
 
   test("every oracle SQL carries a total ORDER BY (determinism rule A)") {
-    val missing = SparkEntry.oracleSql.collect {
-      case (k, sql) if !sql.toUpperCase.contains("ORDER BY") => k
+    // the ORDER BY must govern the OUTERMOST select — one inside a
+    // subquery or window OVER(...) doesn't order the output. Strip all
+    // parenthesized content, then look for ORDER BY in what remains.
+    def stripParens(s: String): String = {
+      val b = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '(' => depth += 1
+        case ')' => if (depth > 0) depth -= 1
+        case c => if (depth == 0) b.append(c)
+      }
+      b.toString
     }
-    assert(missing.isEmpty, s"oracles without ORDER BY: $missing")
+    val missing = SparkEntry.oracleSql.collect {
+      case (k, sql) if !stripParens(sql.toUpperCase).contains("ORDER BY") => k
+    }
+    assert(missing.isEmpty, s"oracles without outermost ORDER BY: $missing")
   }
 
   // Streaming rows get their own suite (they drive MemoryStream pipelines);
@@ -26,9 +39,28 @@ class ContractSpec extends SparkSpecBase {
   private val streamingKeys =
     SparkEntry.queries.keySet.filter(_.startsWith("s_stream"))
 
+  /** The driver pandas-sorts + hashes EVERY query's output parquet —
+    * nested (array/map/struct) top-level columns crash its comparator
+    * ("unhashable type: numpy.ndarray"), even for no-oracle rows. So
+    * nested types are banned from all output schemas; serialize to a
+    * string wire format instead (round-1 lesson, VERDICT r1 §wrong-2). */
+  private def assertDriverHashable(name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val nested = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType}"
+    }
+    assert(nested.isEmpty,
+      s"$name has driver-unhashable nested output columns: " +
+        nested.mkString(", "))
+  }
+
   for (name <- SparkEntry.queries.keySet.diff(streamingKeys).toSeq.sorted) {
     test(s"$name runs and returns rows on sf0.001") {
       val df = SparkEntry.queries(name)(spark, sf)
+      assertDriverHashable(name, df.schema)
       assert(df.count() > 0, s"$name returned 0 rows")
     }
   }

@@ -62,6 +62,25 @@ object KernelProps extends Properties("graft.kernels") {
         a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
     }
 
+  property("ArrayDot ragged input truncates to shorter length") =
+    Prop.forAll(vec, vec) { (a, b) =>
+      val short = a.take(8)
+      functions.ArrayDot.dot(arr(short), arr(b)) ==
+        short.zip(b.take(8)).foldLeft(0.0) {
+          case (acc, (x, y)) => acc + x * y
+        }
+    }
+
+  property("ArrayDot throws on a null element (never undefined data)") =
+    Prop.forAll(vec) { a =>
+      val withNull = org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(a.map(x => java.lang.Double.valueOf(x))
+          .updated(3, null: java.lang.Double))
+      Prop.throws(classOf[IllegalArgumentException]) {
+        functions.ArrayDot.dot(withNull, arr(a))
+      }
+    }
+
   property("ArrayDot symmetric, Cauchy–Schwarz holds") =
     Prop.forAll(vec, vec) { (a, b) =>
       val ab = functions.ArrayDot.dot(arr(a), arr(b))

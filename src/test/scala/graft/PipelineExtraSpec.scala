@@ -11,8 +11,10 @@ class PipelineExtraSpec extends SparkSpecBase {
     val df = queries.PipelineExtra.qEmbedNorm(spark, sf)
     assert(df.count() == Tables.t(spark, sf, "embeddings").count())
     assert(df.filter(col("l2_norm") <= 0).count() == 0)
-    val outOfRange = df.select(explode(col("quant")).as("q"))
-      .filter(col("q") > 127 || col("q") < -127)
+    // quant ships comma-joined (driver-hashable wire format)
+    val outOfRange = df
+      .select(explode(split(col("quant"), ",").cast("array<int>")).as("q"))
+      .filter(col("q") > 127 || col("q") < -127 || col("q").isNull)
     assert(outOfRange.count() == 0)
   }
 

@@ -95,11 +95,13 @@ class PipelinePlusSpec extends SparkSpecBase {
       val payload = texts(r.getLong(0)).getBytes("UTF-8")
       val n = payload.length
       assert(r.getInt(r.fieldIndex("n_bytes")) == n)
-      val pooled = r.getSeq[Float](r.fieldIndex("pooled"))
+      // pooled ships comma-joined at 4 dp (driver-hashable wire format)
+      val pooled = r.getString(r.fieldIndex("pooled")).split(",")
+        .map(_.toFloat)
       assert(pooled.length == 4)
       val b0 = payload.slice(0, n / 4)
       val ref0 = b0.map(_ & 0xff).sum.toFloat / b0.length
-      assert(math.abs(pooled.head - ref0) < 1e-5)
+      assert(math.abs(pooled.head - ref0) < 1e-4 + math.abs(ref0) * 1e-4)
     }
   }
 
@@ -125,7 +127,9 @@ class PipelinePlusSpec extends SparkSpecBase {
     val rows = d.collect()
     assert(rows.length == Tables.t(spark, sf, "documents").count())
     rows.foreach { r =>
-      val feats = r.getSeq[Float](r.fieldIndex("features"))
+      // features ship comma-joined at 6 dp (driver-hashable wire format)
+      val feats = r.getString(r.fieldIndex("features")).split(",")
+        .map(_.toFloat)
       assert(feats.length == 8)
       assert(feats.forall(f => f >= 0f && f <= 1f))
       assert(r.getInt(r.fieldIndex("width")) >= 1)

@@ -64,4 +64,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       s"no map-side partial aggregation:\n$p")
   }
+
+  test("q_dedup_simhash candidates come from a banded equi-join, not O(n²)") {
+    val p = plan("q_dedup_simhash")
+    // the PAIRING join must be an equi-join keyed on (band, bv) — the
+    // data-sized O(n²) shape would be a BNLJ/cartesian between two
+    // doc-sized sides. (The bounded crossJoin with the 16-row bit range
+    // in the sketch builder is a legitimate broadcast of a constant.)
+    assert(p.contains("Join [band") || p.contains("Join band") ||
+      p.linesIterator.exists(l => l.contains("Join") && l.contains("band")),
+      s"no band-keyed equi-join found:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"simhash pairing degenerated to a cartesian product:\n$p")
+    // no BNLJ may join two data-sized sides: every BNLJ in this plan
+    // must broadcast the constant bit/band range (spark.range)
+    val hasDataSizedBnlj = p.linesIterator.exists(_.contains(
+      "BroadcastNestedLoopJoin")) && !p.contains("Range (0, ")
+    assert(!hasDataSizedBnlj, s"unexpected non-range BNLJ:\n$p")
+  }
+
+  test("q_dedup_exact is a partial-aggregable min, no window sort") {
+    val p = plan("q_dedup_exact")
+    assert(p.contains("partial_min"), s"no map-side combine:\n$p")
+    assert(!p.contains("Window"), s"window crept back into dedup:\n$p")
+  }
+
+  test("q_shard_pack's data-sized running sum is a PARTITIONED window") {
+    val p = plan("q_shard_pack")
+    // the per-bucket running sum must carry a partition spec (pid); a
+    // global unpartitioned window over the table would funnel all rows
+    // through one partition. The only unpartitioned window allowed is
+    // the ≤P-row offsets frame, which sits below a broadcast exchange.
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(_.contains("[pid")),
+      s"no pid-partitioned window found:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"offsets are not broadcast back:\n$p")
+  }
 }

@@ -13,11 +13,14 @@ class SearchSpec extends SparkSpecBase {
   }
 
   test("posting-list length == document frequency per term") {
+    // ids ships comma-joined (driver-hashable wire format)
     val idx = queries.Search.qInvertedIndex(spark, sf)
-      .select(col("term"), size(col("ids")).as("len"))
+      .select(col("term"), size(split(col("ids"), ",")).as("len"),
+        col("df").as("own_df"))
     val df = queries.Search.qDocFreq(spark, sf)
     val mismatches = idx.join(df, "term")
-      .filter(col("len") =!= col("df")).count()
+      .filter(col("len") =!= col("df") || col("own_df") =!= col("df"))
+      .count()
     assert(mismatches == 0)
   }
 
