@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Third wave of training-data-pipeline operators (SURVEY.md §2.10d):
+  * text normalization, repetition-based quality filtering, stratified
+  * sampling, quantile-based length filtering, and vocabulary building.
+  *
+  * Scale notes: normalize / repetition / sample are narrow per-document
+  * passes (plus one hash shuffle for the per-doc tf in repetition);
+  * quantile-filter broadcasts two scalar bounds; vocab's running
+  * coverage window is bounded by |vocab| (≪ corpus), the same
+  * bounded-frame argument as the shard-pack offsets.
+  */
+object PipelineText {
+
+  // ───────────────────────── text normalization ─────────────────────────
+
+  /** Canonical text cleanup — lowercase, strip non-alphanumerics,
+    * collapse runs of whitespace, trim. The corpus is already clean, so
+    * the op normalizes a deterministically "dirtied" variant (upper-case
+    * + padding + punctuation) and proves the round-trip: one narrow
+    * codegen pass, no shuffle except the final sort.
+    */
+  def qTextNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = concat(lit("  "), upper(col("text")), lit("  !! "))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(dirty), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        length(dirty).cast("long").as("n_raw"),
+        length(norm).cast("long").as("n_norm"),
+        (norm === col("text")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
+  val qTextNormalizeSql: String =
+    """SELECT doc_id,
+      |  length(dirty) AS n_raw,
+      |  length(norm) AS n_norm,
+      |  norm = text AS roundtrip_ok
+      |FROM (SELECT doc_id, text, dirty,
+      |    trim(regexp_replace(regexp_replace(lower(dirty),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM (SELECT doc_id, text,
+      |      '  ' || upper(text) || '  !! ' AS dirty FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // ─────────────────── repetition-based quality filter ───────────────────
+
+  /** Per-document repetition metrics — the filter that catches generated
+    * or boilerplate text: share of the single most frequent token, and
+    * the duplicate-token ratio (1 − unique/total). One tf shuffle keyed
+    * on (doc, term), then a per-doc aggregate.
+    */
+  def qRepetitionFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tokens(spark, sfDir)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tok"),
+        max("tf").as("top_tf"),
+        count(lit(1)).as("n_unique"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("top_tf").cast("double") / col("n_tok"), 4)
+          .as("top_share"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_tok"), 4)
+          .as("dup_ratio"),
+        (col("top_tf").cast("double") / col("n_tok") >= 0.1)
+          .as("repetitive"))
+      .orderBy("doc_id")
+
+  val qRepetitionFilterSql: String =
+    """WITH tf AS (SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term),
+      |agg AS (SELECT doc_id, sum(tf) AS n_tok, max(tf) AS top_tf,
+      |    count(*) AS n_unique
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |  round(CAST(top_tf AS DOUBLE) / n_tok, 4) AS top_share,
+      |  round(1.0 - CAST(n_unique AS DOUBLE) / n_tok, 4) AS dup_ratio,
+      |  CAST(top_tf AS DOUBLE) / n_tok >= 0.1 AS repetitive
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ───────────────────── stratified deterministic sample ─────────────────
+
+  /** Stratified down-sampling with per-language rates — the corpus
+    * re-balancing step of a data mix. The sampling decision is a
+    * content-hash bucket (reproducible on any engine / partitioning,
+    * same md5 trick as q_split_train); reported per stratum.
+    */
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("text")), 1, 15), 16, 10)
+      .cast("long") % 100).cast("int")
+    val rate = when(col("lang") === "en", 10)
+      .when(col("lang") === "de", 20)
+      .otherwise(50)
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("sampled", bucket < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("pct",
+        round(lit(100.0) * col("n_sampled") / col("n_total"), 4))
+      .orderBy("lang")
+  }
+
+  val qSampleStratifiedSql: String =
+    """SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled,
+      |  round(100.0 * sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)
+      |    / count(*), 4) AS pct
+      |FROM (SELECT lang,
+      |    CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS INT)
+      |      AS bucket,
+      |    CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 20
+      |         ELSE 50 END AS rate
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ───────────────────── quantile length filter ─────────────────────
+
+  /** Keep documents inside the [p10, p90] length band — the outlier trim
+    * of a curation pipeline. The two bounds are a single-row aggregate
+    * broadcast against the scan (no shuffle of the table itself); both
+    * engines filter on the 4-dp-rounded bound so a 1-ulp percentile
+    * difference can't flip a row.
+    */
+  def qQuantileFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val bounds = docs.agg(
+      round(expr("percentile(n_chars, 0.1)"), 4).as("p10"),
+      round(expr("percentile(n_chars, 0.9)"), 4).as("p90"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col("n_chars") >= col("p10") && col("n_chars") <= col("p90"))
+      .select("doc_id", "n_chars", "p10", "p90")
+      .orderBy("doc_id")
+  }
+
+  val qQuantileFilterSql: String =
+    """WITH b AS (SELECT
+      |    round(percentile_cont(0.1) WITHIN GROUP (ORDER BY n_chars), 4)
+      |      AS p10,
+      |    round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4)
+      |      AS p90
+      |  FROM documents)
+      |SELECT doc_id, n_chars, p10, p90
+      |FROM documents, b
+      |WHERE n_chars >= p10 AND n_chars <= p90
+      |ORDER BY doc_id""".stripMargin
+
+  // ───────────────────────── vocabulary build ─────────────────────────
+
+  /** Corpus vocabulary with a min-count floor and cumulative token
+    * coverage — the tokenizer-training prerequisite. The running-share
+    * window is ordered over the VOCABULARY (≪ corpus, bounded like a
+    * broadcast dim), not the token stream; at 100 TB the vocab for a
+    * min-count floor still fits one partition comfortably.
+    */
+  def qTokVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.tokens(spark, sfDir)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum("tf").as("total"))
+    val w = Window.orderBy(desc("tf"), asc("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tf.filter(col("tf") >= 5)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("tf"), asc("term"))).cast("long"))
+      .withColumn("cum_share",
+        round(sum("tf").over(w).cast("double") / col("total"), 4))
+      .select("term", "tf", "rank", "cum_share")
+      .orderBy("rank")
+      .limit(100)
+  }
+
+  val qTokVocabSql: String =
+    """WITH tf AS (SELECT term, count(*) AS tf
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+      |        FROM documents) GROUP BY term),
+      |tot AS (SELECT sum(tf) AS total FROM tf)
+      |SELECT term, tf,
+      |  row_number() OVER (ORDER BY tf DESC, term) AS rank,
+      |  round(CAST(sum(tf) OVER (ORDER BY tf DESC, term
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / (SELECT total FROM tot), 4) AS cum_share
+      |FROM tf WHERE tf >= 5
+      |ORDER BY rank LIMIT 100""".stripMargin
+}

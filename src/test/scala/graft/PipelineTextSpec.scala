@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the third-wave text-curation operators that the DuckDB
+  * oracle can't express (invariants, not values).
+  */
+class PipelineTextSpec extends SparkSpecBase {
+
+  private lazy val nDocs = Tables.t(spark, sf, "documents").count()
+
+  test("normalize: round-trips the dirtied text, never grows it") {
+    val df = queries.PipelineText.qTextNormalize(spark, sf)
+    assert(df.count() == nDocs)
+    assert(df.filter(!col("roundtrip_ok")).count() == 0)
+    assert(df.filter(col("n_norm") > col("n_raw")).count() == 0)
+  }
+
+  test("repetition: ratios bounded, one row per document") {
+    val df = queries.PipelineText.qRepetitionFilter(spark, sf)
+    assert(df.count() == nDocs)
+    assert(df.filter(col("top_share") <= 0 || col("top_share") > 1).count() == 0)
+    assert(df.filter(col("dup_ratio") < 0 || col("dup_ratio") >= 1).count() == 0)
+    // top_share can never be below 1/n_tok
+    assert(df.filter(col("top_share") * col("n_tok") < 0.999).count() == 0)
+  }
+
+  test("stratified sample: per-stratum counts consistent, rates honored") {
+    val rows = queries.PipelineText.qSampleStratified(spark, sf).collect()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_total"))).sum == nDocs)
+    rows.foreach { r =>
+      val total = r.getLong(r.fieldIndex("n_total"))
+      val sampled = r.getLong(r.fieldIndex("n_sampled"))
+      assert(sampled >= 0 && sampled <= total)
+      val pct = r.getDouble(r.fieldIndex("pct"))
+      assert(pct >= 0.0 && pct <= 100.0)
+    }
+  }
+
+  test("quantile filter: survivors sit inside [p10, p90]") {
+    val df = queries.PipelineText.qQuantileFilter(spark, sf)
+    assert(df.filter(
+      col("n_chars") < col("p10") || col("n_chars") > col("p90")).count() == 0)
+    val kept = df.count().toDouble / nDocs
+    assert(kept >= 0.5 && kept <= 0.95, s"kept fraction $kept out of band")
+  }
+
+  test("vocab: ranks contiguous, tf non-increasing, coverage monotone") {
+    val rows = queries.PipelineText.qTokVocab(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("rank"))).toSeq ==
+      (1L to rows.length))
+    val tfs = rows.map(_.getLong(rows.head.fieldIndex("tf")))
+    assert(tfs.sameElements(tfs.sortBy(-_)), "tf not non-increasing")
+    assert(tfs.forall(_ >= 5))
+    val shares = rows.map(_.getDouble(rows.head.fieldIndex("cum_share")))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
+    assert(shares.last <= 1.0001)
+  }
+}
