@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-shaped pipeline operators (SURVEY.md §2.10e): duplicate
+  * clustering — the step that turns a near-dup candidate PAIR stream into
+  * per-document keep/drop decisions. Pairs alone don't dedup a corpus:
+  * A~B and B~C must collapse into one cluster {A,B,C} that keeps exactly
+  * one representative.
+  *
+  * Scale notes: connected components run as min-label propagation — each
+  * round is one hash shuffle of |edges| + |labels| (the Pregel plan GraphX
+  * uses), and rounds = O(component diameter). Near-dup clusters are
+  * shallow (diameter ≪ 10 even at corpus scale — duplicates of a doc are
+  * duplicates of each other), so the loop converges in a handful of
+  * rounds; `localCheckpoint` cuts the lineage per round so plans stay
+  * constant-size. Adversarially long chains would want the
+  * large-star/small-star contraction instead; documented, not needed for
+  * near-dup graphs.
+  */
+object PipelineGraph {
+
+  /** Signature-match threshold for an edge: ≥7/8 minhashes agree.
+    * Multiples of 1/8 are exact in binary, so the comparison is
+    * engine-portable with no rounding guard. */
+  private val EdgeThreshold = 0.875
+
+  /** Near-dup clusters over the §2.10 shared sample: minhash-LSH candidate
+    * pairs verified at ≥ [[EdgeThreshold]] become edges; connected
+    * components (cluster = min doc_id reachable) decide keeps. One row per
+    * sampled doc: its cluster id, the cluster size, and the keep flag.
+    */
+  def qDedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = PipelinePlus.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= EdgeThreshold)
+      .select(col("d1"), col("d2"))
+    // symmetric closure so one propagation direction suffices
+    val sym = edges
+      .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    val nodes = PipelinePlus.sampleTerms(spark, sfDir)
+      .select("doc_id").distinct()
+    var labels = nodes
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      // pull the minimum neighbor label, keep the smaller of (own, pulled)
+      val pulled = sym
+        .join(labels, sym("d2") === labels("doc_id"))
+        .groupBy(sym("d1").as("nid"))
+        .agg(min("cluster").as("nbr_min"))
+      val next = labels
+        .join(pulled, labels("doc_id") === pulled("nid"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .count()
+      labels = next
+      converged = changed == 0
+    }
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    labels
+      .join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("csize"),
+        (col("doc_id") === col("cluster")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Same clusters via transitive closure (WITH RECURSIVE): the minimum
+    * start node that reaches a doc over symmetric edges IS the component
+    * minimum the propagation loop converges to. */
+  val qDedupClusterSql: String =
+    """WITH RECURSIVE
+      |dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
+      |    AS term FROM documents WHERE doc_id % 10 = 0),
+      |sig AS (SELECT doc_id, k, min(md5(term || ':' || k)) AS mh
+      |  FROM dt, generate_series(0, 7) t(k) GROUP BY doc_id, k),
+      |bands AS (SELECT doc_id, k // 2 AS band,
+      |    string_agg(mh, '|' ORDER BY k) AS bsig
+      |  FROM sig GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+      |    AND a.doc_id < b.doc_id),
+      |est AS (SELECT d1, d2
+      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
+      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
+      |  GROUP BY d1, d2
+      |  HAVING avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END) >= 0.875),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM est
+      |  UNION ALL SELECT d2, d1 FROM est),
+      |nodes AS (SELECT DISTINCT doc_id FROM dt),
+      |reach(src, node) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      |cl AS (SELECT node AS doc_id, min(src) AS cluster
+      |  FROM reach GROUP BY node)
+      |SELECT cl.doc_id, cl.cluster, CAST(sz.csize AS BIGINT) AS csize,
+      |  cl.doc_id = cl.cluster AS keep
+      |FROM cl JOIN (SELECT cluster, count(*) AS csize
+      |  FROM cl GROUP BY cluster) sz USING (cluster)
+      |ORDER BY doc_id""".stripMargin
+}

@@ -22,7 +22,7 @@ object PipelinePlus {
 
   /** Distinct (doc_id, term) over the deterministic doc_id%10 sample the
     * §2.10 near-dup family shares. */
-  private def sampleTerms(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def sampleTerms(spark: SparkSession, sfDir: String): DataFrame =
     Tables.docTerms(spark, sfDir).filter(col("doc_id") % 10 === 0)
 
   // ───────────────────────── MinHash + LSH dedup ─────────────────────────
@@ -31,13 +31,18 @@ object PipelinePlus {
     * docs sharing any band bucket become candidate pairs; the signature
     * match fraction estimates token-set Jaccard. Top-20 pairs by estimate.
     */
-  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val dt = sampleTerms(spark, sfDir)
-    // (doc_id, k, mh): minimum md5(term:k) per doc per hash index
-    val sig = dt
+  /** (doc_id, k, mh) minhash signatures of the shared sample. */
+  private[queries] def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    sampleTerms(spark, sfDir)
       .crossJoin(spark.range(K).select(col("id").as("k")))
       .groupBy("doc_id", "k")
       .agg(min(md5(concat(col("term"), lit(":"), col("k")))).as("mh"))
+
+  /** All LSH-candidate pairs (d1 < d2) with their signature-match estimate
+    * of token-set Jaccard — the un-truncated pair stream q_dedup_minhash
+    * ranks and q_dedup_cluster clusters. */
+  private[graft] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSig(spark, sfDir)
     // band signature = ordered concat of the band's minhashes
     val bands = sig
       .withColumn("band", expr("k div 2"))
@@ -51,14 +56,19 @@ object PipelinePlus {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val est = cand
+    cand
       .join(sig.toDF("d1", "k", "mh1"), Seq("d1"))
       .join(sig.toDF("d2", "k", "mh2"), Seq("d2", "k"))
       .groupBy("d1", "d2")
-      .agg(round(avg(when(col("mh1") === col("mh2"), 1.0).otherwise(0.0)), 4)
+      .agg(avg(when(col("mh1") === col("mh2"), 1.0).otherwise(0.0))
         .as("est_jaccard"))
-    est.orderBy(desc("est_jaccard"), asc("d1"), asc("d2")).limit(20)
   }
+
+  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(spark, sfDir)
+      .select(col("d1"), col("d2"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy(desc("est_jaccard"), asc("d1"), asc("d2")).limit(20)
 
   val qDedupMinhashSql: String =
     s"""WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))

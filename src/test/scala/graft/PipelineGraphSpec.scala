@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the duplicate-clustering operator (connected components
+  * over verified minhash pairs): label correctness, not just the golden
+  * hash — every invariant a dedup consumer relies on.
+  */
+class PipelineGraphSpec extends SparkSpecBase {
+
+  private lazy val out = queries.PipelineGraph.qDedupCluster(spark, sf).cache()
+
+  test("one row per sampled doc, keep iff doc is its cluster's minimum") {
+    val sampled = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0).select("doc_id").distinct().count()
+    assert(out.count() == sampled)
+    assert(out.filter(col("keep") =!= (col("doc_id") === col("cluster")))
+      .count() == 0)
+    // the component label is the reachable minimum, so cluster <= doc_id
+    assert(out.filter(col("cluster") > col("doc_id")).count() == 0)
+  }
+
+  test("cluster sizes are consistent and keeps are one-per-cluster") {
+    val sizes = out.groupBy("cluster").agg(
+      count(lit(1)).as("n"), sum(when(col("keep"), 1).otherwise(0)).as("k"))
+    assert(sizes.filter(col("k") =!= 1).count() == 0)
+    assert(out.join(sizes, "cluster").filter(col("csize") =!= col("n"))
+      .count() == 0)
+  }
+
+  test("every verified near-dup edge lands inside one cluster") {
+    val edges = queries.PipelinePlus.minhashPairs(spark, sf)
+      .filter(col("est_jaccard") >= 0.875)
+    val l1 = out.select(col("doc_id").as("d1"), col("cluster").as("c1"))
+    val l2 = out.select(col("doc_id").as("d2"), col("cluster").as("c2"))
+    assert(edges.join(l1, "d1").join(l2, "d2")
+      .filter(col("c1") =!= col("c2")).count() == 0)
+  }
+}
