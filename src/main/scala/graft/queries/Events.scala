@@ -166,4 +166,40 @@ object Events {
       |FROM events JOIN s ON event_type = et
       |ORDER BY abs(round((value - mu) / sigma, 4)) DESC, event_id
       |LIMIT 20""".stripMargin
+
+  /** First-order Markov transitions between consecutive events of each
+    * user: count and probability of event_type B following A. One
+    * user-keyed window pass (the events stream's natural partitioning);
+    * the normalizing window runs over the |types|² transition matrix,
+    * not the corpus.
+    */
+  def qEvtMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    // probability in parts-per-million via integer division: exact on
+    // every engine, no round-half-grid hazard (skill gotcha: round(4)
+    // of small-count ratios)
+    trans
+      .withColumn("p_ppm",
+        expr("(n * 1000000) div sum(n) over (partition by prev_type)"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val qEvtMarkovSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |nx AS (SELECT event_type AS prev_type, lead(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type
+      |  FROM e),
+      |t AS (SELECT prev_type, next_type, count(*) AS n FROM nx
+      |  WHERE next_type IS NOT NULL GROUP BY prev_type, next_type)
+      |SELECT prev_type, next_type, n,
+      |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
+      |    AS BIGINT) AS p_ppm
+      |FROM t ORDER BY prev_type, next_type""".stripMargin
 }

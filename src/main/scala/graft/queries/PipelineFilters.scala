@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fourth-wave training-data curation operators (SURVEY.md §2.10e):
+  * rule-based document quality filtering in the style of the published
+  * Gopher/C4 heuristics, and PII scrubbing.
+  *
+  * Scale notes: both operators are single narrow codegen passes over the
+  * documents scan — no shuffle except the final deterministic sort. At
+  * 100 TB they pipeline with the scan (predicate/column pruning reach
+  * parquet); the regexes and higher-order functions stay inside
+  * whole-stage codegen.
+  */
+object PipelineFilters {
+
+  /** Stopword list shared by the rule filter and its oracle — the
+    * high-frequency function words present in the synthetic vocabulary. */
+  private val Stopwords = Seq("the", "a", "of", "to", "and")
+
+  // ───────────── Gopher-style rule filter (Rae et al. 2021) ─────────────
+
+  /** Per-document quality rules: word-count band, mean-word-length band,
+    * and a minimum stopword count (the "natural language, not a listing"
+    * test). Emits the metrics plus the per-rule flags so downstream can
+    * audit WHY a document dropped, and the final keep decision.
+    */
+  def qGopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("long")
+    // total word chars = doc length minus the (n-1) separating spaces
+    val meanLen = (length(col("text")) - nWords + lit(1)).cast("double") / nWords
+    val stopHits = size(filter(words,
+      t => t.isInCollection(Stopwords))).cast("long")
+    Tables.t(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        round(meanLen, 4).as("mean_wlen"),
+        stopHits.as("stop_hits"),
+        (nWords >= 50 && nWords <= 100000).as("ok_count"),
+        (meanLen >= 3.0 && meanLen <= 10.0).as("ok_wlen"),
+        (stopHits >= 2L).as("ok_stop"))
+      .withColumn("keep", col("ok_count") && col("ok_wlen") && col("ok_stop"))
+      .orderBy("doc_id")
+  }
+
+  val qGopherFilterSql: String =
+    s"""WITH m AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mean_wlen,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN (${Stopwords.map("'" + _ + "'").mkString(", ")})))
+      |      AS stop_hits
+      |  FROM documents)
+      |SELECT doc_id, n_words, round(mean_wlen, 4) AS mean_wlen, stop_hits,
+      |  n_words BETWEEN 50 AND 100000 AS ok_count,
+      |  mean_wlen BETWEEN 3.0 AND 10.0 AS ok_wlen,
+      |  stop_hits >= 2 AS ok_stop,
+      |  (n_words BETWEEN 50 AND 100000) AND (mean_wlen BETWEEN 3.0 AND 10.0)
+      |    AND stop_hits >= 2 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ──────────────────────────── PII scrubbing ────────────────────────────
+
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII redaction: the corpus is synthetic and clean, so the op plants
+    * deterministic PII (an email and a phone derived from doc_id), then
+    * scrubs with the redaction regexes and proves the result is
+    * PII-free and otherwise text-preserving. Counts per kind make the
+    * output auditable.
+    */
+  def qPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or call "),
+      lit("+1-555-"), lpad(col("doc_id") % 10000, 4, "0"))
+    val scrubbed = regexp_replace(
+      regexp_replace(dirty, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("dirty", dirty)
+      .withColumn("scrubbed", scrubbed)
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(dirty, '$EmailRe', 0)"))
+          .cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(dirty, '${PhoneRe.replace("\\", "\\\\")}', 0)"))
+          .cast("long").as("n_phones"),
+        (size(expr(s"regexp_extract_all(scrubbed, '$EmailRe', 0)")) === 0 &&
+          size(expr(s"regexp_extract_all(scrubbed, '${PhoneRe.replace("\\", "\\\\")}', 0)")) === 0)
+          .as("pii_free"),
+        startswith(col("scrubbed"), col("text")).as("text_preserved"))
+      .orderBy("doc_id")
+  }
+
+  val qPiiScrubSql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    text || ' contact user' || doc_id || '@example.com or call '
+      |      || '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      AS dirty
+      |  FROM documents),
+      |s AS (SELECT doc_id, text, dirty,
+      |    regexp_replace(regexp_replace(dirty,
+      |      '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+      |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+      |  FROM d)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.]+[a-z]'))
+      |    AS n_emails,
+      |  len(regexp_extract_all(dirty, '\+1-555-[0-9]{4}')) AS n_phones,
+      |  len(regexp_extract_all(scrubbed, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) = 0
+      |    AND len(regexp_extract_all(scrubbed, '\+1-555-[0-9]{4}')) = 0
+      |    AS pii_free,
+      |  starts_with(scrubbed, text) AS text_preserved
+      |FROM s ORDER BY doc_id""".stripMargin
+}
