@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Sketch-accelerated scale paths (SURVEY.md §2.10f): product
+  * quantization for ANN and a bloom-filter membership sketch for
+  * cross-source contamination.
+  *
+  * Scale notes: PQ turns a 64-dim float scan into a 4-byte code scan —
+  * codes are computed in one broadcast pass (10-centroid codebook ≪
+  * executor memory, same bound as the IVF coarse quantizer) and the ADC
+  * lookup table is |codebook|×|subspaces| (40 rows) broadcast back. The
+  * bloom path replaces the fingerprint shuffle-join of q_contamination
+  * with a single-row filter aggregate (mergeable, order-independent bit
+  * OR) broadcast to a narrow probe pass — the shape that wins when the
+  * benchmark side is millions of n-grams and the corpus side is 100 TB.
+  */
+object PipelineSketch {
+
+  /** Subspace count: 64-dim vectors → 4 blocks of 16 dims. */
+  private val M = 4
+  private val SubDim = 16
+
+  // ───────────────── product-quantization ANN (ADC) ─────────────────
+
+  /** Squared L2 distance via the codegen'd dot kernel (fixed
+    * left-to-right summation on both engines): |a|² + |b|² − 2a·b. */
+  private def dsq(a: Column, b: Column): Column =
+    VectorOps.dot(a, a) + VectorOps.dot(b, b) -
+      lit(2.0) * VectorOps.dot(a, b)
+
+  /** PQ + asymmetric-distance ANN for query vec_id=0: label-averaged
+    * centroids (rounded 4 dp, as in q_sim_ivf) form a 10-entry codebook
+    * per 16-dim subspace; every vector quantizes to its nearest sub-
+    * centroid per subspace (ties → label asc); the query's estimated
+    * distance to a vector is the sum of query→sub-centroid distances of
+    * the vector's codes, in integer 1e-4 units so cross-engine sums are
+    * exact. Top-10 closest by estimate.
+    */
+  def qSimPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // full-dim centroid per label (positional mean, 4 dp pre-rounded)
+    val cent = Tables.t(spark, sfDir, "embeddings")
+      .select(col("label").as("clabel"),
+        posexplode(transform(col("embedding"), x => x.cast("double"))))
+      .groupBy("clabel", "pos")
+      .agg(round(avg("col"), 4).as("c"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+    // per (vector, centroid): distance in each subspace, integer 1e-4
+    val subDists = (0 until M).map { m =>
+      val s = slice(col("v"), m * SubDim + 1, SubDim)
+      val c = slice(col("cvec"), m * SubDim + 1, SubDim)
+      round(dsq(s, c) * 10000).cast("long").as(s"d$m")
+    }
+    val dists = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id") +: col("clabel") +: subDists: _*)
+    // code per subspace = argmin centroid (distance, then label asc):
+    // min over (d, clabel) structs realizes the tie-break exactly
+    val codeCols = (0 until M).map { m =>
+      min(struct(col(s"d$m"), col("clabel"))).getField("clabel").as(s"code$m")
+    }
+    val codes = dists.groupBy("vec_id").agg(codeCols.head, codeCols.tail: _*)
+    // ADC lookup table: the query's own distance to every sub-centroid
+    val qd = dists.filter(col("vec_id") === 0).drop("vec_id")
+    val adc = (0 until M).map { m =>
+      qd.select(col("clabel").as(s"code$m"), col(s"d$m").as(s"q$m"))
+    }.zipWithIndex.foldLeft(codes) { case (df, (lut, m)) =>
+      df.join(broadcast(lut), s"code$m")
+    }
+    adc.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        col("code0"), col("code1"), col("code2"), col("code3"),
+        (0 until M).map(m => col(s"q$m")).reduce(_ + _).as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val qSimPqSql: String = {
+    val e = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    def ip(a: String, b: String) = s"list_inner_product($a, $b)"
+    // dsq over a 16-dim slice of vector v vs centroid cvec, subspace m
+    def d(m: Int) = {
+      val lo = m * SubDim + 1; val hi = (m + 1) * SubDim
+      val a = s"v[$lo:$hi]"; val b = s"cvec[$lo:$hi]"
+      s"CAST(round((${ip(a, a)} + ${ip(b, b)} - 2 * ${ip(a, b)}) * 10000)" +
+        s" AS BIGINT)"
+    }
+    s"""WITH emb AS (SELECT vec_id, $e AS v FROM embeddings),
+      |cent AS (SELECT label AS clabel,
+      |    list(round(c, 4) ORDER BY p) AS cvec
+      |  FROM (SELECT label, p, avg(CAST(embedding[p] AS DOUBLE)) AS c
+      |    FROM embeddings, unnest(generate_series(1, 64)) t(p)
+      |    GROUP BY label, p) GROUP BY label),
+      |dists AS (SELECT vec_id, clabel,
+      |    ${(0 until M).map(m => d(m) + s" AS d$m").mkString(", ")}
+      |  FROM emb CROSS JOIN cent),
+      |codes AS (SELECT vec_id,
+      |    ${(0 until M).map(m =>
+             s"arg_min(clabel, d$m * 16 + clabel) AS code$m")
+           .mkString(", ")}
+      |  FROM dists GROUP BY vec_id),
+      |qd AS (SELECT clabel, ${(0 until M).map(m => s"d$m").mkString(", ")}
+      |  FROM dists WHERE vec_id = 0)
+      |SELECT c.vec_id, c.code0, c.code1, c.code2, c.code3,
+      |  ${(0 until M).map(m => s"q$m.d$m").mkString(" + ")} AS adc_dist
+      |FROM codes c
+      |${(0 until M).map(m =>
+           s"JOIN qd q$m ON q$m.clabel = c.code$m").mkString(" ")}
+      |WHERE c.vec_id <> 0
+      |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+  }
+
+  // ─────────────── bloom-filter contamination screening ───────────────
+
+  /** Benchmark side: 5-gram shingle hashes of the `src0` documents —
+    * the eval-set proxy whose content must not leak into training. */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.t(spark, sfDir, "documents")
+      // sequence(0, n) flips to a DESCENDING range when n < 0 — guard
+      // out sub-5-word docs instead of generating bogus slice starts
+      .filter(size(words) >= 5)
+      .select(col("doc_id"), col("source"), explode(
+        transform(sequence(lit(0), size(words) - 5),
+          i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(5))))))
+        .as("sh"))
+  }
+
+  /** Bloom-filter contamination screen: benchmark (src0) shingle hashes
+    * aggregate into one bloom filter (mergeable bit-OR — order-free and
+    * broadcastable, unlike the exact fingerprint join); every training
+    * doc counts its flagged shingles in a narrow probe pass. Possible
+    * false POSITIVES only — the spec cross-checks against the exact
+    * join: no exact hit may be missed, and the fp excess is bounded.
+    * No oracle: bloom bit layout is engine-specific.
+    */
+  def qContaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    // `might_contain` requires a CONSTANT filter (Spark's runtime-filter
+    // contract): materialize the ~100 KB sketch driver-side and embed it
+    // as a literal — the same bounded collect-and-broadcast a scalar
+    // subquery performs, independent of corpus size by construction.
+    val bf = sh.filter(col("source") === "src0")
+      .agg(graft.functions.BloomOps
+        .bloomFilterAgg(col("sh"), 100000L, 800000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    sh.filter(col("source") =!= "src0")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(graft.functions.BloomOps.mightContain(lit(bf), col("sh")),
+          1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** The exact counterpart the spec compares against: shingle-hash
+    * semi-join between training docs and the benchmark set. */
+  private[graft] def contaminationExact(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val bench = sh.filter(col("source") === "src0")
+      .select(col("sh")).distinct()
+    sh.filter(col("source") =!= "src0")
+      .join(bench.hint("broadcast"), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+  }
+}
