@@ -44,6 +44,10 @@ object PipelineGraph {
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint()
+    // labels only ever DECREASE under min-propagation, so the label sum
+    // is a convergence witness: one scalar aggregate per round instead
+    // of a self-join diff
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     while (!converged) {
       // pull the minimum neighbor label, keep the smaller of (own, pulled)
@@ -57,12 +61,12 @@ object PipelineGraph {
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .count()
+      // decimal sum: overflow-proof at any corpus size
+      val s = next.agg(sum(col("cluster").cast("decimal(38,0)")))
+        .head().getDecimal(0)
       labels = next
-      converged = changed == 0
+      converged = s == prevSum || (prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
     }
     val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
     labels
