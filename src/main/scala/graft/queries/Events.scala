@@ -202,4 +202,47 @@ object Events {
       |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
       |    AS BIGINT) AS p_ppm
       |FROM t ORDER BY prev_type, next_type""".stripMargin
+
+  /** Time-series resample: 5-min buckets per event_type with explicit
+    * zero rows for empty buckets — the gap-fill a downstream model needs
+    * dense input for. The bucket grid is generated from the (broadcast)
+    * min/max bound, |grid| = time-range/5min × |types| ≪ events, so the
+    * left join is grid-sized, never corpus-sized.
+    */
+  def qEvtResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      // `div` (integer division): Column `/` on longs yields DOUBLE
+      .withColumn("bucket",
+        timestamp_seconds(expr("(unix_micros(ts) div 300000000) * 300")))
+    val agg = ev.groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+    val bounds = ev.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+    val grid = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 5 MINUTES"))).as("bucket"))
+      .crossJoin(ev.select("event_type").distinct())
+    grid.join(agg, Seq("bucket", "event_type"), "left")
+      .select(col("bucket"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"))
+      .orderBy("bucket", "event_type")
+  }
+
+  val qEvtResampleSql: String =
+    """WITH e AS (SELECT CAST(to_timestamp(
+      |      floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300)
+      |      AS TIMESTAMP) AS bucket, event_type, value FROM events),
+      |agg AS (SELECT bucket, event_type, count(*) AS n,
+      |    round(sum(value), 4) AS total
+      |  FROM e GROUP BY bucket, event_type),
+      |grid AS (SELECT g.g AS bucket, t.event_type
+      |  FROM (SELECT unnest(generate_series(
+      |      (SELECT min(bucket) FROM e), (SELECT max(bucket) FROM e),
+      |      INTERVAL 5 MINUTE)) AS g) g,
+      |    (SELECT DISTINCT event_type FROM e) t)
+      |SELECT grid.bucket, grid.event_type,
+      |  coalesce(agg.n, 0) AS n, coalesce(agg.total, 0.0) AS total
+      |FROM grid LEFT JOIN agg
+      |  ON grid.bucket = agg.bucket AND grid.event_type = agg.event_type
+      |ORDER BY grid.bucket, grid.event_type""".stripMargin
 }

@@ -161,6 +161,33 @@ object PipelineSketch {
       .orderBy("doc_id")
   }
 
+  // ─────────────── count-min-sketch heavy hitters ───────────────
+
+  /** Heavy hitters via count-min sketch: one mergeable sketch pass over
+    * the token stream (counters ADD, so partials combine order-free —
+    * the same single-aggregation shape as HLL/bloom), then the exact
+    * top-20 terms are re-estimated from the sketch. CMS can only
+    * OVERestimate; the output carries exact tf, estimate, and the error
+    * so the bound is auditable. No oracle: sketch hashing is
+    * engine-specific; the spec asserts est ≥ tf and the ε·N excess
+    * bound.
+    */
+  def qAggCms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.tokens(spark, sfDir)
+    // ε=0.1% of stream length, δ=1%: width 2000 × depth 5 counters —
+    // a few KB on the driver, corpus-size-independent
+    val cms = toks.stat.countMinSketch(col("term"), 0.001, 0.01, 42)
+    val top = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), asc("term")).limit(20)
+      .as[(String, Long)].collect()
+    top.map { case (term, tf) =>
+      val est = cms.estimateCount(term)
+      (term, tf, est, est - tf)
+    }.toSeq.toDF("term", "tf", "est", "overcount")
+      .orderBy(desc("tf"), asc("term"))
+  }
+
   /** The exact counterpart the spec compares against: shingle-hash
     * semi-join between training docs and the benchmark set. */
   private[graft] def contaminationExact(spark: SparkSession,

@@ -765,4 +765,24 @@ object Relational {
       |WHERE o_custkey IN (SELECT c_custkey FROM customer
       |                    WHERE c_mktsegment = 'BUILDING')
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Correlated EXISTS and NOT EXISTS in one query: customers that
+    * placed an urgent order but never a fulfilled one. Catalyst plans
+    * both as semi/anti joins on c_custkey — one shuffle each, no
+    * per-row subquery execution. */
+  def qSubqExists(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    t(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql(qSubqExistsSql)
+  }
+
+  val qSubqExistsSql: String =
+    """SELECT c_custkey, round(c_acctbal, 4) AS bal FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
 }

@@ -25,6 +25,18 @@ class PipelineSketchSpec extends SparkSpecBase {
       s"fp excess ${agg.getLong(0) - agg.getLong(1)} over ${agg.getLong(2)} probes")
   }
 
+  test("cms: estimates dominate exact counts within the ε·N bound") {
+    val rows = queries.PipelineSketch.qAggCms(spark, sf).collect()
+    assert(rows.length == 20)
+    val n = Tables.tokens(spark, sf).count()
+    rows.foreach { r =>
+      val (tf, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= tf, s"${r.getString(0)}: CMS underestimated")
+      assert(est - tf <= math.ceil(0.001 * n).toLong,
+        s"${r.getString(0)}: overcount ${est - tf} breaches eps*N")
+    }
+  }
+
   test("pq: well-formed ADC ranking") {
     val rows = queries.PipelineSketch.qSimPq(spark, sf).collect()
     assert(rows.length == 10)
