@@ -188,6 +188,33 @@ object PipelineSketch {
       .orderBy(desc("tf"), asc("term"))
   }
 
+  // ─────────────── HLL sketch union (re-aggregation) ───────────────
+
+  /** Distinct-term estimation that RE-AGGREGATES: one Datasketches HLL
+    * sketch per source, then a union-merge to the corpus total without
+    * touching the data again — the warehouse pattern where per-partition
+    * sketches persist and any rollup (day→month, source→corpus) is a
+    * merge, not a rescan. Exact counts ride along as the audit columns.
+    * No oracle: sketch binaries are engine-specific; the spec bounds the
+    * estimation error.
+    */
+  def qAggHllUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Tables.t(spark, sfDir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val perSource = terms.groupBy("source")
+      .agg(expr("hll_sketch_agg(term, 12)").as("sk"),
+        countDistinct("term").as("exact"))
+    val bySource = perSource
+      .select(col("source").as("scope"), col("exact"),
+        expr("cast(round(hll_sketch_estimate(sk)) as bigint)").as("est"))
+    val global = perSource
+      .agg(expr("hll_union_agg(sk)").as("sk"))
+      .crossJoin(terms.agg(countDistinct("term").as("exact")))
+      .select(lit("ALL").as("scope"), col("exact"),
+        expr("cast(round(hll_sketch_estimate(sk)) as bigint)").as("est"))
+    bySource.unionByName(global).orderBy("scope")
+  }
+
   /** The exact counterpart the spec compares against: shingle-hash
     * semi-join between training docs and the benchmark set. */
   private[graft] def contaminationExact(spark: SparkSession,

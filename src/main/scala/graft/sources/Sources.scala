@@ -99,4 +99,21 @@ object Sources {
       .join(spark.table("graft_od_b"),
         col("l_orderkey") === col("o_orderkey"))
   }
+
+  /** ORC sink → source roundtrip (the other columnar warehouse format):
+    * write part as ORC, re-read, prove the aggregate and the pushed-down
+    * predicate survive. ORC carries its own column statistics, so the
+    * filter reaches the stripe level the same way parquet row-groups do.
+    */
+  def qSourceOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_orc_")
+    val part = Tables.t(spark, sfDir, "part")
+    part.write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .filter(col("p_size") >= 25)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        round(sum("p_retailprice"), 4).as("retail"))
+      .orderBy("p_brand")
+  }
 }

@@ -188,6 +188,48 @@ object Streams {
       .orderBy("c_mktsegment", "event_type")
     }
 
+  /** Stream-STREAM interval join: view and purchase streams joined on
+    * user within a 1-hour attribution window. Both sides carry
+    * watermarks, so each side's join state evicts once the other side's
+    * watermark passes the interval bound — the state-bounded shape that
+    * survives an unbounded stream (an un-watermarked stream-stream join
+    * buffers forever). Sentinels on BOTH streams flush the final pairs;
+    * distinct sentinel users keep them from joining each other.
+    */
+  def sStreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
+    val vs = newStream(spark)
+    val ps = newStream(spark)
+    val views = vs.toDF()
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = ps.toDF()
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val q = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .writeStream.format("memory").queryName("s_stream_stream_join")
+      .outputMode("append").start()
+    val evs = eventRows(spark, sfDir)
+    try {
+      vs.addData(evs.filter(_.event_type == "view").toSeq)
+      ps.addData(evs.filter(_.event_type == "purchase").toSeq)
+      q.processAllAvailable()
+      vs.addData(Seq(Ev(-1L, sentinelTs, -1L, "view", 0.0)))
+      ps.addData(Seq(Ev(-2L, sentinelTs, -2L, "purchase", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("s_stream_stream_join")
+      .filter(col("v_user") >= 0)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+    }
+
   /** Native streaming session windows: session_window(ts, 30 min) per
     * user with watermark-driven state eviction; the sentinel closes every
     * open session so append mode emits them all.

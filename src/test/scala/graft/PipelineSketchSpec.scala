@@ -37,6 +37,16 @@ class PipelineSketchSpec extends SparkSpecBase {
     }
   }
 
+  test("hll union: merged estimate within 5% of exact, per scope") {
+    val rows = queries.PipelineSketch.qAggHllUnion(spark, sf).collect()
+    assert(rows.map(_.getString(0)).contains("ALL"))
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact) <= math.max(1L, exact / 20),
+        s"${r.getString(0)}: HLL est $est vs exact $exact")
+    }
+  }
+
   test("pq: well-formed ADC ranking") {
     val rows = queries.PipelineSketch.qSimPq(spark, sf).collect()
     assert(rows.length == 10)

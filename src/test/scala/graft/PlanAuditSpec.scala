@@ -101,4 +101,35 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastExchange"),
       s"offsets are not broadcast back:\n$p")
   }
+
+  test("q_sim_pq joins codes against broadcast LUTs, never sort-merge") {
+    val p = plan("q_sim_pq")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"no broadcast join in PQ plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"codebook/LUT join fell back to sort-merge:\n$p")
+  }
+
+  test("q_contamination_bloom probes with NO join — the filter is a literal") {
+    val p = plan("q_contamination_bloom")
+    assert(!p.contains("Join"), s"bloom probe should be join-free:\n$p")
+    assert(p.contains("might_contain"), s"no bloom probe in plan:\n$p")
+  }
+
+  test("q_evt_markov shuffles once on user_id then on the tiny matrix") {
+    val p = plan("q_evt_markov")
+    // the data-sized window must be keyed on user_id; the normalizing
+    // window partitions the |types|² matrix
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(_.contains("user_id")),
+      s"sequence window not user-keyed:\n$p")
+  }
+
+  test("q_evt_resample joins the grid, not the corpus, and broadcasts it") {
+    val p = plan("q_evt_resample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"grid join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"grid join fell back to sort-merge:\n$p")
+  }
 }

@@ -37,6 +37,19 @@ class SourcesSpec extends SparkSpecBase {
     assert(rt.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("ORC roundtrip preserves aggregates and pushes the size filter") {
+    val rt = sources.Sources.qSourceOrc(spark, sf)
+    val physical = rt.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("p_size"),
+      s"size predicate not pushed to the ORC scan:\n$physical")
+    val direct = Tables.t(spark, sf, "part")
+      .filter(col("p_size") >= 25)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 4).as("retail"))
+      .orderBy("p_brand")
+    assert(rt.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("bucketed join is Exchange-free and matches the plain join") {
     val joined = sources.Sources.bucketedJoin(spark, sf)
     val physical = joined.queryExecution.executedPlan.toString

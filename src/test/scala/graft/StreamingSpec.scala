@@ -51,6 +51,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(diff == 0)
   }
 
+  test("stream-stream interval join matches the batch self-join") {
+    val streamed = streaming.Streams.sStreamStreamJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = v.join(p,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val diff = streamed.except(batch).count() + batch.except(streamed).count()
+    assert(diff == 0)
+  }
+
   test("file-source stream drains the directory and matches batch totals") {
     val fs = streaming.Streams.sStreamFile(spark, sf)
     val batch = Tables.events(spark, sf)
