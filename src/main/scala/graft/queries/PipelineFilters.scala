@@ -64,6 +64,38 @@ object PipelineFilters {
       |    AND stop_hits >= 2 AS keep
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ─────────────── unigram-surprisal quality scoring ───────────────
+
+  /** Language-model quality proxy without an external LM: score every
+    * document by its mean unigram surprisal −avg log₂ p(token) under the
+    * corpus's own unigram distribution (the cheap stand-in for a
+    * perplexity filter). One tf aggregate builds the vocabulary (≪
+    * corpus → broadcast), then a narrow scoring pass; the corpus total
+    * rides along as a broadcast scalar.
+    */
+  def qSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.tokens(spark, sfDir)
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(tf), "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(log2(col("n_total")) - log2(col("tf"))), 4)
+          .as("surprisal"))
+      .orderBy("doc_id")
+  }
+
+  val qSurprisalSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+      |tot AS (SELECT count(*) AS n_total FROM tok)
+      |SELECT doc_id, count(*) AS n_tok,
+      |  round(avg(log2(n_total) - log2(tf)), 4) AS surprisal
+      |FROM tok JOIN tf USING (term) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ──────────────────────────── PII scrubbing ────────────────────────────
 
   private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+[a-z]"

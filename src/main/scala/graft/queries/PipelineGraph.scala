@@ -76,6 +76,87 @@ object PipelineGraph {
       .orderBy("doc_id")
   }
 
+  /** PageRank (3 power iterations, d=0.85) over the same symmetric
+    * near-dup graph: the canonical-representative scorer when "keep the
+    * most central duplicate" beats "keep the lowest id". Each iteration
+    * is one hash shuffle of |edges| (contributions keyed by target) —
+    * the Pregel plan — and the iteration count is FIXED, so the oracle
+    * unrolls the same three rounds as CTEs. Dangling mass is dropped
+    * (the standard simplification); in-neighbor sums are 1-2 terms in
+    * near-dup graphs, so double summation is order-safe at round(6).
+    */
+  def qGraphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = 0.85
+    val edges = PipelinePlus.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= EdgeThreshold)
+      .select(col("d1"), col("d2"))
+    val sym = edges
+      .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+    val nodes = PipelinePlus.sampleTerms(spark, sfDir)
+      .select("doc_id").distinct()
+    val n = nodes.count().toDouble
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    for (_ <- 1 to 3) {
+      val contrib = sym
+        .join(pr, sym("d1") === pr("doc_id"))
+        .join(deg, "doc_id")
+        .select(col("d2").as("doc_id"), (col("pr") / col("deg")).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("in_pr"))
+      pr = nodes
+        .join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit((1 - d) / n) + lit(d) * coalesce(col("in_pr"), lit(0.0)))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("doc_id"), round(col("pr"), 6).as("pr"))
+      .orderBy("doc_id")
+  }
+
+  /** Same three unrolled rounds in SQL: shared edge/degree CTEs, then
+    * r1/r2/r3 each re-derive contributions from the previous round. */
+  val qGraphPagerankSql: String = {
+    def round_(prev: String, out: String): String =
+      s"""$out AS (SELECT n.doc_id,
+        |    0.15 / (SELECT count(*) FROM nodes)
+        |      + 0.85 * coalesce(sum(p.pr / dg.deg), 0.0) AS pr
+        |  FROM nodes n
+        |  LEFT JOIN edges e ON e.b = n.doc_id
+        |  LEFT JOIN $prev p ON p.doc_id = e.a
+        |  LEFT JOIN deg dg ON dg.doc_id = e.a
+        |  GROUP BY n.doc_id)""".stripMargin
+    s"""WITH
+      |dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
+      |    AS term FROM documents WHERE doc_id % 10 = 0),
+      |sig AS (SELECT doc_id, k, min(md5(term || ':' || k)) AS mh
+      |  FROM dt, generate_series(0, 7) t(k) GROUP BY doc_id, k),
+      |bands AS (SELECT doc_id, k // 2 AS band,
+      |    string_agg(mh, '|' ORDER BY k) AS bsig
+      |  FROM sig GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+      |    AND a.doc_id < b.doc_id),
+      |est AS (SELECT d1, d2
+      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
+      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
+      |  GROUP BY d1, d2
+      |  HAVING avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END) >= 0.875),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM est
+      |  UNION ALL SELECT d2, d1 FROM est),
+      |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY a),
+      |nodes AS (SELECT DISTINCT doc_id FROM dt),
+      |r0 AS (SELECT doc_id, 1.0 / (SELECT count(*) FROM nodes) AS pr
+      |  FROM nodes),
+      |${round_("r0", "r1")},
+      |${round_("r1", "r2")},
+      |${round_("r2", "r3")}
+      |SELECT doc_id, round(pr, 6) AS pr FROM r3
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** Same clusters via transitive closure (WITH RECURSIVE): the minimum
     * start node that reaches a doc over symmetric edges IS the component
     * minimum the propagation loop converges to. */
