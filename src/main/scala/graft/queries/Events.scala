@@ -203,6 +203,55 @@ object Events {
       |    AS BIGINT) AS p_ppm
       |FROM t ORDER BY prev_type, next_type""".stripMargin
 
+  /** Interval-overlap join without a native IEJoin: count ALL events
+    * (any user) inside each session's [lo, hi] window. The scale path is
+    * bucketization — sessions explode to the 30-min buckets they span,
+    * events carry their single containing bucket, the join is an
+    * EQUI-join on bucket followed by the exact BETWEEN filter. An event
+    * lives in exactly one bucket, so each (session, event) pair
+    * materializes at most once — no dedup pass. The naive form is a
+    * BNLJ over sessions×events; PlanAuditSpec asserts it never appears.
+    */
+  def qJoinInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 1800000000L // 30 min in µs — matches the session gap
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val sess = ev
+      .withColumn("gap",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > 1800000000L, 1)
+          .otherwise(when(lag("ts_us", 1).over(byUser).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum("gap").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id").as("s_user"), col("session_id"))
+      .agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
+    val sessBuckets = sess.withColumn("bucket",
+      explode(expr(s"sequence(lo div $B, hi div $B)")))
+    val evBuckets = ev.select(col("ts_us"), expr(s"ts_us div $B").as("bucket"))
+    sessBuckets.join(evBuckets, "bucket")
+      .filter(col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
+      .groupBy("s_user", "session_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("s_user", "session_id")
+  }
+
+  val qJoinIntervalSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP))
+      |    AS ts_us FROM events),
+      |flagged AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w
+      |    > 1800000000 OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS gap
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS BIGINT) AS session_id FROM flagged),
+      |iv AS (SELECT user_id AS s_user, session_id,
+      |    min(ts_us) AS lo, max(ts_us) AS hi
+      |  FROM sess GROUP BY user_id, session_id)
+      |SELECT iv.s_user, iv.session_id, count(*) AS n_overlap
+      |FROM iv JOIN e ON e.ts_us BETWEEN iv.lo AND iv.hi
+      |GROUP BY iv.s_user, iv.session_id
+      |ORDER BY iv.s_user, iv.session_id""".stripMargin
+
   /** Time-series resample: 5-min buckets per event_type with explicit
     * zero rows for empty buckets — the gap-fill a downstream model needs
     * dense input for. The bucket grid is generated from the (broadcast)

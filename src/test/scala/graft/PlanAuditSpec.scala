@@ -125,6 +125,16 @@ class PlanAuditSpec extends SparkSpecBase {
       s"sequence window not user-keyed:\n$p")
   }
 
+  test("q_join_interval is a bucket equi-join, never a nested loop") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"interval join degenerated to a nested loop:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("bucket")),
+      s"no bucket-keyed equi-join found:\n$p")
+  }
+
   test("q_evt_resample joins the grid, not the corpus, and broadcasts it") {
     val p = plan("q_evt_resample")
     assert(p.contains("BroadcastHashJoin"),
