@@ -643,6 +643,28 @@ object Relational {
       |      FROM lineitem)
       |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
 
+  /** Same result as [[qTopkPerGroup]] via the heap aggregate
+    * ([[graft.functions.TopKRows]]): map-side k-bounded heaps merge as
+    * partials, so the shuffle carries ≤ k rows per (group, map task)
+    * instead of the whole fact table through a window sort — the 100 TB
+    * shape. Shares the window oracle (identical rows by construction).
+    */
+  def qTopkHeap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.Shim
+    val top = Shim.column(graft.functions.TopKRows(
+      Shim.expression(col("l_extendedprice")),
+      Shim.expression(col("l_orderkey")),
+      Shim.expression(col("l_linenumber")), 3).toAggregateExpression())
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(top.as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")))
+      .select(col("l_suppkey"), (col("pos") + 1).cast("int").as("rn"),
+        col("col.key1").as("l_orderkey"), col("col.key2").as("l_linenumber"),
+        col("col.score").as("l_extendedprice"))
+      .orderBy("l_suppkey", "rn")
+  }
+
   // ───────────────────────────── §2.7 set ops ───────────────────────────
 
   private def segKeys(spark: SparkSession, sfDir: String, seg: String) =

@@ -125,6 +125,15 @@ class PlanAuditSpec extends SparkSpecBase {
       s"sequence window not user-keyed:\n$p")
   }
 
+  test("q_topk_heap aggregates partially with NO window sort") {
+    val p = plan("q_topk_heap")
+    assert(p.contains("ObjectHashAggregate"),
+      s"heap aggregate not planned as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_top_k_rows"),
+      s"no map-side partial heap:\n$p")
+    assert(!p.contains("Window"), s"window crept into heap top-k:\n$p")
+  }
+
   test("q_join_interval is a bucket equi-join, never a nested loop") {
     val p = plan("q_join_interval")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
