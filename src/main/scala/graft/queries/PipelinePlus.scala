@@ -70,6 +70,46 @@ object PipelinePlus {
         round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy(desc("est_jaccard"), asc("d1"), asc("d2")).limit(20)
 
+  /** Character-level verify stage of the dedup funnel: exact edit
+    * distance over the LSH CANDIDATES only (never all pairs) — the
+    * costly-but-precise check that runs last, when banding has already
+    * cut the pair space. Top-20 closest pairs with the normalized
+    * similarity 1 − lev/max(len). */
+  def qDedupEditdist(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = minhashPairs(spark, sfDir).select("d1", "d2")
+    val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+    cand
+      .join(docs.toDF("d1", "t1"), "d1")
+      .join(docs.toDF("d2", "t2"), "d2")
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+        round(lit(1.0) - levenshtein(col("t1"), col("t2")) /
+          greatest(length(col("t1")), length(col("t2"))).cast("double"), 4)
+          .as("sim"))
+      .orderBy(asc("lev"), asc("d1"), asc("d2")).limit(20)
+  }
+
+  val qDedupEditdistSql: String =
+    s"""WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
+      |    AS term FROM documents WHERE doc_id % 10 = 0),
+      |sig AS (SELECT doc_id, k, min(md5(term || ':' || k)) AS mh
+      |  FROM dt, generate_series(0, ${K - 1}) t(k) GROUP BY doc_id, k),
+      |bands AS (SELECT doc_id, k // 2 AS band,
+      |    string_agg(mh, '|' ORDER BY k) AS bsig
+      |  FROM sig GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+      |    AND a.doc_id < b.doc_id),
+      |lv AS (SELECT d1, d2,
+      |    CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev,
+      |    round(1.0 - levenshtein(x.text, y.text)
+      |      / CAST(greatest(length(x.text), length(y.text)) AS DOUBLE), 4)
+      |      AS sim
+      |  FROM cand JOIN documents x ON x.doc_id = d1
+      |    JOIN documents y ON y.doc_id = d2)
+      |SELECT d1, d2, lev, sim FROM lv
+      |ORDER BY lev, d1, d2 LIMIT 20""".stripMargin
+
   val qDedupMinhashSql: String =
     s"""WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
       |    AS term FROM documents WHERE doc_id % 10 = 0),

@@ -89,4 +89,70 @@ object KernelProps extends Properties("graft.kernels") {
       val bb = functions.ArrayDot.dot(arr(b), arr(b))
       ab == ba && ab * ab <= aa * bb * (1 + 1e-9)
     }
+
+  // ─────────────────────── TopKRows heap aggregate ───────────────────────
+
+  private val rowGen: Gen[(Double, Long, Int)] = for {
+    s <- Gen.chooseNum(-100.0, 100.0)
+    a <- Gen.chooseNum(0L, 50L)
+    b <- Gen.chooseNum(0, 10)
+  } yield (s, a, b)
+
+  private def topkRef(rows: Seq[(Double, Long, Int)],
+      k: Int): Seq[(Double, Long, Int)] =
+    rows.sortBy { case (s, a, b) => (-s, a, b) }.take(k)
+
+  private def heapAgg(k: Int) = {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    functions.TopKRows(
+      BoundReference(0, DoubleType, nullable = false),
+      BoundReference(1, LongType, nullable = false),
+      BoundReference(2, IntegerType, nullable = false), k)
+  }
+
+  private def evalRows(agg: functions.TopKRows)(
+      buf: agg.Buf): Seq[(Double, Long, Int)] = {
+    val arr = agg.eval(buf)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getDouble(0), r.getLong(1), r.getInt(2))
+    }
+  }
+
+  property("TopKRows == sort.take(k) regardless of arrival order") =
+    Prop.forAll(Gen.listOf(rowGen), Gen.chooseNum(1, 5)) { (rows, k) =>
+      val agg = heapAgg(k)
+      val buf = rows.foldLeft(agg.createAggregationBuffer()) { (b, r) =>
+        agg.update(b, org.apache.spark.sql.catalyst.InternalRow(
+          r._1, r._2, r._3))
+      }
+      evalRows(agg)(buf) == topkRef(rows, k)
+    }
+
+  property("TopKRows merge(partials) == single-pass, any split") =
+    Prop.forAll(Gen.listOf(rowGen), Gen.chooseNum(0, 100),
+        Gen.chooseNum(1, 5)) { (rows, cut, k) =>
+      val agg = heapAgg(k)
+      val (l, r) = rows.splitAt(if (rows.isEmpty) 0 else cut % (rows.size + 1))
+      def fill(part: Seq[(Double, Long, Int)]) =
+        part.foldLeft(agg.createAggregationBuffer()) { (b, e) =>
+          agg.update(b, org.apache.spark.sql.catalyst.InternalRow(
+            e._1, e._2, e._3))
+        }
+      val merged = agg.merge(fill(l), fill(r))
+      evalRows(agg)(merged) == topkRef(rows, k)
+    }
+
+  property("TopKRows serialize/deserialize round-trips") =
+    Prop.forAll(Gen.listOf(rowGen), Gen.chooseNum(1, 5)) { (rows, k) =>
+      val agg = heapAgg(k)
+      val buf = rows.foldLeft(agg.createAggregationBuffer()) { (b, r) =>
+        agg.update(b, org.apache.spark.sql.catalyst.InternalRow(
+          r._1, r._2, r._3))
+      }
+      evalRows(agg)(agg.deserialize(agg.serialize(buf))) ==
+        evalRows(agg)(buf)
+    }
 }
