@@ -93,4 +93,92 @@ object Warehouse {
       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
       |    AS valid_to, n_events
       |FROM iv ORDER BY user_id, valid_from""".stripMargin
+
+  /** Snapshot diff (CDC without a log): compare two table versions by
+    * key and classify every row as added / removed / changed / same —
+    * one full-outer join on the key, the shape incremental pipelines
+    * use to derive a changefeed from periodic snapshots. The "new"
+    * snapshot is derived deterministically (drop keys ≡0 mod 7, bump
+    * price on keys ≡1 mod 5, add shifted keys).
+    */
+  def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val old = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v_old"))
+    val nw = Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 5 === 1, col("o_totalprice") + 50)
+          .otherwise(col("o_totalprice")).as("v_new"))
+      .unionByName(Tables.t(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 1000000).as("k"),
+          col("o_totalprice").as("v_new")))
+    old.join(nw, Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("v_old").isNull, "added")
+          .when(col("v_new").isNull, "removed")
+          .when(col("v_old") =!= col("v_new"), "changed")
+          .otherwise("same"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("v_new"), lit(0.0)) -
+          coalesce(col("v_old"), lit(0.0))), 4).as("net_delta"))
+      .orderBy("change")
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v_old
+      |  FROM orders),
+      |nw AS (SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice + 50
+      |      ELSE o_totalprice END AS v_new
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000, o_totalprice FROM orders
+      |  WHERE o_orderkey % 11 = 0),
+      |d AS (SELECT CASE WHEN v_old IS NULL THEN 'added'
+      |      WHEN v_new IS NULL THEN 'removed'
+      |      WHEN v_old <> v_new THEN 'changed' ELSE 'same' END AS change,
+      |    coalesce(v_new, 0.0) - coalesce(v_old, 0.0) AS delta
+      |  FROM old FULL OUTER JOIN nw USING (k))
+      |SELECT change, count(*) AS n, round(sum(delta), 4) AS net_delta
+      |FROM d GROUP BY change ORDER BY change""".stripMargin
+
+  /** Z-order (Morton) layout key: interleave the bits of two clamped
+    * 16-bit dimensions so range predicates on EITHER dimension prune
+    * contiguous key ranges — the multi-dimensional data-layout trick
+    * behind Delta/Iceberg OPTIMIZE ZORDER, computed as a pure codegen
+    * expression (no shuffle; the sort that would follow at scale is the
+    * standard range partition). Top-40 parts by z-value.
+    */
+  def qZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    // floor() BEFORE the long cast on both engines: Spark's cast
+    // truncates but DuckDB's CAST(DOUBLE AS BIGINT) rounds half-even
+    val x = least(col("p_size").cast("long"), lit(65535L))
+    val y = least(floor(col("p_retailprice") / 100).cast("long"), lit(65535L))
+    // interleave via SQL aggregate over the 16 bit positions
+    val z = expr(
+      """aggregate(sequence(0, 15), 0L, (acc, k) ->
+        |  acc
+        |  + (((least(cast(p_size as bigint), 65535L) >> k) & 1) << (2 * k))
+        |  + (((least(cast(floor(p_retailprice / 100) as bigint), 65535L) >> k) & 1)
+        |      << (2 * k + 1)))""".stripMargin)
+    Tables.t(spark, sfDir, "part")
+      .select(col("p_partkey"), x.as("xd"), y.as("yd"), z.as("zval"))
+      .orderBy(asc("zval"), asc("p_partkey"))
+      .limit(40)
+  }
+
+  val qZorderSql: String =
+    """SELECT p_partkey,
+      |  least(CAST(p_size AS BIGINT), 65535) AS xd,
+      |  least(CAST(floor(p_retailprice / 100) AS BIGINT), 65535) AS yd,
+      |  CAST((SELECT sum(
+      |      ((least(CAST(p_size AS BIGINT), 65535) >> k) & 1)
+      |        * (1::BIGINT << (2 * k))
+      |      + ((least(CAST(floor(p_retailprice / 100) AS BIGINT), 65535) >> k)
+      |          & 1) * (1::BIGINT << (2 * k + 1)))
+      |    FROM generate_series(0, 15) t(k)) AS BIGINT) AS zval
+      |FROM part
+      |ORDER BY zval, p_partkey LIMIT 40""".stripMargin
 }
