@@ -71,12 +71,18 @@ object PipelinePlus {
       .orderBy(desc("est_jaccard"), asc("d1"), asc("d2")).limit(20)
 
   /** Character-level verify stage of the dedup funnel: exact edit
-    * distance over the LSH CANDIDATES only (never all pairs) — the
-    * costly-but-precise check that runs last, when banding has already
-    * cut the pair space. Top-20 closest pairs with the normalized
-    * similarity 1 − lev/max(len). */
+    * distance over the 200 most-promising LSH candidates (ranked by
+    * signature estimate — never all pairs, never unbounded). Bounding
+    * by rank keeps the O(len²) levenshtein budget fixed no matter how
+    * degenerate the banding buckets get (this corpus's ~31-term
+    * vocabulary makes candidates near-quadratic at larger SFs). Top-20
+    * closest pairs with normalized similarity 1 − lev/max(len).
+    * Estimates are multiples of 1/8 → binary-exact, so the rank cut is
+    * engine-stable with the (d1, d2) tie-break. */
   def qDedupEditdist(spark: SparkSession, sfDir: String): DataFrame = {
-    val cand = minhashPairs(spark, sfDir).select("d1", "d2")
+    val cand = minhashPairs(spark, sfDir)
+      .orderBy(desc("est_jaccard"), asc("d1"), asc("d2")).limit(200)
+      .select("d1", "d2")
     val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
     cand
       .join(docs.toDF("d1", "t1"), "d1")
@@ -97,9 +103,15 @@ object PipelinePlus {
       |bands AS (SELECT doc_id, k // 2 AS band,
       |    string_agg(mh, '|' ORDER BY k) AS bsig
       |  FROM sig GROUP BY doc_id, band),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |cand0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
       |    AND a.doc_id < b.doc_id),
+      |cand AS (SELECT d1, d2
+      |  FROM cand0 JOIN sig s1 ON s1.doc_id = d1
+      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
+      |  GROUP BY d1, d2
+      |  ORDER BY avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END) DESC,
+      |    d1, d2 LIMIT 200),
       |lv AS (SELECT d1, d2,
       |    CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev,
       |    round(1.0 - levenshtein(x.text, y.text)
