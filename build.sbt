@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE raw JSON line from `runMain graft.Bench` stdout.
+// Default LoggedOutput prefixes every forked-stdout line with "[info] "
+// and sbt appends "[success] Total time..." — both broke the driver's
+// parser in rounds 1-2 (`parsed: null`). StdoutOutput passes the forked
+// JVM's stdout through verbatim; showSuccess drops the trailer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
