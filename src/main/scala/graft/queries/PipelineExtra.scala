@@ -59,10 +59,17 @@ object PipelineExtra {
 
   private val Planes = 8
 
-  /** Deterministic integer "random" hyperplane component for (plane p,
-    * 1-based dim d) — identical arithmetic on both engines, no RNG. */
-  private def planeW(p: Int, d: Column): Column =
-    ((lit(p) * 31 + d * 17) % 7 - 3).cast("double")
+  /** Deterministic integer "random" hyperplane weight for (plane p,
+    * 1-based dim d) — identical arithmetic on both engines, no RNG.
+    * Materialized as a literal array (up to [[MaxDim]] dims; ArrayDot
+    * truncates to the vector's length) instead of a per-row
+    * `transform(sequence(...))`: the former is one codegen'd dot over a
+    * constant, the latter built 8 weight arrays per row through
+    * interpreted higher-order lambdas and bloated the generated code
+    * (~3 s of one-shot codegen at bench time). */
+  private val MaxDim = 512
+  private def planeVec(p: Int): Array[Double] =
+    Array.tabulate(MaxDim)(i => (((p * 31 + (i + 1) * 17) % 7) - 3).toDouble)
 
   /** LSH-bucketed cosine near-dup: 8 sign-of-projection bits form the
     * bucket key; exact cosine is computed only within buckets (the scale
@@ -73,10 +80,8 @@ object PipelineExtra {
     val e = Tables.t(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val dims = sequence(lit(1), size(col("v")))
     val bits = (0 until Planes).map { p =>
-      val dot = graft.functions.VectorOps.dot(
-        col("v"), transform(dims, d => planeW(p, d)))
+      val dot = graft.functions.VectorOps.dot(col("v"), typedLit(planeVec(p)))
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
     val sig = e.withColumn("bucket", concat(bits: _*))
@@ -181,20 +186,41 @@ object PipelineExtra {
     * key is the fingerprint, so cost is one hash shuffle of |docs| rows.
     */
   def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    // min-over-shingle-hashes is computed per row with array_min(transform)
+    // instead of explode + groupBy: same value, but the fingerprint pass
+    // becomes a narrow codegen map — no |shingles|-row shuffle. (The old
+    // explode shape was the whole-query bottleneck: 6.5 s of the 6.5 s
+    // sf0.1 time was the pre-join fingerprint aggregation.)
     val fp = Tables.t(spark, sfDir, "documents")
       .withColumn("arr", split(col("text"), " "))
       .select(col("doc_id"), col("source"),
-        explode(Tables.shingles3Arr(col("arr"), col("text"))).as("sh"))
-      .groupBy("doc_id", "source")
-      .agg(min(md5(col("sh"))).as("fp"))
-    val a = fp.toDF("d1", "src1", "fp")
-    val b = fp.toDF("d2", "src2", "fp")
-    a.join(b, Seq("fp"))
-      .filter(col("src1") < col("src2"))
-      .groupBy("src1", "src2")
-      .agg(count(lit(1)).as("n_collisions"),
-        countDistinct("d1").as("n_docs_1"),
-        countDistinct("d2").as("n_docs_2"))
+        array_min(transform(Tables.shingles3Arr(col("arr"), col("text")),
+          sh => md5(sh))).as("fp"))
+    // Each doc carries exactly ONE fingerprint, so the doc×doc collision
+    // join collapses to arithmetic over per-(fp, source) counts:
+    //   n_collisions(s1,s2) = Σ_fp c1·c2   (pair count)
+    //   n_docs_i(s1,s2)     = Σ_fp c_i     (distinct docs = one fp each)
+    // The naive doc-level self-join is quasi-quadratic when fingerprints
+    // are skewed (this corpus: tiny vocabulary ⇒ heavy fp collisions) and
+    // needs an Expand for the two countDistincts. A fp-keyed SELF-join of
+    // the counts would fix that but still evaluates the fingerprint scan
+    // twice (the broadcast side defeats exchange reuse — measured 4.4 s
+    // vs 0.45 s cached at sf0.1); instead the source-pairs per fp are
+    // generated in-array from one collect_list (≤ |sources|² elements),
+    // so the whole query is a single pass over documents.
+    val g = fp.groupBy("fp", "source").agg(count(lit(1)).as("c"))
+    g.groupBy("fp")
+      .agg(collect_list(struct(col("source"), col("c"))).as("ss"))
+      .select(explode(flatten(transform(col("ss"), x =>
+        filter(
+          transform(col("ss"), y => struct(
+            x("source").as("src1"), y("source").as("src2"),
+            x("c").as("c1"), y("c").as("c2"))),
+          p => p("src1") < p("src2"))))).as("p"))
+      .groupBy(col("p.src1").as("src1"), col("p.src2").as("src2"))
+      .agg(sum(col("p.c1") * col("p.c2")).as("n_collisions"),
+        sum(col("p.c1")).as("n_docs_1"),
+        sum(col("p.c2")).as("n_docs_2"))
       .orderBy("src1", "src2")
   }
 
