@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 event analytics (SURVEY.md §2.12): attribution, path mining,
+  * dwell-time stats. All three are one-key-shuffle window plans — events
+  * shuffle once on user_id and every window sorts only its own user's
+  * rows, so the shapes hold unchanged on a 1000-executor cluster (user_id
+  * is high-cardinality; no global window anywhere).
+  */
+object EventsPlus {
+
+  private val SevenDaysUs = 604800000000L
+
+  /** Last-touch attribution: each purchase is credited to the same user's
+    * most recent PRIOR click, if it happened within 7 days. One pass:
+    * `last(click, ignoreNulls)` over an unbounded-preceding-to-previous-row
+    * frame carries the latest click downstream — no self-join of events
+    * against events (the naive formulation shuffles the table twice and
+    * explodes on active users).
+    */
+  def qEvtAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isClick = col("event_type") === "click"
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("click_id",
+        last(when(isClick, col("event_id")), ignoreNulls = true).over(byUser))
+      .withColumn("click_ts",
+        last(when(isClick, col("ts_us")), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("in_window",
+        col("ts_us") - col("click_ts") <= SevenDaysUs)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(col("in_window"), col("click_id")).as("click_id"),
+        when(col("in_window"),
+          expr("(ts_us - click_ts) div 1000000")).as("attr_sec"))
+      .orderBy("purchase_id")
+  }
+
+  val qEvtAttributionSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |w AS (SELECT *,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+      |      IGNORE NULLS) OVER pre AS c_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts_us END
+      |      IGNORE NULLS) OVER pre AS c_ts
+      |  FROM e
+      |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id,
+      |  CASE WHEN ts_us - c_ts <= $SevenDaysUs THEN c_id END AS click_id,
+      |  CASE WHEN ts_us - c_ts <= $SevenDaysUs
+      |    THEN (ts_us - c_ts) // 1000000 END AS attr_sec
+      |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
+  /** Top-20 3-step event-type paths (lead×2 per user, count desc, path
+    * asc tiebreak) — the "what do users do next" path-mining shape. */
+  def qEvtPath(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("t2", lead("event_type", 1).over(byUser))
+      .withColumn("t3", lead("event_type", 2).over(byUser))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(20)
+  }
+
+  val qEvtPathSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |w AS (SELECT event_type,
+      |    lead(event_type, 1) OVER u AS t2,
+      |    lead(event_type, 2) OVER u AS t3
+      |  FROM e
+      |  WINDOW u AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
+      |FROM w WHERE t3 IS NOT NULL
+      |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  /** Dwell-time stats per event type: gap to the user's next event.
+    * All outputs are integer µs/ms/sec arithmetic (`div`) — FP-grid-free
+    * on both engines (BASELINE hazard list).
+    */
+  def qEvtDwell(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap_us", lead("ts_us", 1).over(byUser) - col("ts_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(gap_us) div 1000000").as("sum_gap_sec"),
+        expr("(sum(gap_us) div count(1)) div 1000").as("mean_gap_ms"),
+        expr("max(gap_us) div 1000000").as("max_gap_sec"))
+      .orderBy("event_type")
+  }
+
+  val qEvtDwellSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |g AS (SELECT event_type,
+      |    lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us,
+      |      event_id) - ts_us AS gap_us
+      |  FROM e)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(gap_us) AS BIGINT) // 1000000 AS sum_gap_sec,
+      |  (CAST(sum(gap_us) AS BIGINT) // count(*)) // 1000 AS mean_gap_ms,
+      |  max(gap_us) // 1000000 AS max_gap_sec
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+}

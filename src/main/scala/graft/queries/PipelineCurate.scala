@@ -1,0 +1,327 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 training-data curation wave (SURVEY.md §2.10g): boilerplate
+  * scoring, temperature-weighted source mixing, BPE pair counts, char
+  * entropy, bigram LM, n-gram decontamination, OOV rate, full winnowing.
+  *
+  * Determinism rules applied throughout (BASELINE hazard list): ratios
+  * ship as integer ppm via `div` (never rounded doubles on the .00005
+  * grid); DuckDB HUGEINT sums are CAST AS BIGINT; entropy-style log sums
+  * follow q_surprisal's round(4) precedent.
+  */
+object PipelineCurate {
+
+  // ─────────────── boilerplate shingle scoring ───────────────
+
+  /** C4-style boilerplate score: the fraction (ppm) of a doc's distinct
+    * 3-token shingles that are "common" (appear in ≥20 docs). Two key
+    * shuffles — (doc, shingle) distinct + shingle df — then one rejoin on
+    * shingle; never doc×doc. At 100 TB the df side is the small one
+    * (vocab-bounded) and broadcasts.
+    */
+  def qBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(Tables.shingles3Arr(col("arr"), col("text"))).as("sh"))
+      .distinct()
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 20, 1L).otherwise(0L)).as("n_common"),
+        expr("(sum(CASE WHEN df >= 20 THEN 1 ELSE 0 END) * 1000000)" +
+          " div count(1)").as("boiler_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val qBoilerplateSql: String =
+    s"""WITH sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(${Tables.shingles3Sql}) AS sh
+      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS arr
+      |          FROM documents))),
+      |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN df >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_common,
+      |  (CAST(sum(CASE WHEN df >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000) // count(*) AS boiler_ppm
+      |FROM sh JOIN df USING (sh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ─────────────── temperature-weighted source mixing ───────────────
+
+  /** Temperature sampling across languages (α = 0.5): weight ∝ √n_l,
+    * normalized, then per-doc keep decision by content-hash bucket <
+    * keep-rate. All arithmetic is integer after one exactly-rounded
+    * IEEE sqrt (s = ⌊√(n·10⁶)⌋), so weights are bit-identical on any
+    * engine — no FP accumulation anywhere. The per-lang weight table is
+    * |langs| rows (broadcast); docs take one narrow hash pass.
+    */
+  def qMixSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", floor(sqrt(col("n_docs") * lit(1000000.0))).cast("long"))
+    val z = counts.agg(sum("s").as("z"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val rates = counts.crossJoin(broadcast(z)).crossJoin(broadcast(tot))
+      .withColumn("weight_ppm", expr("(s * 1000000) div z"))
+      .withColumn("keep_ppm",
+        least(lit(1000000L), expr("(weight_ppm * n_total) div n_docs")))
+      .select("lang", "n_docs", "weight_ppm", "keep_ppm")
+    val kept = docs
+      .withColumn("bucket",
+        conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long") % 1000000L)
+      .join(broadcast(rates.select("lang", "keep_ppm")), "lang")
+      .filter(col("bucket") < col("keep_ppm"))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("weight_ppm"), col("keep_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val qMixSampleSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n_docs,
+      |    CAST(floor(sqrt(count(*) * 1000000.0)) AS BIGINT) AS s
+      |  FROM documents GROUP BY lang),
+      |z AS (SELECT CAST(sum(s) AS BIGINT) AS z FROM c),
+      |tot AS (SELECT count(*) AS n_total FROM documents),
+      |rates AS (SELECT lang, n_docs, (s * 1000000) // z AS weight_ppm,
+      |    least(1000000, ((s * 1000000) // z * n_total) // n_docs)
+      |      AS keep_ppm
+      |  FROM c CROSS JOIN z CROSS JOIN tot),
+      |kept AS (SELECT lang, count(*) AS n_kept
+      |  FROM documents JOIN rates USING (lang)
+      |  WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000
+      |    < keep_ppm
+      |  GROUP BY lang)
+      |SELECT lang, n_docs, weight_ppm, keep_ppm,
+      |  coalesce(n_kept, 0) AS n_kept
+      |FROM rates LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin
+
+  // ─────────────── BPE pair counts (tokenizer training step 1) ───────────────
+
+  /** First BPE merge-table step: corpus-weighted counts of adjacent
+    * character pairs inside words. Runs over the DISTINCT-term frequency
+    * table (vocab-sized, ≪ corpus) — the token stream is aggregated
+    * before any per-character work, which is the only formulation that
+    * survives 100 TB (chars explode 6× the corpus otherwise).
+    */
+  def qBpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tokens(spark, sfDir)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .filter(length(col("term")) >= 2)
+      .select(col("tf"), explode(expr(
+        "transform(sequence(1, length(term) - 1), i -> substr(term, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(sum("tf").as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(20)
+
+  val qBpePairsSql: String =
+    """WITH tf AS (SELECT term, count(*) AS tf FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY term),
+      |p AS (SELECT substr(term, i, 2) AS pair, tf
+      |  FROM tf, unnest(generate_series(1, len(term) - 1)) t(i)
+      |  WHERE len(term) >= 2)
+      |SELECT pair, CAST(sum(tf) AS BIGINT) AS n
+      |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
+  // ─────────────── per-doc character entropy ───────────────
+
+  /** Shannon entropy of each doc's character distribution (incl. spaces):
+    * H = log2(n) − Σ c·log2(c) / n. One (doc, char) shuffle with the
+    * per-char counts partial-aggregated map-side; alphabet is bounded so
+    * groups are tiny. round(4) per q_surprisal's precedent.
+    */
+  def qCharEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_chars_t"),
+        round(log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c"), 4)
+          .as("entropy"))
+      .orderBy("doc_id")
+
+  val qCharEntropySql: String =
+    """WITH ch AS (SELECT doc_id, text[i] AS ch
+      |  FROM documents, unnest(generate_series(1, len(text))) t(i)),
+      |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_t,
+      |  round(log2(CAST(sum(c) AS DOUBLE))
+      |    - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy
+      |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ─────────────── bigram language model ───────────────
+
+  /** Bigram LM head: top-20 bigrams with conditional probability
+    * p(w2|w1) in ppm — numerator/denominator both from the bigram count
+    * table, so the window that computes the prefix totals runs over the
+    * bigram VOCABULARY (≪ corpus), not the token stream.
+    */
+  def qNgramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPrefix = Window.partitionBy("w1")
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(explode(expr(
+        "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1)," +
+          " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("n_prefix", sum("n").over(byPrefix))
+      .withColumn("cond_ppm", expr("(n * 1000000) div n_prefix"))
+      .select("bigram", "n", "n_prefix", "cond_ppm")
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+  }
+
+  val qNgramLmSql: String =
+    """WITH b AS (SELECT arr[i] || ' ' || arr[i+1] AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS arr FROM documents),
+      |    unnest(generate_series(1, len(arr) - 1)) t(i)),
+      |c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram),
+      |w AS (SELECT bigram, n, split_part(bigram, ' ', 1) AS w1,
+      |    CAST(sum(n) OVER (PARTITION BY split_part(bigram, ' ', 1))
+      |      AS BIGINT) AS n_prefix
+      |  FROM c)
+      |SELECT bigram, n, n_prefix, (n * 1000000) // n_prefix AS cond_ppm
+      |FROM w ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  // ─────────────── n-gram decontamination fraction ───────────────
+
+  /** Benchmark decontamination: for every training doc (source ≠ src0),
+    * the fraction (ppm) of its distinct 3-gram shingles that also occur
+    * in the benchmark source (src0). The benchmark shingle set is the
+    * small side — broadcast — so the corpus side stays a narrow
+    * probe-shaped left join; top-50 most contaminated docs.
+    */
+  def qDecontamNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        explode(Tables.shingles3Arr(col("arr"), col("text"))).as("sh"))
+      .distinct()
+    val bench = sh.filter(col("source") === "src0")
+      .select("sh").distinct().withColumn("hit", lit(1L))
+    sh.filter(col("source") =!= "src0")
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        expr("(sum(coalesce(hit, 0)) * 1000000) div count(1)")
+          .as("contam_ppm"))
+      .orderBy(desc("contam_ppm"), asc("doc_id"))
+      .limit(50)
+  }
+
+  val qDecontamNgramSql: String =
+    s"""WITH sh AS (SELECT DISTINCT doc_id, source, sh FROM (
+      |    SELECT doc_id, source, unnest(${Tables.shingles3Sql}) AS sh
+      |    FROM (SELECT doc_id, source, text, string_split(text, ' ') AS arr
+      |          FROM documents))),
+      |bench AS (SELECT DISTINCT sh, 1 AS hit FROM sh WHERE source = 'src0')
+      |SELECT doc_id, source, count(*) AS n_shingles,
+      |  CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_hit,
+      |  (CAST(sum(coalesce(hit, 0)) AS BIGINT) * 1000000) // count(*)
+      |    AS contam_ppm
+      |FROM sh LEFT JOIN bench USING (sh)
+      |WHERE source <> 'src0'
+      |GROUP BY doc_id, source
+      |ORDER BY contam_ppm DESC, doc_id LIMIT 50""".stripMargin
+
+  // ─────────────── OOV rate vs corpus vocabulary ───────────────
+
+  /** Out-of-vocabulary token rate per source against the corpus's own
+    * top-1000 vocabulary (tf desc, term asc cutoff). The vocab is
+    * vocab-bounded (window over distinct terms only) and broadcasts into
+    * a narrow probe join over the token stream.
+    */
+  def qTokOov(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.tokens(spark, sfDir)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("tf"), asc("term"))))
+      .filter(col("rk") <= 1000)
+      .select(col("term")).withColumn("in_vocab", lit(1L))
+    Tables.tokens(spark, sfDir)
+      .join(Tables.t(spark, sfDir, "documents").select("doc_id", "source"),
+        "doc_id")
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        expr("(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) * 1000000)" +
+          " div count(1)").as("oov_ppm"))
+      .orderBy("source")
+  }
+
+  val qTokOovSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |vocab AS (SELECT term, 1 AS in_vocab FROM (
+      |    SELECT term, row_number() OVER (ORDER BY count(*) DESC, term)
+      |      AS rk
+      |    FROM tok GROUP BY term) WHERE rk <= 1000)
+      |SELECT source, count(*) AS n_tok,
+      |  CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  (CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000) // count(*) AS oov_ppm
+      |FROM tok
+      |JOIN documents USING (doc_id)
+      |LEFT JOIN vocab USING (term)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ─────────────── full winnowing fingerprints ───────────────
+
+  /** Full winnowing (window w = 4 over 3-token shingle hashes): each
+    * length-4 hash window contributes its minimum; the doc's fingerprint
+    * set is the distinct window minima (MOSS-style — guarantees any ≥6
+    * -token match between docs shares a fingerprint). Per-doc windows
+    * partition on doc_id, so no global sort; docs with <4 shingles drop
+    * out (both engines filter identically).
+    */
+  def qWinnowFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, 3)
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(Tables.shingles3Arr(col("arr"), col("text"))))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
+      .withColumn("wmin", min("h").over(byDoc))
+      .withColumn("wlen", count("h").over(byDoc))
+      .filter(col("wlen") === 4)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct("wmin").as("n_fp"),
+        min("wmin").as("min_fp"))
+      .orderBy("doc_id")
+  }
+
+  val qWinnowFullSql: String =
+    s"""WITH sh AS (SELECT doc_id, i AS pos, md5(shs[i]) AS h
+      |  FROM (SELECT doc_id, ${Tables.shingles3Sql} AS shs
+      |    FROM (SELECT doc_id, text, string_split(text, ' ') AS arr
+      |          FROM documents)),
+      |    unnest(generate_series(1, len(shs))) t(i)),
+      |w AS (SELECT doc_id,
+      |    min(h) OVER win AS wmin, count(h) OVER win AS wlen
+      |  FROM sh
+      |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+      |SELECT doc_id, count(*) AS n_windows,
+      |  count(DISTINCT wmin) AS n_fp, min(wmin) AS min_fp
+      |FROM w WHERE wlen = 4
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Round-3 relational breadth (SURVEY.md §2.14): gaps-and-islands,
+  * regression/correlation aggregates, calendar densification, zone-map
+  * partition stats. Scale notes inline per operator.
+  */
+object RelationalExtra {
+
+  /** Gaps-and-islands: per customer, consecutive orders ≤30 days apart
+    * form one island (lag → new-island flag → running flag sum as island
+    * id). One shuffle on o_custkey; every window sorts only one
+    * customer's orders, so the plan is skew-safe at any corpus size.
+    */
+  def qGapsIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(spark, sfDir, "orders")
+      .withColumn("prev", lag("o_orderdate", 1).over(byCust))
+      .withColumn("flag",
+        when(col("prev").isNull
+          || datediff(col("o_orderdate"), col("prev")) > 30, 1).otherwise(0))
+      .withColumn("island", sum("flag").over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("o_custkey", "island")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_orderdate").as("start_date"),
+        max("o_orderdate").as("end_date"),
+        datediff(max("o_orderdate"), min("o_orderdate")).as("span_days"))
+      .orderBy("o_custkey", "island")
+  }
+
+  val qGapsIslandsSql: String =
+    """WITH f AS (SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CASE WHEN lag(o_orderdate) OVER w IS NULL
+      |      OR date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+      |        CAST(o_orderdate AS DATE)) > 30 THEN 1 ELSE 0 END AS flag
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |i AS (SELECT *, CAST(sum(flag) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS island
+      |  FROM f)
+      |SELECT o_custkey, island, count(*) AS n_orders,
+      |  min(o_orderdate) AS start_date, max(o_orderdate) AS end_date,
+      |  date_diff('day', CAST(min(o_orderdate) AS DATE),
+      |    CAST(max(o_orderdate) AS DATE)) AS span_days
+      |FROM i GROUP BY o_custkey, island
+      |ORDER BY o_custkey, island""".stripMargin
+
+  /** Regression / correlation aggregates per return flag — corr, both
+    * covariances, OLS slope/intercept/r². All are single-pass mergeable
+    * co-moment aggregates (partial+final HashAggregate, no row shuffle
+    * beyond the group key), exactly how a 100 TB profile pass runs.
+    */
+  def qCorrStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
+        round(covar_pop("l_quantity", "l_extendedprice"), 4).as("covar_p"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_s"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+          .as("icept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"))
+      .orderBy("l_returnflag")
+
+  val qCorrStatsSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Calendar gap-fill densification: month × priority grid (generated
+    * analytically from the fact's min/max — never materialized as a
+    * table) left-joined against pre-aggregated monthly counts. The fact
+    * table aggregates BEFORE the join, so the join input is |months| ×
+    * |priorities| regardless of corpus size, and the generated dimension
+    * side broadcasts.
+    */
+  def qSeqFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val od = t(spark, sfDir, "orders")
+      .select(date_trunc("month", col("o_orderdate")).as("mon"),
+        col("o_orderpriority").as("prio"))
+    val months = od.agg(min("mon").as("lo"), max("mon").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("mon"))
+    val prios = od.select("prio").distinct()
+    val actual = od.groupBy("mon", "prio").agg(count(lit(1)).as("cnt"))
+    broadcast(months.crossJoin(prios))
+      .join(actual, Seq("mon", "prio"), "left")
+      .select(col("mon"), col("prio"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        when(col("cnt").isNull, 1).otherwise(0).as("filled"))
+      .orderBy("mon", "prio")
+  }
+
+  val qSeqFillSql: String =
+    """WITH od AS (SELECT date_trunc('month', o_orderdate) AS mon,
+      |    o_orderpriority AS prio FROM orders),
+      |months AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+      |    AS mon FROM (SELECT min(mon) AS lo, max(mon) AS hi FROM od)),
+      |grid AS (SELECT mon, prio FROM months
+      |  CROSS JOIN (SELECT DISTINCT prio FROM od)),
+      |actual AS (SELECT mon, prio, count(*) AS cnt FROM od GROUP BY 1, 2)
+      |SELECT mon, prio, coalesce(cnt, 0) AS n,
+      |  CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS filled
+      |FROM grid LEFT JOIN actual USING (mon, prio)
+      |ORDER BY mon, prio""".stripMargin
+
+  /** Zone-map stats per layout partition (ship month): row count, join-key
+    * min/max, distinct parts, price sum — the per-file statistics a
+    * lakehouse writer records so later scans can prune (data skipping).
+    * One partial-aggregable pass; at 100 TB this runs as part of the
+    * write, one stats row per output partition.
+    */
+  def qPartitionStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("part_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        countDistinct("l_partkey").as("n_parts"),
+        round(sum("l_extendedprice"), 4).as("sum_price"))
+      .orderBy("part_month")
+
+  val qPartitionStatsSql: String =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+      |    AS part_month,
+      |  count(*) AS n_rows,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  round(sum(l_extendedprice), 4) AS sum_price
+      |FROM lineitem GROUP BY part_month ORDER BY part_month""".stripMargin
+}
