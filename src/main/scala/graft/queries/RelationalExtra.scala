@@ -131,6 +131,34 @@ object RelationalExtra {
         round(sum("l_extendedprice"), 4).as("sum_price"))
       .orderBy("part_month")
 
+  /** Two-phase salted aggregation: the skew-safe shape for a hot group
+    * key. Phase 1 aggregates on (key, salt) — a hot key's rows spread
+    * over 8 reducers instead of melting one — phase 2 merges the 8
+    * partials per key. Result ≡ the plain groupBy (the oracle IS the
+    * equality check). Measures are exact integers (cents / unit
+    * quantities), so the re-association is bit-exact on any engine.
+    */
+  def qSkewAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("c"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .groupBy("l_returnflag")
+      .agg(sum("c").as("n_items"),
+        sum("cents").as("revenue_cents"),
+        sum("qty").as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  val qSkewAggSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val qPartitionStatsSql: String =
     """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
       |    AS part_month,

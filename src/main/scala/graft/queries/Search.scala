@@ -270,4 +270,49 @@ object Search {
        |SELECT d1, d2, round(dot / (x.nrm * y.nrm), 4) AS cos
        |FROM pairs JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
        |ORDER BY cos DESC, d1, d2 LIMIT 20""".stripMargin
+
+  /** Negation query 'spark AND NOT stream' (round 3): positive postings
+    * anti-joined against the negative term's posting list. The anti side
+    * is one term's postings — small → broadcast anti join at scale, the
+    * standard exclusion-list shape.
+    */
+  def qSearchNot(spark: SparkSession, sfDir: String): DataFrame = {
+    val neg = Tables.docTerms(spark, sfDir)
+      .filter(col("term") === "stream").select("doc_id")
+    tfidfRaw(spark, sfDir)
+      .filter(col("term") === "spark")
+      .join(broadcast(neg), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val qSearchNotSql: String =
+    s"""$tfidfCte
+       |SELECT doc_id, round(score, 4) AS score FROM scores
+       |WHERE term = 'spark' AND doc_id NOT IN
+       |  (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream')
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Prefix (wildcard) query 'pa%' (round 3): all terms sharing the
+    * prefix score together — docs ranked by summed tf-idf over matching
+    * terms. On a term-sorted postings layout the prefix predicate prunes
+    * to a contiguous key range (the same reason leading-wildcard queries
+    * can't); here it reaches the scan as a StartsWith pushed filter.
+    */
+  def qSearchPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfRaw(spark, sfDir)
+      .filter(col("term").startsWith("pa"))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("n_terms"),
+        round(sum("score"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+
+  val qSearchPrefixSql: String =
+    s"""$tfidfCte
+       |SELECT doc_id, count(DISTINCT term) AS n_terms,
+       |  round(sum(score), 4) AS score
+       |FROM scores WHERE term LIKE 'pa%'
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 }

@@ -316,4 +316,67 @@ object Streams {
     } finally q.stop()
     spark.table("s_stream_file").orderBy("event_type")
     }
+
+  /** Spark 4 `transformWithState` (the StatefulProcessor arbitrary-state
+    * API that replaces flatMapGroupsWithState): per-user running count +
+    * value sum held in a typed ValueState, updated across two micro-
+    * batches. Requires the RocksDB state store provider — the same
+    * provider a production cluster runs for large state (incremental
+    * checkpoint, state >> heap) — set for this query and restored after.
+    */
+  def sStreamTws(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = eventRows(spark, sfDir).filter(_.user_id < 8)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val stream = newStream(spark)
+      val proc = new org.apache.spark.sql.streaming.StatefulProcessor[
+          Long, Ev, (Long, Long, Double)] {
+        @transient private var agg:
+            org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+        override def init(outputMode: OutputMode,
+            timeMode: TimeMode): Unit =
+          agg = getHandle.getValueState[(Long, Double)]("agg",
+            Encoders.product[(Long, Double)], TTLConfig.NONE)
+        override def handleInputRows(user: Long, evs: Iterator[Ev],
+            timers: org.apache.spark.sql.streaming.TimerValues)
+            : Iterator[(Long, Long, Double)] = {
+          val (n0, s0) = if (agg.exists()) agg.get() else (0L, 0.0)
+          val batch = evs.toSeq
+          val next = (n0 + batch.size, s0 + batch.map(_.value).sum)
+          agg.update(next)
+          Iterator((user, next._1, next._2))
+        }
+      }
+      val q = stream.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(proc, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "value_sum")
+        .writeStream.format("memory").queryName("s_stream_tws")
+        .outputMode("update").start()
+      try {
+        stream.addData(b1.toSeq)
+        q.processAllAvailable()
+        stream.addData(b2.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      // one row per (user, batch) in update mode → keep the final state
+      spark.table("s_stream_tws")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"),
+          round(expr("max_by(value_sum, n_events)"), 4).as("value_sum"))
+        .orderBy("user_id")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    }
 }

@@ -40,6 +40,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(diff == 0)
   }
 
+  test("transformWithState running totals equal batch per-user aggregates") {
+    val state = streaming.Streams.sStreamTws(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .filter(col("user_id") < 8)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("value_sum"))
+    val diff = state.except(batch).count() + batch.except(state).count()
+    assert(diff == 0)
+    // the session-level state store provider must be restored afterwards
+    // (getOption surfaces the session default, so assert "not RocksDB")
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("stream-static join matches the batch join aggregates") {
     val streamed = streaming.Streams.sStreamJoin(spark, sf)
     val batch = Tables.events(spark, sf)
