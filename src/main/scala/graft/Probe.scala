@@ -1,5 +1,5 @@
 package graft
-// Dev-only scratch profiler (deleted before round end).
+// Dev tool: stage-level scratch profiler for plan investigation.
 import org.apache.spark.sql.SparkSession
 
 object Probe {

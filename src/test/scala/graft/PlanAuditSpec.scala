@@ -151,4 +151,59 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"),
       s"grid join fell back to sort-merge:\n$p")
   }
+
+  // ───────────────────────── round-3 shapes ─────────────────────────
+
+  test("q_contamination is a single pass — one documents scan, no self-join") {
+    val p = plan("q_contamination")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"fingerprint scan evaluated more than once:\n$p")
+    assert(!p.contains("Join"), s"pair generation regressed to a join:\n$p")
+  }
+
+  test("q_decontam_ngram probes a BROADCAST benchmark set, no BNLJ") {
+    val p = plan("q_decontam_ngram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle set not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      s"decontam probe degenerated:\n$p")
+  }
+
+  test("q_tok_oov probes a broadcast vocab; its only global window is vocab-bounded") {
+    val p = plan("q_tok_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab probe join is not broadcast:\n$p")
+  }
+
+  test("q_skew_agg plans two aggregation phases with map-side partials") {
+    val p = plan("q_skew_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side partial aggregation:\n$p")
+    assert(p.linesIterator.count(l => l.contains("HashAggregate")
+        && l.contains("salt")) >= 2,
+      s"salted phase-1 aggregate missing:\n$p")
+  }
+
+  test("q_search_prefix pushes StartsWith down to the scan") {
+    val p = plan("q_search_prefix")
+    assert(p.contains("StringStartsWith") || p.contains("StartsWith"),
+      s"prefix predicate not pushed:\n$p")
+  }
+
+  test("q_seq_fill broadcasts the generated grid against pre-aggregated counts") {
+    val p = plan("q_seq_fill")
+    assert(p.contains("BroadcastHashJoin"),
+      s"grid join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"grid join fell back to sort-merge:\n$p")
+  }
+
+  test("q_evt_attribution uses one user-keyed window, no events self-join") {
+    val p = plan("q_evt_attribution")
+    assert(!p.contains("Join"), s"attribution regressed to a self-join:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(_.contains("user_id")),
+      s"attribution window not user-keyed:\n$p")
+  }
 }
