@@ -106,6 +106,47 @@ object EventsPlus {
       .orderBy("event_type")
   }
 
+  /** EWMA smoothing of the daily event-count series per type, with a
+    * truncated 8-day horizon: ewma = Σ_{k=0..7} 0.5^k · cnt_{t-k}. The
+    * dyadic weights make every product/sum exactly representable, so
+    * Spark and the oracle agree bit-for-bit (no FP-grid hazard). Scale:
+    * the series is calendar-bounded (days × types), so the window runs
+    * over a pre-aggregated table orders of magnitude smaller than the
+    * event stream; the event scan itself is one partial-aggregable
+    * groupBy.
+    */
+  def qEvtEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    val ewma = (0 to 7).map(k =>
+      lag(col("cnt"), k, 0).over(byType) * lit(math.pow(0.5, k)))
+      .reduce(_ + _)
+    daily
+      .withColumn("ewma8", round(ewma, 4))
+      .orderBy("event_type", "day")
+  }
+
+  val qEvtEwmaSql: String = {
+    // CAST AS DOUBLE: DuckDB's 0.5^k literals are DECIMAL, and
+    // BIGINT·DECIMAL sums stay DECIMAL — the driver would see
+    // Decimal vs Spark's float64. Double weights keep both engines
+    // in the same (exactly-representable, dyadic) arithmetic.
+    val terms = (0 to 7)
+      .map(k =>
+        s"lag(cnt, $k, 0) OVER w * CAST(${math.pow(0.5, k)} AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH daily AS (SELECT event_type,
+      |    CAST(ts AS DATE) AS day,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY event_type, day)
+      |SELECT event_type, day, cnt, round($terms, 4) AS ewma8
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |ORDER BY event_type, day""".stripMargin
+  }
+
   val qEvtDwellSql: String =
     """WITH e AS (SELECT event_id, user_id, event_type,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Round-3 embedding/ML primitives over the `embeddings` table
+  * (SURVEY.md §2.10h): SemDeDup-style cluster-then-pairwise semantic
+  * dedup, one PCA power-iteration step, one k-means Lloyd step.
+  *
+  * Scale design shared by all three: the centroid/seed side is O(k)
+  * rows (broadcast), the assignment pass is narrow (one scan, codegen'd
+  * `ArrayDot` kernel, no shuffle), and the only shuffles are
+  * aggregations on bounded key spaces (k clusters, d dims, k×d pairs) —
+  * all partial-aggregable, so the plan is a map-side combine followed
+  * by a tiny exchange regardless of corpus size.
+  */
+object PipelineML {
+
+  private val Dim = 64
+
+  /** Embeddings with the vector cast element-wise to double (DuckDB
+    * computes over DOUBLE after CAST; float math would diverge). */
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Seed vectors (k = 3): vec_ids 0/1/2 — deterministic on any engine.
+    * A bounded dimension table → always broadcast. */
+  private def seeds(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("seed_id"), col("v").as("c"))
+
+  /** Nearest-seed assignment by cosine: rank the k candidate rows per
+    * vector (cos desc, seed asc tiebreak) and keep rank 1. The rank
+    * window partitions on vec_id with exactly k rows per partition —
+    * skew-free at any scale. */
+  private def assign(spark: SparkSession, sfDir: String): DataFrame = {
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(desc("cos"), asc("seed_id"))
+    vecs(spark, sfDir)
+      .crossJoin(broadcast(seeds(spark, sfDir)))
+      .withColumn("cos", VectorOps.cosine(col("v"), col("c")))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("seed_id").as("cluster"))
+  }
+
+  // Cosines are ranked (argmax), so the oracle must compute them in
+  // DOUBLE like the Spark side — float32 kernels could flip a ranking
+  // that round(4) can no longer repair.
+  private val assignSql: String =
+    """ed AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |vc AS (SELECT e.vec_id, e.v, s.vec_id AS seed_id,
+      |    list_cosine_similarity(e.v, s.v) AS cos
+      |  FROM ed e, ed s WHERE s.vec_id < 3),
+      |asg AS (SELECT vec_id, v, seed_id AS cluster
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, seed_id) AS rk FROM vc)
+      |  WHERE rk = 1)""".stripMargin
+
+  /** SemDeDup (Abbas et al. 2023 shape): cluster by nearest seed, then
+    * rank pairwise cosine WITHIN each cluster only and emit the top-5
+    * most-redundant pairs per cluster (drop side = higher vec_id). The
+    * pairwise stage is quadratic only in the cluster, never the corpus —
+    * at 100 TB, k grows ∝ n so cluster sizes stay bounded; the
+    * within-cluster join is an equi-join on the cluster key.
+    */
+  def qSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val asg = assign(spark, sfDir)
+    val a = asg.select(col("cluster"), col("vec_id").as("keep_id"),
+      col("v").as("va"))
+    val b = asg.select(col("cluster"), col("vec_id").as("drop_id"),
+      col("v").as("vb"))
+    val byCluster = Window.partitionBy("cluster")
+      .orderBy(desc("cos"), asc("keep_id"), asc("drop_id"))
+    a.join(b, Seq("cluster"))
+      .filter(col("keep_id") < col("drop_id"))
+      .withColumn("cos",
+        round(VectorOps.cosine(col("va"), col("vb")), 4))
+      .withColumn("rk", row_number().over(byCluster))
+      .filter(col("rk") <= 5)
+      .select(col("cluster"), col("rk").cast("long").as("rk"),
+        col("keep_id"), col("drop_id"), col("cos"))
+      .orderBy("cluster", "rk")
+  }
+
+  val qSemdedupSql: String =
+    s"""WITH $assignSql,
+      |pairs AS (SELECT a.cluster, a.vec_id AS keep_id,
+      |    b.vec_id AS drop_id,
+      |    round(list_cosine_similarity(a.v, b.v), 4) AS cos
+      |  FROM asg a JOIN asg b ON a.cluster = b.cluster
+      |    AND a.vec_id < b.vec_id)
+      |SELECT cluster, CAST(rk AS BIGINT) AS rk, keep_id, drop_id, cos
+      |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+      |    ORDER BY cos DESC, keep_id, drop_id) AS rk FROM pairs)
+      |WHERE rk <= 5 ORDER BY cluster, rk""".stripMargin
+
+  /** One PCA power-iteration step: w = Σᵢ (xᵢ·v₀) xᵢ with v₀ = 1/8
+    * (the d=64 uniform unit vector), normalized to unit length. The
+    * projection xᵢ·v₀ is a narrow per-row fold; the per-dim sum is a
+    * 64-group partial aggregate (map-side combine → 64-row exchange);
+    * the normalizer is a broadcast scalar. Nothing here grows with the
+    * corpus except the one narrow scan.
+    */
+  def qPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val proj = vecs(spark, sfDir)
+      .withColumn("y", expr("aggregate(v, 0D, (acc, x) -> acc + x) / 8"))
+    val w = proj
+      .select(col("y"), posexplode(col("v")).as(Seq("dim0", "x")))
+      .groupBy((col("dim0") + 1).as("dim"))
+      .agg(sum(col("y") * col("x")).as("w"))
+    val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.crossJoin(broadcast(nrm))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("w") / col("nrm"), 4).as("pc"))
+      .orderBy("dim")
+  }
+
+  val qPcaPowerSql: String =
+    s"""WITH x AS (SELECT vec_id, j AS dim,
+      |    CAST(embedding[j] AS DOUBLE) AS xv
+      |  FROM embeddings, generate_series(1, $Dim) t(j)),
+      |y AS (SELECT vec_id, sum(xv) / 8 AS y FROM x GROUP BY vec_id),
+      |d AS (SELECT dim, sum(y.y * x.xv) AS w
+      |  FROM x JOIN y USING (vec_id) GROUP BY dim),
+      |n AS (SELECT sqrt(sum(w * w)) AS nrm FROM d)
+      |SELECT CAST(dim AS BIGINT) AS dim, round(w / nrm, 4) AS pc
+      |FROM d, n ORDER BY dim""".stripMargin
+
+  /** One k-means Lloyd step from the k = 3 deterministic seeds:
+    * nearest-seed assignment (cosine), then the new centroid mean per
+    * (cluster, dim) — a k×d = 192-group partial aggregate — reporting
+    * cluster sizes and the first 4 centroid coordinates. */
+  def qKmeansIter(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = assign(spark, sfDir)
+      .select(col("cluster"), col("v"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        round(expr("avg(v[0])"), 4).as("c1"),
+        round(expr("avg(v[1])"), 4).as("c2"),
+        round(expr("avg(v[2])"), 4).as("c3"),
+        round(expr("avg(v[3])"), 4).as("c4"))
+    sizes.orderBy("cluster")
+  }
+
+  val qKmeansIterSql: String =
+    s"""WITH $assignSql
+      |SELECT cluster, count(*) AS n,
+      |  round(avg(v[1]), 4) AS c1, round(avg(v[2]), 4) AS c2,
+      |  round(avg(v[3]), 4) AS c3, round(avg(v[4]), 4) AS c4
+      |FROM asg GROUP BY cluster ORDER BY cluster""".stripMargin
+}

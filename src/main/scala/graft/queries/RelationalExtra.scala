@@ -167,4 +167,59 @@ object RelationalExtra {
       |  count(DISTINCT l_partkey) AS n_parts,
       |  round(sum(l_extendedprice), 4) AS sum_price
       |FROM lineitem GROUP BY part_month ORDER BY part_month""".stripMargin
+
+  /** GROUPING flags on a rollup: subtotal rows carry an explicit level
+    * id (2·grouping(flag) + grouping(status)) instead of ambiguous
+    * NULLs — the BI-tool contract for rollup consumers. Keys coalesce
+    * to 'ALL' so the output is NULL-free (the cross-engine NULL-order
+    * hazard never arises). */
+  def qAggGrouping(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        count(lit(1)).as("n"),
+        (grouping("l_returnflag") * 2 + grouping("l_linestatus"))
+          .cast("long").as("lvl"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("lvl"), col("qty"), col("n"))
+      .orderBy("lvl", "flag", "status")
+
+  val qAggGroupingSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  CAST(2 * grouping(l_returnflag) + grouping(l_linestatus)
+      |    AS BIGINT) AS lvl,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY lvl, flag, status""".stripMargin
+
+  /** URL parse surface: synthesize a URL per document row, then
+    * extract host / path / one query parameter with Spark's native
+    * `parse_url` (codegen'd). The oracle mirrors with anchored
+    * regexes — same component grammar. One narrow pass. */
+  def qFnUrl(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.org/"),
+          col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+          lit("?id="), col("doc_id").cast("string"),
+          lit("&lang="), col("lang")))
+      .select(col("doc_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"))
+      .orderBy("doc_id")
+
+  val qFnUrlSql: String =
+    """WITH u AS (SELECT doc_id,
+      |    'https://' || source || '.example.org/' || lang || '/doc/'
+      |      || doc_id || '?id=' || doc_id || '&lang=' || lang AS url
+      |  FROM documents)
+      |SELECT doc_id, url,
+      |  regexp_extract(url, '^https://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+      |  regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang
+      |FROM u ORDER BY doc_id""".stripMargin
 }

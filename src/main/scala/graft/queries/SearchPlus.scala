@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 search-engine extensions (SURVEY.md §2.9): positional
+  * proximity search, PMI co-occurrence mining (query-expansion input),
+  * snippet/highlight generation.
+  *
+  * Scale notes: proximity joins two TERM-FILTERED posting lists on
+  * doc_id (the filter lands on the scan, so each side is a term's
+  * postings, not the corpus); PMI's pair join is per-doc bounded and
+  * its df side is vocabulary-bounded; snippets are one narrow pass.
+  */
+object SearchPlus {
+
+  private val TermA = "spark"
+  private val TermB = "query"
+
+  /** Positional postings for one term: (doc_id, pos). posexplode is
+    * 0-based and DuckDB's generate_series is 1-based; the +1 here keeps
+    * positions identical on both engines. */
+  private def positions(spark: SparkSession, sfDir: String,
+      term: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "term")))
+      .filter(col("term") === term)
+      .select(col("doc_id"), (col("p0") + 1).as("pos"))
+
+  /** Proximity search: docs where TermA and TermB occur within 3 token
+    * positions; reports the closest distance and the number of close
+    * pairs. The classic positional-index query — two posting lists
+    * equi-joined on doc_id. */
+  def qSearchProximity(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = positions(spark, sfDir, TermA).withColumnRenamed("pos", "pa")
+    val b = positions(spark, sfDir, TermB).withColumnRenamed("pos", "pb")
+    a.join(b, Seq("doc_id"))
+      .withColumn("dist", abs(col("pa") - col("pb")))
+      .filter(col("dist") <= 3)
+      .groupBy("doc_id")
+      .agg(min("dist").as("min_dist"), count(lit(1)).as("n_pairs"))
+      .orderBy("doc_id")
+  }
+
+  val qSearchProximitySql: String =
+    s"""WITH p AS (SELECT doc_id, i AS pos, arr[i] AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS arr
+      |        FROM documents),
+      |    unnest(generate_series(1, len(arr))) t(i)),
+      |a AS (SELECT doc_id, pos FROM p WHERE term = '$TermA'),
+      |b AS (SELECT doc_id, pos FROM p WHERE term = '$TermB')
+      |SELECT a.doc_id, min(abs(a.pos - b.pos)) AS min_dist,
+      |  count(*) AS n_pairs
+      |FROM a JOIN b ON a.doc_id = b.doc_id
+      |  AND abs(a.pos - b.pos) <= 3
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
+  /** Top-20 term pairs by pointwise mutual information over doc-level
+    * co-occurrence — the standard query-expansion / related-terms
+    * signal. log2 of a ratio of exact integer counts; round(4) absorbs
+    * libm last-ulp differences (q_fn_trig precedent). */
+  def qCooccurPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val dt = Tables.docTerms(spark, sfDir)
+    val n = Tables.t(spark, sfDir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val df_ = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val pairs = dt.toDF("doc_id", "ta")
+      .join(dt.toDF("doc_id", "tb"), Seq("doc_id"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("nab"))
+    pairs
+      .join(broadcast(df_.toDF("ta", "dfa")), Seq("ta"))
+      .join(broadcast(df_.toDF("tb", "dfb")), Seq("tb"))
+      .crossJoin(broadcast(n))
+      .select(col("ta"), col("tb"), col("nab"),
+        round(log2(col("nab") * col("n_docs") /
+          (col("dfa") * col("dfb"))), 4).as("pmi"))
+      .orderBy(desc("pmi"), asc("ta"), asc("tb"))
+      .limit(20)
+  }
+
+  val qCooccurPmiSql: String =
+    """WITH dt AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+      |pairs AS (SELECT a.term AS ta, b.term AS tb, count(*) AS nab
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY ta, tb)
+      |SELECT ta, tb, nab,
+      |  round(log2(nab * n_docs / (fa.df * fb.df)), 4) AS pmi
+      |FROM pairs JOIN df fa ON fa.term = ta JOIN df fb ON fb.term = tb,
+      |  n
+      |ORDER BY pmi DESC, ta, tb LIMIT 20""".stripMargin
+
+  /** Snippet generation: for docs matching TermA, a ±2-token window
+    * around the FIRST hit (1-based hit position + highlighted text).
+    * One narrow pass — split, array_position, slice, re-join; no
+    * shuffle before the final presentation sort. */
+  def qSearchSnippet(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("parts", split(col("text"), " "))
+      .withColumn("hit", array_position(col("parts"), TermA))
+      .filter(col("hit") > 0)
+      .withColumn("from", greatest(col("hit") - 2, lit(1)))
+      .withColumn("upto", least(col("hit") + 2, size(col("parts"))))
+      .select(col("doc_id"), col("hit"),
+        array_join(slice(col("parts"), col("from").cast("int"),
+          (col("upto") - col("from") + 1).cast("int")), " ")
+          .as("snippet"))
+      .orderBy("doc_id")
+
+  val qSearchSnippetSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts,
+      |    list_position(string_split(text, ' '), '$TermA') AS hit
+      |  FROM documents)
+      |SELECT doc_id, CAST(hit AS BIGINT) AS hit,
+      |  array_to_string(
+      |    parts[greatest(hit - 2, 1):least(hit + 2, len(parts))],
+      |    ' ') AS snippet
+      |FROM d WHERE hit > 0 ORDER BY doc_id""".stripMargin
+}
