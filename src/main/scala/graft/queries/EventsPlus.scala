@@ -160,4 +160,59 @@ object EventsPlus {
       |  max(gap_us) // 1000000 AS max_gap_sec
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** RFM segmentation: each user scored 1 (best) – 3 on Recency (days
+    * since last event vs the corpus max day), Frequency (event count),
+    * and Monetary (value in integer cents — floor(value·100) is the
+    * same IEEE double product on both engines, and integer sums are
+    * order-free), then rolled up per 3-digit segment. Buckets use FIXED
+    * thresholds, not ntile: a global ntile is a single-partition window
+    * (the q_shard_pack scale-killer); fixed cutoffs keep the whole
+    * scoring pass narrow after one user-keyed aggregate. The max-day
+    * bound is a broadcast scalar.
+    */
+  def qRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val perUser = ev.groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("f"),
+        sum("cents").as("cents"))
+    val maxDay = ev.agg(max("day").as("max_day"))
+    perUser.crossJoin(broadcast(maxDay))
+      .withColumn("r_days", datediff(col("max_day"), col("last_day")))
+      .withColumn("r", when(col("r_days") <= 0, 1L)
+        .when(col("r_days") <= 1, 2L).otherwise(3L))
+      .withColumn("fb", when(col("f") >= 70, 1L)
+        .when(col("f") >= 60, 2L).otherwise(3L))
+      .withColumn("m", when(col("cents") >= 420000L, 1L)
+        .when(col("cents") >= 340000L, 2L).otherwise(3L))
+      .withColumn("segment", col("r") * 100 + col("fb") * 10 + col("m"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_users"), sum("f").as("n_events"),
+        sum("cents").as("cents"))
+      .orderBy("segment")
+  }
+
+  val qRfmSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+      |u AS (SELECT user_id, max(day) AS last_day, count(*) AS f,
+      |    sum(cents) AS cents FROM e GROUP BY user_id),
+      |mx AS (SELECT max(day) AS max_day FROM e),
+      |s AS (SELECT user_id, f, cents,
+      |    date_diff('day', last_day, max_day) AS r_days FROM u, mx),
+      |seg AS (SELECT
+      |    (CASE WHEN r_days <= 0 THEN 1
+      |          WHEN r_days <= 1 THEN 2 ELSE 3 END) * 100
+      |    + (CASE WHEN f >= 70 THEN 1
+      |            WHEN f >= 60 THEN 2 ELSE 3 END) * 10
+      |    + (CASE WHEN cents >= 420000 THEN 1
+      |            WHEN cents >= 340000 THEN 2 ELSE 3 END) AS segment,
+      |    f, cents
+      |  FROM s)
+      |SELECT CAST(segment AS BIGINT) AS segment, count(*) AS n_users,
+      |  CAST(sum(f) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
 }

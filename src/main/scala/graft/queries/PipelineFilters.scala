@@ -149,4 +149,120 @@ object PipelineFilters {
       |    AS pii_free,
       |  starts_with(scrubbed, text) AS text_preserved
       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ──────────────────── URL canonicalization dedup ────────────────────
+
+  /** URL dedup: the web-crawl step that collapses scheme/www/tracking/
+    * trailing-slash variants of one page. The corpus is synthetic, so a
+    * messy URL is planted deterministically per doc (http vs https by
+    * parity, WWW. and uppercase host by other residues, a utm_source
+    * tracking param, a trailing slash) with doc_id÷2 as the page id —
+    * guaranteeing real variant groups. Canonicalization is lower +
+    * 4 anchored regex rewrites; dup groups = groupBy(canonical) keeping
+    * min(doc_id). Everything before the one canonical-key shuffle is a
+    * narrow codegen pass.
+    */
+  def qDedupUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    // page id = doc_id ÷ 2, so docs 2k and 2k+1 are variants of ONE
+    // page; host and path derive from the page id alone so the pair
+    // really collides after canonicalization.
+    val pid = (col("doc_id") / 2).cast("long")
+    val host = concat(lit("site"), (pid % 10).cast("string"),
+      lit(".example.org"))
+    val messy = concat(
+      when(col("doc_id") % 2 === 0, "http://").otherwise("https://"),
+      when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+      when(col("doc_id") % 5 === 0, upper(host)).otherwise(host),
+      lit("/page/"), pid.cast("string"),
+      when(col("doc_id") % 7 === 0, "/").otherwise(""),
+      when(col("doc_id") % 2 === 1, "?utm_source=feed").otherwise(""))
+    val canonical =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(messy), "^http://", "https://"),
+            "^https://www\\.", "https://"),
+          "\\?utm_[a-z]+=[^&]*$", ""),
+        "/$", "")
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), canonical.as("canonical"))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+      .filter(col("n") >= 2)
+      .orderBy("canonical")
+  }
+
+  val qDedupUrlSql: String =
+    """WITH h AS (SELECT doc_id,
+      |    'site' || CAST((doc_id // 2) % 10 AS VARCHAR)
+      |      || '.example.org' AS host FROM documents),
+      |m AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN upper(host) ELSE host END)
+      |    || '/page/' || CAST(doc_id // 2 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+      |    || (CASE WHEN doc_id % 2 = 1 THEN '?utm_source=feed' ELSE '' END)
+      |    AS url FROM h),
+      |c AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      lower(url),
+      |      '^http://', 'https://'),
+      |      '^https://www\.', 'https://'),
+      |      '\?utm_[a-z]+=[^&]*$', ''),
+      |      '/$', '') AS canonical
+      |  FROM m)
+      |SELECT canonical, count(*) AS n, min(doc_id) AS keep_id
+      |FROM c GROUP BY canonical HAVING count(*) >= 2
+      |ORDER BY canonical""".stripMargin
+
+  // ──────────────── CCNet-style quality bucketing ────────────────
+
+  /** CCNet-shape quality bucketing: per-language surprisal terciles
+    * (bucket 1 = most predictable "head", 3 = noisiest "tail") — the
+    * published head/middle/tail split that routes training data by LM
+    * quality. Bucket key is round(surprisal, 4) (grid-aligned across
+    * engines) with doc_id tiebreak, so ntile is engine-deterministic.
+    * Reports order-free exact aggregates per (lang, bucket): doc count,
+    * token sum, min/max surprisal. The ntile window partitions by lang —
+    * bounded fan-in at any corpus size after the per-doc aggregate.
+    */
+  def qQualityBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.tokens(spark, sfDir)
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val perDoc = toks.join(broadcast(tf), "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(log2(col("n_total")) - log2(col("tf"))), 4).as("s4"))
+    val byLang = Window.partitionBy("lang").orderBy("s4", "doc_id")
+    Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "lang")
+      .join(perDoc, "doc_id")
+      .withColumn("bucket", ntile(3).over(byLang).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+        min("s4").as("min_s"), max("s4").as("max_s"))
+      .orderBy("lang", "bucket")
+  }
+
+  val qQualityBucketSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+      |tot AS (SELECT count(*) AS n_total FROM tok),
+      |pd AS (SELECT doc_id, count(*) AS n_tok,
+      |    round(avg(log2(n_total) - log2(tf)), 4) AS s4
+      |  FROM tok JOIN tf USING (term) CROSS JOIN tot
+      |  GROUP BY doc_id),
+      |b AS (SELECT d.lang, pd.n_tok, pd.s4,
+      |    ntile(3) OVER (PARTITION BY d.lang
+      |      ORDER BY pd.s4, pd.doc_id) AS bucket
+      |  FROM documents d JOIN pd USING (doc_id))
+      |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+      |  min(s4) AS min_s, max(s4) AS max_s
+      |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 }

@@ -191,4 +191,56 @@ object PipelineGraph {
       |FROM cl JOIN (SELECT cluster, count(*) AS csize
       |  FROM cl GROUP BY cluster) sz USING (cluster)
       |ORDER BY doc_id""".stripMargin
+
+  /** Triangle counting over the verified near-dup graph: per-node
+    * triangle participation, top-20 — the cohesion signal that separates
+    * a true duplicate CLIQUE from a chain of pairwise-coincidental
+    * matches. Edges are oriented low→high id so each triangle is
+    * enumerated exactly once as a < b < c: one equi-join to open the
+    * wedge (a,b)+(b,c), one semi-join to close it with (a,c). Every join
+    * is an equi-join on node ids; at corpus scale the standard refinement
+    * is degree-ordered orientation (wedges pivot on the lower-degree
+    * endpoint) — same plan shape, different orientation key.
+    */
+  def qTriangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = PipelinePlus.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= EdgeThreshold)
+      .select(col("d1").as("a"), col("d2").as("b"))
+      .localCheckpoint()
+    val tri = e
+      .join(e.toDF("b", "c"), "b")
+      .join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
+    val part = tri.select(col("a").as("doc_id"))
+      .unionAll(tri.select(col("b").as("doc_id")))
+      .unionAll(tri.select(col("c").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    part.orderBy(desc("n_tri"), asc("doc_id")).limit(20)
+  }
+
+  val qTriangleCountSql: String =
+    """WITH
+      |dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
+      |    AS term FROM documents WHERE doc_id % 10 = 0),
+      |sig AS (SELECT doc_id, k, min(md5(term || ':' || k)) AS mh
+      |  FROM dt, generate_series(0, 7) t(k) GROUP BY doc_id, k),
+      |bands AS (SELECT doc_id, k // 2 AS band,
+      |    string_agg(mh, '|' ORDER BY k) AS bsig
+      |  FROM sig GROUP BY doc_id, band),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+      |    AND a.doc_id < b.doc_id),
+      |est AS (SELECT d1, d2
+      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
+      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
+      |  GROUP BY d1, d2
+      |  HAVING avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END) >= 0.875),
+      |tri AS (SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+      |  FROM est e1 JOIN est e2 ON e1.d2 = e2.d1
+      |  WHERE EXISTS (SELECT 1 FROM est e3
+      |    WHERE e3.d1 = e1.d1 AND e3.d2 = e2.d2)),
+      |p AS (SELECT a AS doc_id FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |SELECT doc_id, count(*) AS n_tri FROM p GROUP BY doc_id
+      |ORDER BY n_tri DESC, doc_id LIMIT 20""".stripMargin
 }

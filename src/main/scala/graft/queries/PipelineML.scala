@@ -156,4 +156,73 @@ object PipelineML {
       |  round(avg(v[1]), 4) AS c1, round(avg(v[2]), 4) AS c2,
       |  round(avg(v[3]), 4) AS c3, round(avg(v[4]), 4) AS c4
       |FROM asg GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  /** Late-interaction (ColBERT-shape) MaxSim retrieval: embeddings are
+    * grouped into multi-vector "documents" (did = vec_id % 50, so each
+    * doc holds a bag of token vectors); the 3-vector query scores a doc
+    * as Σ_q max_t cos(q, t). Top-10 docs. Scale: the query side is O(|q|)
+    * rows → broadcast; per-(doc, q) max and the per-doc sum are both
+    * partial-aggregable on bounded key spaces (docs × 3). The quadratic
+    * token×query stage is |corpus|·|q|, i.e. linear in the corpus.
+    * Ranking key is round(4) (grid-aligned; the 3-term sum's association
+    * order differs across engines) with did as tiebreak.
+    */
+  def qMaxsim(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir)
+      .withColumn("did", col("vec_id") % 50)
+      .crossJoin(broadcast(seeds(spark, sfDir)))
+      .withColumn("cos", VectorOps.cosine(col("v"), col("c")))
+      .groupBy("did", "seed_id")
+      .agg(max("cos").as("mx"))
+      .groupBy("did")
+      .agg(round(sum("mx"), 4).as("maxsim"))
+      .orderBy(desc("maxsim"), asc("did"))
+      .limit(10)
+
+  val qMaxsimSql: String =
+    s"""WITH ed AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS seed_id, v AS c FROM ed WHERE vec_id < 3),
+      |mx AS (SELECT e.vec_id % 50 AS did, q.seed_id,
+      |    max(list_cosine_similarity(e.v, q.c)) AS mx
+      |  FROM ed e, q GROUP BY did, seed_id)
+      |SELECT did, round(sum(mx), 4) AS maxsim
+      |FROM mx GROUP BY did
+      |ORDER BY maxsim DESC, did LIMIT 10""".stripMargin
+
+  /** Johnson–Lindenstrauss random projection 64 → 8 dims with the sparse
+    * Achlioptas matrix r(i,j) ∈ {−1, 0, +1} chosen by the deterministic
+    * parity (7i + 13j) mod 6 (0 → +1, 1 → −1, else 0) — no RNG state to
+    * ship, any engine reproduces the matrix from the formula. Per-row
+    * fold over the vector (both engines reduce left-to-right in i order,
+    * so products AND partial sums are bit-identical); no shuffle at all
+    * before the presentation sort. Long (vec_id, dim, val) output.
+    */
+  def qRandProj(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir)
+      .withColumn("p", expr(
+        """transform(sequence(1, 8), j ->
+          |  round(aggregate(sequence(1, 64), 0D, (acc, i) ->
+          |    acc + element_at(v, i) *
+          |      (CASE (i * 7 + j * 13) % 6
+          |         WHEN 0 THEN 1.0D WHEN 1 THEN -1.0D
+          |         ELSE 0.0D END)), 4))""".stripMargin))
+      .select(col("vec_id"), posexplode(col("p")).as(Seq("d0", "val")))
+      .select(col("vec_id"), (col("d0") + 1).cast("long").as("dim"),
+        col("val"))
+      .orderBy("vec_id", "dim")
+
+  val qRandProjSql: String =
+    s"""WITH ed AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)
+      |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+      |  round(list_sum(list_transform(generate_series(1, 64), i ->
+      |    v[i] * (CASE (i * 7 + j * 13) % 6
+      |              WHEN 0 THEN CAST(1.0 AS DOUBLE)
+      |              WHEN 1 THEN CAST(-1.0 AS DOUBLE)
+      |              ELSE CAST(0.0 AS DOUBLE) END))), 4) AS val
+      |FROM ed, generate_series(1, 8) t(j)
+      |ORDER BY vec_id, dim""".stripMargin
 }

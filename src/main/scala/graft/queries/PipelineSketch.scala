@@ -226,4 +226,40 @@ object PipelineSketch {
       .join(bench.hint("broadcast"), Seq("sh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
   }
+
+  /** Manual runtime-filter join: build a bloom filter on the filtered
+    * dim side (suppliers in nations 0–4) and pre-filter the fact scan
+    * with `might_contain` BEFORE the shuffle join — the same rewrite
+    * Catalyst's InjectRuntimeFilter applies, exposed as an explicit
+    * operator. False positives are cleared by the exact join that
+    * follows, so the result ≡ the plain join (the oracle IS the plain
+    * join). At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling only the ~|dim|/|fact| fraction
+    * that can match; the ~100 KB filter rides the broadcast path.
+    */
+  def qRuntimeFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.t(spark, sfDir, "supplier")
+      .filter(col("s_nationkey") < 5)
+      .select("s_suppkey")
+    val bf = dim
+      .agg(graft.functions.BloomOps
+        .bloomFilterAgg(xxhash64(col("s_suppkey")), 10000L, 80000L)
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    Tables.t(spark, sfDir, "lineitem")
+      .filter(graft.functions.BloomOps
+        .mightContain(lit(bf), xxhash64(col("l_suppkey"))))
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .orderBy("s_suppkey")
+  }
+
+  val qRuntimeFilterSql: String =
+    """SELECT s_suppkey, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_nationkey < 5
+      |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
 }

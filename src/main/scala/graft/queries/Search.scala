@@ -31,7 +31,7 @@ object Search {
     Tables.t(spark, sfDir, "documents").agg(count(lit(1)).as("n_docs"))
 
   /** Raw (unrounded) tf-idf per (doc_id, term): tf * ln(N / df). */
-  private def tfidfRaw(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def tfidfRaw(spark: SparkSession, sfDir: String): DataFrame =
     tf(spark, sfDir)
       .join(broadcast(df(spark, sfDir)), "term")
       .crossJoin(broadcast(nDocs(spark, sfDir)))
@@ -41,7 +41,7 @@ object Search {
   // Shared oracle CTEs (DuckDB side of the same pipeline).
   private val tokSql =
     "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
-  private val tfidfCte: String =
+  private[queries] val tfidfCte: String =
     s"""WITH tok AS ($tokSql),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
        |       GROUP BY doc_id, term),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -122,4 +123,32 @@ object SearchPlus {
       |    parts[greatest(hit - 2, 1):least(hit + 2, len(parts))],
       |    ' ') AS snippet
       |FROM d WHERE hit > 0 ORDER BY doc_id""".stripMargin
+
+  /** Keyword extraction: the top-3 TF-IDF terms per document — the
+    * classic "about-ness" tags a search index stores alongside each doc.
+    * Ranking key is round(score, 4) (grid-aligned on both engines; raw
+    * ln() scores can differ in the last ulp across libms and flip a
+    * rank) with the term as tiebreak. One doc-keyed window over the
+    * already-aggregated tf-idf table — no extra corpus scan.
+    */
+  def qKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(desc("s4"), asc("term"))
+    Search.tfidfRaw(spark, sfDir)
+      .withColumn("s4", round(col("score"), 4))
+      .withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("term"), col("s4").as("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val qKeywordsSql: String =
+    s"""${Search.tfidfCte},
+      |r AS (SELECT doc_id, term, round(score, 4) AS s4,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY round(score, 4) DESC, term) AS rk
+      |  FROM scores)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, s4 AS score
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 }

@@ -181,4 +181,56 @@ object Warehouse {
       |    FROM generate_series(0, 15) t(k)) AS BIGINT) AS zval
       |FROM part
       |ORDER BY zval, p_partkey LIMIT 40""".stripMargin
+
+  /** CDC apply: replay an ordered change stream (INSERT / UPDATE /
+    * DELETE with sequence numbers) onto a base snapshot — the Debezium/
+    * changefeed consumer shape that upsert-latest alone can't express
+    * because deletes must REMOVE rows. The stream is synthesized
+    * deterministically from orders: base = keys ≢ 0 (mod 3); seq 1
+    * inserts the missing third; seq 2 reprices every 5th key; seq 3
+    * deletes every 7th key. Apply = per-key last-op-wins (row_number
+    * over seq desc) then drop tombstones; one hash shuffle on the key,
+    * window partitioned by the same key. The per-status aggregate
+    * proves inserts landed, updates won, and deletes vanished.
+    */
+  def qCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+      .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
+    val ins = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+    val upd = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 500)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    val del = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("seq", lit(3L)).withColumn("op", lit("D"))
+    val byKey = Window.partitionBy("o_orderkey").orderBy(desc("seq"))
+    base.unionByName(ins).unionByName(upd).unionByName(del)
+      .withColumn("rn", row_number().over(byKey))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val qCdcApplySql: String =
+    """WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |    FROM orders),
+      |log AS (
+      |  SELECT *, 0 AS seq, 'I' AS op FROM src WHERE o_orderkey % 3 <> 0
+      |  UNION ALL
+      |  SELECT *, 1, 'I' FROM src WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500, 2, 'U'
+      |    FROM src WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT *, 3, 'D' FROM src WHERE o_orderkey % 7 = 0),
+      |m AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |    ORDER BY seq DESC) AS rn FROM log)
+      |SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 4) AS total
+      |FROM m WHERE rn = 1 AND op <> 'D'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }
