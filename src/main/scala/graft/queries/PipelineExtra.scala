@@ -287,4 +287,45 @@ object PipelineExtra {
       |            CURRENT ROW) AS cum
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** CONTAINMENT near-dup (round 3): directional |A∩B|/|A| over 3-token
+    * shingle sets — catches a doc that is a SUBSET of a larger one,
+    * which symmetric Jaccard (q_dedup_ngram) dilutes below threshold.
+    * Same scale shape as q_dedup_ngram: candidates pair only through a
+    * shared-shingle equi-join (never doc×doc); directional, so d1 != d2
+    * with both orientations kept — (small ⊂ big) scores high only in
+    * the small→big direction. Top-20 by containment.
+    */
+  def qDedupContain(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(Tables.shingles3Arr(col("arr"), col("text"))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("d1", "sh")
+    val b = sh.toDF("d2", "sh")
+    a.join(b, Seq("sh")).filter(col("d1") =!= col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .select(col("d1"), col("d2"), col("inter"), col("n1"),
+        round(col("inter") / col("n1"), 4).as("containment"))
+      .orderBy(desc("containment"), asc("d1"), asc("d2"))
+      .limit(20)
+  }
+
+  val qDedupContainSql: String =
+    s"""WITH sh AS (SELECT DISTINCT doc_id, sh FROM
+      |  (SELECT doc_id, unnest(${Tables.shingles3Sql}) AS sh
+      |   FROM (SELECT doc_id, text, string_split(text, ' ') AS arr
+      |         FROM documents WHERE doc_id % 10 = 0))),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT d1, d2, inter, s1.n AS n1,
+      |  round(inter / s1.n, 4) AS containment
+      |FROM pairs JOIN sz s1 ON d1 = s1.doc_id
+      |ORDER BY containment DESC, d1, d2 LIMIT 20""".stripMargin
 }

@@ -222,4 +222,104 @@ object RelationalExtra {
       |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
       |  regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang
       |FROM u ORDER BY doc_id""".stripMargin
+
+  /** Skyline (pareto frontier) over part: maximize p_size, minimize
+    * p_retailprice; a part survives iff no other part has size >= AND
+    * price <= with at least one strict. NOT the naive O(n²) anti-join:
+    * sizes are first collapsed to a per-size min price (one bounded
+    * groupBy — #distinct sizes rows), the "any larger size is cheaper"
+    * test is a running min over that TINY aggregate (window input is
+    * bounded, not fact-sized), and the verdict is broadcast back onto
+    * the parts. The oracle cross-checks with the literal NOT EXISTS
+    * dominance formulation.
+    */
+  def qSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySize = t(spark, sfDir, "part")
+      .groupBy("p_size").agg(min("p_retailprice").as("mn_eq"))
+    // min price over STRICTLY larger sizes: one row per size, so a desc
+    // rows-frame ending one row before current is exactly "size > mine"
+    val mnGt = bySize.withColumn("mn_gt",
+      min("mn_eq").over(Window.orderBy(desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    t(spark, sfDir, "part")
+      .join(broadcast(mnGt), "p_size")
+      .filter(col("p_retailprice") === col("mn_eq") &&
+        (col("mn_gt").isNull || col("mn_gt") > col("p_retailprice")))
+      .select("p_partkey", "p_size", "p_retailprice")
+      .orderBy("p_size", "p_partkey")
+  }
+
+  val qSkylineSql: String =
+    """SELECT p_partkey, p_size, p_retailprice
+      |FROM part p WHERE NOT EXISTS (
+      |  SELECT 1 FROM part o
+      |  WHERE o.p_size >= p.p_size AND o.p_retailprice <= p.p_retailprice
+      |    AND (o.p_size > p.p_size OR o.p_retailprice < p.p_retailprice))
+      |ORDER BY p_size, p_partkey""".stripMargin
+
+  /** Column profiling (the ANALYZE-TABLE shape): per numeric lineitem
+    * column, row/null/exact-NDV counts plus min/max, melted to one row
+    * per column via stack(). One aggregate pass over a 3-column
+    * pruned scan; the multi-countDistinct expands to 3× rows before the
+    * partial agg — at warehouse scale swap countDistinct for
+    * approx_count_distinct and the plan loses the expand entirely.
+    */
+  def qStatsProfile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct("l_quantity").as("ndv_q"),
+        min("l_quantity").as("mn_q"), max("l_quantity").as("mx_q"),
+        countDistinct("l_extendedprice").as("ndv_p"),
+        min("l_extendedprice").as("mn_p"), max("l_extendedprice").as("mx_p"),
+        countDistinct("l_discount").as("ndv_d"),
+        min("l_discount").as("mn_d"), max("l_discount").as("mx_d"))
+      .selectExpr("""stack(3,
+        'l_quantity', n, ndv_q, round(cast(mn_q as double), 4),
+          round(cast(mx_q as double), 4),
+        'l_extendedprice', n, ndv_p, round(cast(mn_p as double), 4),
+          round(cast(mx_p as double), 4),
+        'l_discount', n, ndv_d, round(cast(mn_d as double), 4),
+          round(cast(mx_d as double), 4)
+      ) AS (col, n, ndv, mn, mx)""")
+      .orderBy("col")
+
+  val qStatsProfileSql: String =
+    """SELECT 'l_quantity' AS col, count(*) AS n,
+      |  count(DISTINCT l_quantity) AS ndv,
+      |  round(CAST(min(l_quantity) AS DOUBLE), 4) AS mn,
+      |  round(CAST(max(l_quantity) AS DOUBLE), 4) AS mx FROM lineitem
+      |UNION ALL
+      |SELECT 'l_extendedprice', count(*), count(DISTINCT l_extendedprice),
+      |  round(CAST(min(l_extendedprice) AS DOUBLE), 4),
+      |  round(CAST(max(l_extendedprice) AS DOUBLE), 4) FROM lineitem
+      |UNION ALL
+      |SELECT 'l_discount', count(*), count(DISTINCT l_discount),
+      |  round(CAST(min(l_discount) AS DOUBLE), 4),
+      |  round(CAST(max(l_discount) AS DOUBLE), 4) FROM lineitem
+      |ORDER BY col""".stripMargin
+
+  /** Deterministic uniform k-sample (reservoir-equivalent): rank every
+    * order by a content hash and keep the k smallest — the distributed
+    * replacement for driver-side reservoir state. orderBy+limit compiles
+    * to TakeOrderedAndProject (per-partition top-k, then a k-row merge
+    * on one reducer — no global sort materialization). The md5-prefix
+    * trick is the q_split_train precedent for an engine-portable hash.
+    */
+  def qSampleReservoir(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .withColumn("hk",
+        substring(md5(col("o_orderkey").cast("string")), 1, 15))
+      .orderBy("hk", "o_orderkey")
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val qSampleReservoirSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      |  SELECT * FROM orders
+      |  ORDER BY substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15),
+      |    o_orderkey
+      |  LIMIT 100)
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -182,19 +182,19 @@ object Search {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** BM25-ranked conjunctive-ish query (k1=1.2, b=0.75) over the same
-    * terms as q_search_and — the standard upgrade over raw TF-IDF: term
-    * saturation (k1) + doc-length normalization (b). All inputs are
-    * broadcast-sized stats; the per-doc score is one narrow expression.
-    * Formula association mirrors the oracle SQL exactly so the doubles
-    * agree at round(4).
+  /** BM25-scored postings (doc_id, term, s) for the given query terms,
+    * k1=1.2, b=0.75. Shared by q_search_bm25 and q_search_wand — the
+    * candidate-pruning path must score with the EXACT same expression or
+    * its results drift from the unpruned oracle. All stat inputs (df,
+    * n_docs, avgdl) are broadcast-sized.
     */
-  def qSearchBm25(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def bm25Scored(spark: SparkSession, sfDir: String,
+      terms: Seq[String]): DataFrame = {
     val dl = Tables.tokens(spark, sfDir)
       .groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val avgdl = dl.agg(avg(col("dl").cast("double")).as("avgdl"))
-    val scored = tf(spark, sfDir)
-      .filter(col("term").isin("spark", "join"))
+    tf(spark, sfDir)
+      .filter(col("term").isin(terms: _*))
       .join(broadcast(df(spark, sfDir)), "term")
       .crossJoin(broadcast(nDocs(spark, sfDir)))
       .join(dl, "doc_id")
@@ -207,15 +207,13 @@ object Search {
         // `tf + 1.2 * (0.25 + 0.75 * dl / avgdl)` association
         col("idf") * ((col("tf") * 2.2) /
           (col("tf") + (col("dl") * 0.75 / col("avgdl") + 0.25) * 1.2)))
-    scored.groupBy("doc_id")
-      .agg(countDistinct("term").as("nt"), round(sum("s"), 4).as("score"))
-      .filter(col("nt") === 2)
-      .select("doc_id", "score")
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(10)
+      .select("doc_id", "term", "s")
   }
 
-  val qSearchBm25Sql: String =
+  /** DuckDB rendering of [[bm25Scored]] — a full WITH prologue ending in a
+    * `scored(doc_id, term, s)` CTE over the given terms. */
+  private[graft] def bm25ScoredCte(terms: Seq[String]): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH tok AS ($tokSql),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
        |       GROUP BY doc_id, term),
@@ -230,7 +228,28 @@ object Search {
        |       (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
        |  FROM tf JOIN df USING (term) CROSS JOIN n
        |  JOIN dl USING (doc_id) CROSS JOIN ad
-       |  WHERE tf.term IN ('spark', 'join'))
+       |  WHERE tf.term IN ($in))""".stripMargin
+  }
+
+  /** BM25-ranked conjunctive-ish query (k1=1.2, b=0.75) over the same
+    * terms as q_search_and — the standard upgrade over raw TF-IDF: term
+    * saturation (k1) + doc-length normalization (b). All inputs are
+    * broadcast-sized stats; the per-doc score is one narrow expression.
+    * Formula association mirrors the oracle SQL exactly so the doubles
+    * agree at round(4).
+    */
+  def qSearchBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = bm25Scored(spark, sfDir, Seq("spark", "join"))
+    scored.groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"), round(sum("s"), 4).as("score"))
+      .filter(col("nt") === 2)
+      .select("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val qSearchBm25Sql: String =
+    s"""${bm25ScoredCte(Seq("spark", "join"))}
        |SELECT doc_id, round(sum(s), 4) AS score FROM scored
        |GROUP BY doc_id HAVING count(DISTINCT term) = 2
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin

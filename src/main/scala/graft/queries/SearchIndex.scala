@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 index-internals wave (SURVEY.md §2.9): MaxScore/WAND-pruned
+  * disjunctive retrieval, delta/varint posting-list compression stats,
+  * and fuzzy (edit-distance) term matching — the parts of a search
+  * engine that live BELOW the query API.
+  *
+  * Scale notes: WAND's pruning statistics (per-term score upper bounds,
+  * the top-k threshold) are vocabulary-bounded one-row/term aggregates —
+  * broadcast-sized at any corpus scale; candidate generation semi-joins
+  * the fact-sized postings against the ESSENTIAL terms only, which is
+  * the whole point of MaxScore. Posting compression is one term-keyed
+  * aggregate (no window — gaps come from the sorted collected list, so
+  * there is a single shuffle). Fuzzy matching scans the vocabulary (a
+  * groupBy output, bounded), never the corpus.
+  */
+object SearchIndex {
+
+  private val WandTerms = Seq("spark", "join", "stream")
+  private val WandK = 10
+
+  /** MaxScore/WAND-style disjunctive top-k: BM25 OR-query over three
+    * terms, answered through the pruned path —
+    *
+    *   1. ub_t  = max_d s(t,d)          (term score upper bounds)
+    *   2. theta = k-th best SINGLE-term score on the highest-ub term's
+    *      postings — a valid lower bound of the k-th best true score
+    *      (any doc's true score >= any one of its term scores)
+    *   3. non-essential terms = the maximal ascending-ub prefix with
+    *      cumulative ub sum < theta; docs appearing ONLY in
+    *      non-essential postings can never reach theta and are skipped
+    *   4. exact re-scoring of the surviving candidates over ALL terms.
+    *
+    * The pruning is exact, so the result equals the plain disjunctive
+    * top-k the oracle computes. theta falls back to -inf when the best
+    * term has fewer than k postings (pruning with an unfounded threshold
+    * would be unsound).
+    */
+  def qSearchWand(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Search.bm25Scored(spark, sfDir, WandTerms)
+    val ub = scored.groupBy("term").agg(max("s").as("ub"))
+    // k-th best single-term score on the top-ub term (3-row window input)
+    val tstar = ub
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("ub"), asc("term"))))
+      .filter(col("rk") === 1).select("term")
+    val theta = scored.join(broadcast(tstar), "term")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("term").orderBy(desc("s"), asc("doc_id"))))
+      .filter(col("rk") <= WandK)
+      .agg(count(lit(1)).as("c"), min("s").as("kth"))
+      .select(when(col("c") >= WandK, col("kth"))
+        .otherwise(lit(Double.MinValue)).as("theta"))
+    // ascending-ub running sum over the 3-row ub table → essential set
+    val essential = ub
+      .crossJoin(broadcast(theta))
+      .withColumn("cum", sum("ub").over(
+        Window.orderBy(asc("ub"), asc("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") >= col("theta"))
+      .select("term")
+    val candidates = scored
+      .join(broadcast(essential), "term")
+      .select("doc_id").distinct()
+    scored.join(candidates, "doc_id")
+      .groupBy("doc_id")
+      .agg(round(sum("s"), 4).as("score"), count(lit(1)).as("nt"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(WandK)
+  }
+
+  /** Oracle: the UNPRUNED disjunctive top-k — pruning exactness is the
+    * property under test. */
+  val qSearchWandSql: String =
+    s"""${Search.bm25ScoredCte(WandTerms)}
+       |SELECT doc_id, round(sum(s), 4) AS score, count(*) AS nt
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $WandK""".stripMargin
+
+  /** Delta + varint compression of the inverted index: per term, the
+    * sorted posting list as d-gaps (first gap = first doc_id), the
+    * LEB128-style varint byte count of those gaps, and the compression
+    * ratio vs raw int64 postings. Gap + varint length are computed
+    * inside one term-keyed aggregate over the collected sorted list —
+    * no per-posting window, one shuffle. Doc ids are < 2^21 at every
+    * test SF, so the 4-byte CASE arm is the ceiling; a production
+    * encoder extends the same CASE chain.
+    */
+  def qIndexDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    def vlen(g: Column): Column =
+      when(g < 128L, 1L).when(g < 16384L, 2L)
+        .when(g < 2097152L, 3L).otherwise(4L)
+    Tables.docTerms(spark, sfDir)
+      .groupBy("term")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .withColumn("gaps",
+        transform(sequence(lit(1), size(col("ids"))),
+          i => when(i === 1, element_at(col("ids"), 1))
+            .otherwise(element_at(col("ids"), i) -
+              element_at(col("ids"), i - 1))))
+      .select(
+        col("term"),
+        size(col("ids")).cast("long").as("df"),
+        (size(col("ids")) * 8L).as("raw_bytes"),
+        aggregate(col("gaps"), lit(0L), (acc, g) => acc + vlen(g))
+          .as("vbytes"),
+        array_join(transform(col("gaps"), _.cast("string")), ",")
+          .as("gap_list"))
+      .withColumn("ratio",
+        round(col("raw_bytes").cast("double") / col("vbytes"), 4))
+      .orderBy("term")
+  }
+
+  val qIndexDeltaSql: String =
+    """WITH idx AS (SELECT term,
+      |    list(DISTINCT doc_id ORDER BY doc_id) AS ids
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY term),
+      |g AS (SELECT term, ids,
+      |    list_transform(generate_series(1, len(ids)),
+      |      i -> CASE WHEN i = 1 THEN ids[1]
+      |           ELSE ids[i] - ids[i-1] END) AS gaps
+      |  FROM idx)
+      |SELECT term, CAST(len(ids) AS BIGINT) AS df,
+      |  CAST(len(ids) * 8 AS BIGINT) AS raw_bytes,
+      |  CAST(list_sum(list_transform(gaps,
+      |    g -> CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+      |         WHEN g < 2097152 THEN 3 ELSE 4 END)) AS BIGINT) AS vbytes,
+      |  array_to_string(gaps, ',') AS gap_list,
+      |  round(CAST(len(ids) * 8 AS DOUBLE) /
+      |    list_sum(list_transform(gaps,
+      |      g -> CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+      |           WHEN g < 2097152 THEN 3 ELSE 4 END)), 4) AS ratio
+      |FROM g ORDER BY term""".stripMargin
+
+  private val FuzzyQ = "sow"
+
+  /** Fuzzy term lookup: vocabulary terms within Levenshtein distance 1
+    * of the (misspelled) query term, with their document frequency —
+    * the spell-correction half of a "did you mean" pipeline. The scan
+    * is over the VOCABULARY (a bounded groupBy output), not the corpus;
+    * at web scale the standard upgrade is a deletion-neighborhood index
+    * over the same vocab table, which is one more groupBy.
+    */
+  def qSearchFuzzy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.docTerms(spark, sfDir)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("dist", levenshtein(col("term"), lit(FuzzyQ)))
+      .filter(col("dist") <= 1)
+      .select(col("term"), col("dist").cast("long").as("dist"), col("df"))
+      .orderBy("dist", "term")
+
+  val qSearchFuzzySql: String =
+    s"""SELECT term, CAST(levenshtein(term, '$FuzzyQ') AS BIGINT) AS dist,
+       |  count(DISTINCT doc_id) AS df
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |      FROM documents)
+       |GROUP BY term HAVING levenshtein(term, '$FuzzyQ') <= 1
+       |ORDER BY dist, term""".stripMargin
+
+  /** BPE merge application over the vocabulary: each term is exploded to
+    * characters and a FIXED, ordered merge list is applied (the apply
+    * half of byte-pair encoding; q_bpe_pairs computes the learn half's
+    * pair statistics). Tokens are joined with a DOUBLE space so a merge
+    * pattern can never straddle two adjacent merge sites; the merge list
+    * is chosen so no later pattern overlaps an earlier merge's output
+    * (left elements never suffix-match a produced token). One narrow
+    * pass over the bounded vocab — corpus-scale BPE applies the same
+    * replace chain per document partition.
+    */
+  private val BpeMerges =
+    Seq(("s", "t"), ("e", "r"), ("a", "r"), ("o", "r"), ("i", "n"))
+
+  def qTokBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    // char explode via global regexp, not split(term, "") — empty-pattern
+    // split keeps/drops trailing empties differently across engines
+    val chars = rtrim(regexp_replace(col("term"), "(.)", "$1  "))
+    val merged = BpeMerges.foldLeft(chars) { case (c, (a, b)) =>
+      regexp_replace(c, s"$a  $b", s"$a$b")
+    }
+    Tables.docTerms(spark, sfDir)
+      .select("term").distinct()
+      .withColumn("pieces",
+        regexp_replace(merged, "  ", " "))
+      .withColumn("n_pieces",
+        size(split(col("pieces"), " ")).cast("long"))
+      .orderBy("term")
+  }
+
+  val qTokBpeApplySql: String = {
+    val chars = """rtrim(regexp_replace(term, '(.)', '\1  ', 'g'))"""
+    val merged = BpeMerges.foldLeft(chars) { case (c, (a, b)) =>
+      s"replace($c, '$a  $b', '$a$b')"
+    }
+    s"""SELECT term, replace($merged, '  ', ' ') AS pieces,
+       |  CAST(len(string_split(replace($merged, '  ', ' '), ' '))
+       |    AS BIGINT) AS n_pieces
+       |FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+       |      FROM documents)
+       |ORDER BY term""".stripMargin
+  }
+}

@@ -116,4 +116,36 @@ object Sources {
         round(sum("p_retailprice"), 4).as("retail"))
       .orderBy("p_brand")
   }
+
+  /** Small-file compaction (round 3): the table-maintenance op every
+    * long-lived warehouse needs — a fragmented table (here: 32 tiny
+    * part files from a round-robin write) is rewritten into
+    * ceil(rows / 50k) right-sized files. The compaction target is
+    * row-based here so the output row is deterministic for the golden
+    * hash; a production compactor divides partition BYTES by the target
+    * file size — same one-line coalesce, different numerator. coalesce
+    * (not repartition) keeps the rewrite shuffle-free: each output task
+    * concatenates a run of input files. Row fidelity is re-proved by
+    * count + a content checksum on the re-read copy.
+    */
+  def qCompactFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    def nFiles(d: String): Long =
+      new java.io.File(d).listFiles()
+        .count(f => f.getName.startsWith("part-")).toLong
+    val fragmented = tmpDir("graft_frag_")
+    val compacted = tmpDir("graft_compact_")
+    val docs = Tables.t(spark, sfDir, "documents")
+    docs.repartition(32).write.mode("overwrite").parquet(fragmented)
+    val small = spark.read.parquet(fragmented)
+    val rows = small.count()
+    val target = math.max(1L, (rows + 49999) / 50000L).toInt
+    small.coalesce(target).write.mode("overwrite").parquet(compacted)
+    val re = spark.read.parquet(compacted)
+    val sums = re.agg(count(lit(1)).as("n_rows"),
+      sum("n_chars").as("chk")).collect()(0)
+    spark.createDataFrame(Seq((
+      nFiles(fragmented), nFiles(compacted),
+      sums.getLong(0), sums.getLong(1)
+    ))).toDF("files_before", "files_after", "n_rows", "chk_chars")
+  }
 }
