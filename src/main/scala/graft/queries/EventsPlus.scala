@@ -215,4 +215,40 @@ object EventsPlus {
       |  CAST(sum(f) AS BIGINT) AS n_events,
       |  CAST(sum(cents) AS BIGINT) AS cents
       |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
+
+  /** Lag-1 autocorrelation of the hourly event-count series per type:
+    * hourly counts (fact-sized partial aggregate on a bounded
+    * type×hour key space), then corr(cnt, lag(cnt)) over the OBSERVED
+    * hours in order. The window runs over the pre-aggregated series —
+    * |types| partitions of |hours| rows — never the fact table, so the
+    * sort state is calendar-bounded at any event volume. round(4)
+    * absorbs corr's merge-order float jitter.
+    */
+  def qEvtAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy("h")
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prev", lag("cnt", 1).over(byType))
+      .filter(col("prev").isNotNull)
+      .groupBy("event_type")
+      .agg(round(corr(col("cnt").cast("double"),
+        col("prev").cast("double")), 4).as("ac1"),
+        count(lit(1)).as("n_hours"))
+      .orderBy("event_type")
+  }
+
+  val qEvtAutocorrSql: String =
+    """WITH hourly AS (SELECT event_type,
+      |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY event_type, h),
+      |lagged AS (SELECT event_type, cnt,
+      |    lag(cnt) OVER (PARTITION BY event_type ORDER BY h) AS prev
+      |  FROM hourly)
+      |SELECT event_type,
+      |  round(corr(CAST(cnt AS DOUBLE), CAST(prev AS DOUBLE)), 4) AS ac1,
+      |  count(*) AS n_hours
+      |FROM lagged WHERE prev IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

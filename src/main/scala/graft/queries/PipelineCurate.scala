@@ -324,4 +324,25 @@ object PipelineCurate {
       |  count(DISTINCT wmin) AS n_fp, min(wmin) AS min_fp
       |FROM w WHERE wlen = 4
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** k-anonymity audit over the (lang, source) quasi-identifier: group
+    * sizes plus an at-risk flag for groups smaller than k = 10 — the
+    * privacy gate a training-data release runs before shipping. One
+    * partial-aggregable groupBy on the bounded QI space; the flag is a
+    * scalar post-projection, so the plan is a map-side combine and a
+    * QI-sized exchange at any corpus size.
+    */
+  def qKanon(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", when(col("n") < 10, 1L).otherwise(0L))
+      .orderBy("lang", "source")
+
+  val qKanonSql: String =
+    """SELECT lang, source, count(*) AS n,
+      |  CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS at_risk
+      |FROM documents GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
 }

@@ -225,4 +225,51 @@ object PipelineML {
       |              ELSE CAST(0.0 AS DOUBLE) END))), 4) AS val
       |FROM ed, generate_series(1, 8) t(j)
       |ORDER BY vec_id, dim""".stripMargin
+
+  /** kNN join: each of the 5 query vectors (vec_id < 5 — broadcast side)
+    * joined to its 3 nearest corpus neighbors by cosine. The top-k is
+    * two-phase so no window ever sees a corpus-sized partition: phase 1
+    * ranks within (query, vec_id%32) slices — 32× the parallelism, each
+    * slice's rank state is a 3-row heap — phase 2 ranks the ≤ 96
+    * survivors per query. At 100 TB the phase-1 key space scales with
+    * the corpus (swap %32 for spark_partition_id-sized slicing), phase 2
+    * stays k·slices per query. The oracle is the single-window ranking —
+    * the two-phase plan must be EXACTLY equal, which is the property
+    * under test.
+    */
+  def qKnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = vecs(spark, sfDir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = vecs(spark, sfDir)
+      .filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", VectorOps.cosine(col("v"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    val local = Window.partitionBy(col("query_id"), col("vec_id") % 32)
+      .orderBy(desc("cos"), asc("vec_id"))
+    val global = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("vec_id"))
+    scored
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= 3)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  val qKnnJoinSql: String =
+    """WITH ed AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM ed WHERE vec_id < 5),
+      |scored AS (SELECT q.query_id, e.vec_id,
+      |    list_cosine_similarity(e.v, q.qv) AS cos
+      |  FROM ed e, q WHERE e.vec_id >= 5)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk,
+      |  vec_id AS neighbor_id, round(cos, 4) AS cos
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, vec_id) AS rk FROM scored)
+      |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
 }

@@ -540,13 +540,44 @@ object Relational {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Global ntile/percent_rank/cume_dist WITHOUT a global window (which
+    * funnels the whole table through one partition — the q_shard_pack
+    * scale lesson). Range-bucket on the sort key → per-bucket counts →
+    * prefix offsets over the ≤P-row bucket table → broadcast back →
+    * partitioned row_number + offset = the exact global rank. The order
+    * key (c_acctbal, c_custkey) is unique, so percent_rank = (rn−1)/(n−1)
+    * and cume_dist = rn/n; ntile(4) is closed-form from (rn, n). Output
+    * is bit-identical to the single-window formulation the oracle runs.
+    */
   def qWinNtilePct(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy("c_acctbal", "c_custkey")
-    t(spark, sfDir, "customer")
+    val P = 32
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val stats = cust.agg(min("c_acctbal").as("lo"),
+      max("c_acctbal").as("hi"), count(lit(1)).as("n"))
+    val withPid = cust.crossJoin(broadcast(stats))
+      .withColumn("pid", least(lit(P - 1),
+        floor((col("c_acctbal") - col("lo")) * P /
+          (col("hi") - col("lo") + lit(1e-9))).cast("int")))
+    // bucket offsets: ≤ P rows — a driver-sized frame, not data-sized
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy("pid").agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum("pc").over(wOff), lit(0L)))
+      .select("pid", "off")
+    val wIn = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    withPid.join(broadcast(offsets), "pid")
+      .withColumn("rn", col("off") + row_number().over(wIn))
+      .withColumn("q4", expr("n div 4"))
+      .withColumn("r4", col("n") % 4)
       .select(col("c_custkey"), round(col("c_acctbal"), 4).as("bal"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 4).as("pct_rank"),
-        round(cume_dist().over(w), 4).as("cume"))
+        expr("""CAST(CASE WHEN rn <= r4 * (q4 + 1)
+                  THEN (rn - 1) div (q4 + 1) + 1
+                  ELSE r4 + (rn - r4 * (q4 + 1) - 1) div q4 + 1
+                END AS INT)""").as("quartile"),
+        round((col("rn") - 1).cast("double") / (col("n") - 1), 4)
+          .as("pct_rank"),
+        round(col("rn").cast("double") / col("n"), 4).as("cume"))
       .orderBy("c_custkey")
   }
 

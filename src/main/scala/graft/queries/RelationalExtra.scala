@@ -322,4 +322,30 @@ object RelationalExtra {
       |    o_orderkey
       |  LIMIT 100)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Bitmap exact distinct-count: doc_ids bucketed 64-per-word, a
+    * bit_or-merged Long bitmap per (lang, bucket), popcounts summed per
+    * lang. The OLAP bitmap-index pattern: both aggregates are
+    * partial-aggregable (bit_or and sum are commutative monoids), so
+    * count-distinct costs one 8-byte word per 64 ids on the wire instead
+    * of shuffling raw ids — and the (lang, bucket) partials are
+    * mergeable across segments/days, unlike count(DISTINCT). The oracle
+    * is the plain count(DISTINCT) the bitmap must equal exactly.
+    */
+  def qAggBitmap(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("lang"), (col("doc_id") / 64).cast("long").as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 64 AS INT))")
+          .as("bit"))
+      .groupBy("lang", "bucket")
+      .agg(expr("bit_or(bit)").as("word"))
+      .groupBy("lang")
+      .agg(sum(expr("bit_count(word)")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_words"))
+      .orderBy("lang")
+
+  val qAggBitmapSql: String =
+    """SELECT lang, count(DISTINCT doc_id) AS n_docs,
+      |  count(DISTINCT doc_id // 64) AS n_words
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }

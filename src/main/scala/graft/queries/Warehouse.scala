@@ -233,4 +233,42 @@ object Warehouse {
       |  round(sum(o_totalprice), 4) AS total
       |FROM m WHERE rn = 1 AND op <> 'D'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Incremental materialized-view maintenance: the (status, day) daily
+    * partial — count + integer-cents sum, the algebraic state a real MV
+    * stores — re-aggregated to per-status totals with avg DERIVED from
+    * the merged sums. The contract under test: merging partials equals
+    * recomputing from facts (the oracle's direct scan). At 100 TB the
+    * payoff is that a new day appends one partial row per key and the
+    * final merge touches only the calendar-bounded MV, never the fact
+    * history; cents keep both engines' sums exact (qRfm precedent).
+    */
+  def qIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderstatus"),
+        to_date(col("o_orderdate")).as("day"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("o_orderstatus", "day")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("cents"))
+    daily
+      .groupBy("o_orderstatus")
+      .agg(sum("cnt").cast("long").as("n_orders"),
+        sum("cents").cast("long").as("total_cents"),
+        count(lit(1)).as("n_days"))
+      .withColumn("avg_price", round(
+        col("total_cents").cast("double") / 100.0 / col("n_orders"), 4))
+      .orderBy("o_orderstatus")
+  }
+
+  val qIncrementalAggSql: String =
+    """WITH f AS (SELECT o_orderstatus,
+      |    CAST(o_orderdate AS DATE) AS day,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+      |  round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 4)
+      |    AS avg_price
+      |FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }
