@@ -206,4 +206,51 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(winLines.exists(_.contains("user_id")),
       s"attribution window not user-keyed:\n$p")
   }
+
+  test("q_win_ntile_pct ranks inside pid buckets — no global data window") {
+    val p = plan("q_win_ntile_pct")
+    // same contract as q_shard_pack: the customer-sized row_number must
+    // carry the pid partition spec; the only unpartitioned window is the
+    // ≤P-row bucket-offset frame under a broadcast exchange.
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(_.contains("[pid")),
+      s"no pid-partitioned ranking window:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets are not broadcast back:\n$p")
+  }
+
+  test("q_knn_join broadcasts the query side and partitions every window") {
+    val p = plan("q_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("query_id")),
+      s"corpus-sized window without query partition spec:\n$p")
+  }
+
+  test("q_agg_bitmap builds both stages with map-side partials") {
+    val p = plan("q_agg_bitmap")
+    assert(p.contains("partial_bit_or") || p.contains("partial_bitor"),
+      s"bitmap word merge is not partial-aggregable:\n$p")
+    assert(p.contains("partial_sum"), s"popcount sum has no partials:\n$p")
+    assert(!p.contains("Window") && !p.contains("Expand"),
+      s"bitmap distinct regressed to window/expand:\n$p")
+  }
+
+  test("q_index_merge merges segments with an equi-join, never a loop") {
+    val p = plan("q_index_merge")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"segment merge degraded to a non-equi join:\n$p")
+    assert(p.contains("partial_collect_set"),
+      s"segment postings are not map-side combined:\n$p")
+  }
+
+  test("q_search_boolean is one aggregate pass — no per-clause join chain") {
+    val p = plan("q_search_boolean")
+    assert(!p.contains("Join"), s"boolean clauses regressed to joins:\n$p")
+    assert(p.contains("partial_max"),
+      s"presence bits are not map-side combined:\n$p")
+  }
 }
