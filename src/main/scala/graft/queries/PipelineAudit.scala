@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Round-3 pipeline audit + sample-prep wave (SURVEY.md §2.10j):
+  * context-window token chunking, distribution-drift PSI, time-window
+  * event dedup, and an ANN recall audit that measures the LSH scale
+  * path against the exact ranking it approximates.
+  *
+  * Determinism: counts/ids are exact integers; ratios ship as integer
+  * ppm (`div`); the two float outputs (psi, cos rank keys) follow the
+  * round(4) q_surprisal precedent.
+  */
+object PipelineAudit {
+
+  // ─────────────── fixed-size token chunking with overlap ───────────────
+
+  private val ChunkTok = 32
+  private val Stride = 24
+
+  /** Context-window prep: split every doc into 32-token chunks with a
+    * 24-token stride (8-token overlap) — the standard pretraining
+    * sample shape. Chunk text ships as md5 (compact + driver-hashable);
+    * chunk count per doc is `1 + ceil((n - C) / S)` in exact integer
+    * arithmetic on both engines. One narrow pass, no shuffle before the
+    * presentation sort — at 100 TB this is a pure map stage.
+    */
+  def qTokChunk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .withColumn("n", size(col("arr")))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n <= $ChunkTok THEN 1L" +
+          s" ELSE 1L + (n - $ChunkTok + ${Stride - 1}) div $Stride END"))
+      .select(col("doc_id"), col("arr"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("k"))
+      .select(col("doc_id"),
+        (col("k") + 1).as("chunk_id"),
+        (col("k") * Stride + 1).as("start_tok"),
+        least(lit(ChunkTok.toLong), col("n") - col("k") * Stride)
+          .cast("long").as("n_tok"),
+        md5(array_join(slice(col("arr"),
+          (col("k") * Stride + 1).cast("int"),
+          least(lit(ChunkTok.toLong), col("n") - col("k") * Stride)
+            .cast("int")), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  val qTokChunkSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+      |  FROM documents),
+      |c AS (SELECT doc_id, arr, len(arr) AS n,
+      |    CASE WHEN len(arr) <= $ChunkTok THEN 1
+      |         ELSE 1 + (len(arr) - $ChunkTok + ${Stride - 1}) // $Stride
+      |    END AS n_chunks FROM d)
+      |SELECT doc_id, CAST(k + 1 AS BIGINT) AS chunk_id,
+      |  CAST(k * $Stride + 1 AS BIGINT) AS start_tok,
+      |  CAST(least($ChunkTok, n - k * $Stride) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(list_slice(arr, k * $Stride + 1,
+      |      k * $Stride + least($ChunkTok, n - k * $Stride)), ' '))
+      |    AS chunk_md5
+      |FROM c, unnest(generate_series(0, n_chunks - 1)) AS t(k)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ─────────────── population-stability-index drift audit ───────────────
+
+  /** Distribution drift per source vs the src0 reference: PSI over 10
+    * fixed-width doc-length buckets with +1 Laplace smoothing (so empty
+    * buckets stay finite and both engines divide the same exact
+    * integers). Scale: bucket counts are one partial-aggregable groupBy
+    * on a bounded (source × 10) key space; everything after is
+    * grid-sized. The pipeline use: alert when a crawl snapshot's length
+    * profile shifts against the reference corpus.
+    */
+  def qDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("source"),
+        least(lit(9L), expr("n_chars div 60")).as("bucket"))
+    val cnt = docs.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val grid = docs.select("source").distinct()
+      .crossJoin(spark.range(0, 10).select(col("id").as("bucket")))
+    val full = grid.join(cnt, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+    val tot = full.groupBy("source").agg(sum("c").as("n"))
+    val wt = full.join(tot, "source")
+    val ex = wt.filter(col("source") === "src0")
+      .select(col("bucket"), col("c").as("ce"), col("n").as("ne"))
+    val pa = (col("c") + 1) / (col("n") + 10)
+    val pe = (col("ce") + 1) / (col("ne") + 10)
+    wt.join(broadcast(ex), "bucket")
+      .groupBy("source")
+      .agg(max("n").as("n_docs"),
+        round(sum((pa - pe) * log(pa / pe)), 4).as("psi"))
+      .orderBy("source")
+  }
+
+  val qDriftPsiSql: String =
+    """WITH d AS (SELECT source, least(9, n_chars // 60) AS bucket
+      |  FROM documents),
+      |cnt AS (SELECT source, bucket, count(*) AS c FROM d GROUP BY 1, 2),
+      |grid AS (SELECT s.source, t.b AS bucket
+      |  FROM (SELECT DISTINCT source FROM documents) s,
+      |       unnest(generate_series(0, 9)) AS t(b)),
+      |f AS (SELECT grid.source, grid.bucket, coalesce(cnt.c, 0) AS c
+      |  FROM grid LEFT JOIN cnt
+      |    ON grid.source = cnt.source AND grid.bucket = cnt.bucket),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+      |  FROM f GROUP BY 1),
+      |wt AS (SELECT f.source, f.bucket, f.c, t.n
+      |  FROM f JOIN tot t USING (source)),
+      |ex AS (SELECT bucket, c AS ce, n AS ne FROM wt WHERE source = 'src0')
+      |SELECT w.source, CAST(max(w.n) AS BIGINT) AS n_docs,
+      |  round(sum(
+      |    ((w.c + 1) / CAST(w.n + 10 AS DOUBLE)
+      |      - (e.ce + 1) / CAST(e.ne + 10 AS DOUBLE))
+      |    * ln(((w.c + 1) / CAST(w.n + 10 AS DOUBLE))
+      |       / ((e.ce + 1) / CAST(e.ne + 10 AS DOUBLE)))), 4) AS psi
+      |FROM wt w JOIN ex e USING (bucket)
+      |GROUP BY w.source ORDER BY w.source""".stripMargin
+
+  // ─────────────── time-window event dedup ───────────────
+
+  /** Windowed dedup: events collapse to one representative per
+    * (user, event_type, 5-min bucket) — the batch form of
+    * s_stream_dedup's watermark dedup, reported as kept/dropped counts
+    * per type. The bucket key is exact integer µs arithmetic
+    * (`unix_micros div 300e6` ≡ DuckDB `epoch_us // 300e6`), no
+    * timestamp rendering in the output. Both groupBys are
+    * partial-aggregable; keys are (users × types × buckets)-bounded.
+    */
+  def qWindowDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 300000000").as("bucket"))
+      .groupBy("event_type", "user_id", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_kept"),
+        (sum("c") - count(lit(1))).as("n_dropped"))
+      .orderBy("event_type")
+
+  val qWindowDedupSql: String =
+    """WITH e AS (SELECT event_type, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 AS bucket
+      |  FROM events),
+      |k AS (SELECT event_type, user_id, bucket, count(*) AS c
+      |  FROM e GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+      |  count(*) AS n_kept,
+      |  CAST(sum(c) - count(*) AS BIGINT) AS n_dropped
+      |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ─────────────── ANN recall audit (LSH vs exact) ───────────────
+
+  /** Recall@10 of the q_sim_lsh sign-bucket ANN against the exact
+    * cosine top-10, per query (vec_id < 5 queries vs vec_id ≥ 5
+    * corpus). This is the audit every approximate index needs before it
+    * replaces the exact scan at 100 TB: the candidate set is only the
+    * query's own bucket, so n_approx < 10 and misses are EXPECTED —
+    * the operator measures them. Rank keys are round(4)-grid-aligned
+    * with vec_id tiebreaks (q_keywords precedent), so both engines rank
+    * identically. The exact side's corpus-wide window is the audit-time
+    * baseline by definition; the production ranking path is the
+    * two-phase q_knn_join shape.
+    */
+  def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("bucket", PipelineExtra.lshBucket(col("v")))
+      .withColumn("nrm", VectorOps.l2norm(col("v")))
+    val q = e.filter(col("vec_id") < 5).select(
+      col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"), col("bucket").as("qb"))
+    val c = e.filter(col("vec_id") >= 5).select(
+      col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cn"), col("bucket").as("cb"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", round(
+        VectorOps.dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
+      .select("qid", "cid", "cos", "cb", "qb")
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    val exact = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select("qid", "cid")
+    val approx = scored.filter(col("cb") === col("qb"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select("qid", "cid")
+    val na = approx.groupBy("qid").agg(count(lit(1)).as("na"))
+    val nh = exact.join(approx, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("nh"))
+    q.select(col("qid"))
+      .join(na, Seq("qid"), "left").join(nh, Seq("qid"), "left")
+      .na.fill(0L, Seq("na", "nh"))
+      .select(col("qid").as("query_id"), col("na").as("n_approx"),
+        col("nh").as("n_hit"), (col("nh") * 100000).as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
+  val qAnnRecallSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |sig AS (SELECT vec_id,
+      |    string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+      |               ORDER BY p) AS bucket
+      |  FROM (SELECT vec_id, p,
+      |      sum(v[d] * (((p * 31 + d * 17) % 7) - 3)) AS dot
+      |    FROM e, unnest(generate_series(0, 7)) t1(p),
+      |      unnest(generate_series(1, len(v))) t2(d)
+      |    GROUP BY vec_id, p)
+      |  GROUP BY vec_id),
+      |q AS (SELECT e.vec_id AS qid, e.v AS qv, s.bucket AS qb
+      |  FROM e JOIN sig s USING (vec_id) WHERE e.vec_id < 5),
+      |c AS (SELECT e.vec_id AS cid, e.v AS cv, s.bucket AS cb
+      |  FROM e JOIN sig s USING (vec_id) WHERE e.vec_id >= 5),
+      |scored AS (SELECT qid, cid, cb, qb,
+      |    round(CAST(list_cosine_similarity(cv, qv) AS DOUBLE), 4) AS cos
+      |  FROM c, q),
+      |exact AS (SELECT qid, cid FROM (
+      |    SELECT qid, cid, row_number() OVER (
+      |        PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      |    FROM scored) WHERE rn <= 10),
+      |approx AS (SELECT qid, cid FROM (
+      |    SELECT qid, cid, row_number() OVER (
+      |        PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      |    FROM scored WHERE cb = qb) WHERE rn <= 10)
+      |SELECT q.qid AS query_id,
+      |  CAST(coalesce(a.na, 0) AS BIGINT) AS n_approx,
+      |  CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit,
+      |  CAST(coalesce(h.nh, 0) * 100000 AS BIGINT) AS recall_ppm
+      |FROM q
+      |LEFT JOIN (SELECT qid, count(*) AS na FROM approx GROUP BY qid) a
+      |  ON q.qid = a.qid
+      |LEFT JOIN (SELECT e2.qid, count(*) AS nh FROM exact e2 JOIN approx ap
+      |    ON e2.qid = ap.qid AND e2.cid = ap.cid GROUP BY e2.qid) h
+      |  ON q.qid = h.qid
+      |ORDER BY query_id""".stripMargin
+}

@@ -71,6 +71,15 @@ object PipelineExtra {
   private def planeVec(p: Int): Array[Double] =
     Array.tabulate(MaxDim)(i => (((p * 31 + (i + 1) * 17) % 7) - 3).toDouble)
 
+  /** 8-bit sign-of-projection LSH bucket key for a double-vector column —
+    * shared by q_sim_lsh (the ANN scale path) and q_ann_recall (its
+    * recall audit). */
+  private[queries] def lshBucket(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat((0 until Planes).map { p =>
+      val dot = graft.functions.VectorOps.dot(v, typedLit(planeVec(p)))
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
   /** LSH-bucketed cosine near-dup: 8 sign-of-projection bits form the
     * bucket key; exact cosine is computed only within buckets (the scale
     * path for q_dedup_embed's sampled brute force — candidate count drops
@@ -80,11 +89,7 @@ object PipelineExtra {
     val e = Tables.t(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val bits = (0 until Planes).map { p =>
-      val dot = graft.functions.VectorOps.dot(col("v"), typedLit(planeVec(p)))
-      when(dot >= 0, lit("1")).otherwise(lit("0"))
-    }
-    val sig = e.withColumn("bucket", concat(bits: _*))
+    val sig = e.withColumn("bucket", lshBucket(col("v")))
       .withColumn("n", graft.functions.VectorOps.l2norm(col("v")))
     val a = sig.select(col("vec_id").as("v1"), col("v").as("va"),
       col("n").as("na"), col("bucket"))

@@ -348,4 +348,49 @@ object RelationalExtra {
     """SELECT lang, count(DISTINCT doc_id) AS n_docs,
       |  count(DISTINCT doc_id // 64) AS n_words
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Market-basket brand affinity: top-20 brand pairs by lift (observed
+    * co-basket frequency over the independence expectation, integer
+    * ppm). The self-join pairs only WITHIN an order — per-order pair
+    * expansion is bounded by the basket's distinct brands (≤ 25), so the
+    * join output is |orders|·O(brands²/2), linear in the fact table; the
+    * margin counts and order total are brand-bounded broadcasts. Lift is
+    * exact integer arithmetic: (c12 · N · 10⁶) div (c1 · c2).
+    */
+  def qBasketLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ob = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(t(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_brand").as("brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select("ok", "brand").distinct()
+    val n = ob.select(countDistinct("ok").as("n_orders"))
+    val cb = ob.groupBy("brand").agg(count(lit(1)).as("c"))
+    val pairs = ob.select(col("ok"), col("brand").as("b1"))
+      .join(ob.select(col("ok"), col("brand").as("b2")), "ok")
+      .filter(col("b1") < col("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("c12"))
+    pairs
+      .join(broadcast(cb.select(col("brand").as("b1"), col("c").as("c1"))), "b1")
+      .join(broadcast(cb.select(col("brand").as("b2"), col("c").as("c2"))), "b2")
+      .crossJoin(broadcast(n))
+      .select(col("b1"), col("b2"), col("c12"), col("c1"), col("c2"),
+        expr("(c12 * n_orders * 1000000) div (c1 * c2)").as("lift_ppm"))
+      .orderBy(desc("lift_ppm"), asc("b1"), asc("b2"))
+      .limit(20)
+  }
+
+  val qBasketLiftSql: String =
+    """WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+      |cb AS (SELECT brand, count(*) AS c FROM ob GROUP BY brand),
+      |pairs AS (SELECT a.brand AS b1, b.brand AS b2, count(*) AS c12
+      |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      |  GROUP BY 1, 2)
+      |SELECT b1, b2, c12, c1.c AS c1, c2.c AS c2,
+      |  (c12 * n.n_orders * 1000000) // (c1.c * c2.c) AS lift_ppm
+      |FROM pairs JOIN cb c1 ON b1 = c1.brand
+      |JOIN cb c2 ON b2 = c2.brand CROSS JOIN n
+      |ORDER BY lift_ppm DESC, b1, b2 LIMIT 20""".stripMargin
 }

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 corpus-statistics additions to the search core (SURVEY.md
+  * §2.9): the positional index artifact, log-likelihood-ratio
+  * collocations (the statistically-sound complement to q_cooccur_pmi),
+  * and a Zipf rank-frequency fit — the diagnostic that tells an index
+  * designer how skewed the posting-length distribution is.
+  */
+object SearchStats {
+
+  // ─────────────── positional inverted index ───────────────
+
+  /** Positional index: term → df, collection frequency, and the full
+    * doc:positions posting wire format (shipped as md5 — the driver
+    * comparator hashes scalar cells). Postings are ordered numerically
+    * by doc_id via a struct sort (lexicographic string order would put
+    * doc 10 before doc 2); positions are 1-based to match the oracle's
+    * generate_series indexing. Scale: the same term-keyed build as
+    * q_inverted_index — one (term, doc) combine then one term-keyed
+    * aggregate; position lists ride inside the aggregation buffers.
+    */
+  def qIdxPositional(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("arr")).as(Seq("p0", "term")))
+      .select(col("term"), col("doc_id"),
+        (col("p0") + 1).cast("long").as("pos"))
+    p.groupBy("term", "doc_id")
+      .agg(concat_ws(",", sort_array(collect_list(col("pos")))).as("plist"),
+        count(lit(1)).as("n"))
+      .withColumn("entry", concat(col("doc_id"), lit(":"), col("plist")))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("n").as("cf"),
+        md5(concat_ws(";", transform(
+          sort_array(collect_list(struct(col("doc_id"), col("entry")))),
+          x => x.getField("entry")))).as("postings_md5"))
+      .orderBy("term")
+  }
+
+  val qIdxPositionalSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+      |  FROM documents),
+      |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, arr[i] AS term
+      |  FROM d, unnest(generate_series(1, len(arr))) AS t(i)),
+      |pd AS (SELECT term, doc_id,
+      |    array_to_string(list(pos ORDER BY pos), ',') AS plist,
+      |    count(*) AS n FROM p GROUP BY term, doc_id)
+      |SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(sum(n) AS BIGINT) AS cf,
+      |  md5(string_agg(doc_id || ':' || plist, ';' ORDER BY doc_id))
+      |    AS postings_md5
+      |FROM pd GROUP BY term ORDER BY term""".stripMargin
+
+  // ─────────────── log-likelihood-ratio collocations ───────────────
+
+  private def xlogx(c: Column): Column =
+    when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+
+  /** Dunning log-likelihood-ratio collocations: top-20 bigrams whose
+    * co-occurrence beats the independence model — unlike PMI, LLR does
+    * not blow up on rare pairs, which is why index-time phrase detection
+    * uses it. All four contingency cells come from exact integer bigram
+    * counts; the xlogx sum is one fixed per-row expression tree (no
+    * aggregate merge order), round(4). Scale: counts are vocab²-bounded
+    * aggregates; the margin tables broadcast.
+    */
+  def qCollocation(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(explode(expr(
+        """zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1),
+          |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1t = cnt.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2t = cnt.groupBy("w2").agg(sum("c12").as("c2"))
+    val nt = cnt.agg(sum("c12").as("n"))
+    cnt.join(broadcast(c1t), "w1").join(broadcast(c2t), "w2")
+      .crossJoin(broadcast(nt))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(lit(2) * (
+          xlogx(col("c12"))
+            + xlogx(col("c1") - col("c12"))
+            + xlogx(col("c2") - col("c12"))
+            + xlogx(col("n") - col("c1") - col("c2") + col("c12"))
+            - xlogx(col("c1")) - xlogx(col("n") - col("c1"))
+            - xlogx(col("c2")) - xlogx(col("n") - col("c2"))
+            + xlogx(col("n"))), 4).as("llr"))
+      .orderBy(desc("llr"), asc("w1"), asc("w2"))
+      .limit(20)
+  }
+
+  val qCollocationSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+      |  FROM documents),
+      |bg AS (SELECT arr[i] AS w1, arr[i + 1] AS w2
+      |  FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)),
+      |cnt AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |c1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+      |  FROM cnt GROUP BY 1),
+      |c2t AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2
+      |  FROM cnt GROUP BY 1),
+      |nt AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM cnt)
+      |SELECT w1, w2, c12, c1, c2,
+      |  round(2 * (
+      |    (CASE WHEN c12 > 0 THEN c12 * ln(CAST(c12 AS DOUBLE))
+      |          ELSE 0 END)
+      |    + (CASE WHEN c1 - c12 > 0
+      |         THEN (c1 - c12) * ln(CAST(c1 - c12 AS DOUBLE)) ELSE 0 END)
+      |    + (CASE WHEN c2 - c12 > 0
+      |         THEN (c2 - c12) * ln(CAST(c2 - c12 AS DOUBLE)) ELSE 0 END)
+      |    + (CASE WHEN n - c1 - c2 + c12 > 0
+      |         THEN (n - c1 - c2 + c12)
+      |           * ln(CAST(n - c1 - c2 + c12 AS DOUBLE)) ELSE 0 END)
+      |    - (CASE WHEN c1 > 0 THEN c1 * ln(CAST(c1 AS DOUBLE))
+      |            ELSE 0 END)
+      |    - (CASE WHEN n - c1 > 0
+      |         THEN (n - c1) * ln(CAST(n - c1 AS DOUBLE)) ELSE 0 END)
+      |    - (CASE WHEN c2 > 0 THEN c2 * ln(CAST(c2 AS DOUBLE))
+      |            ELSE 0 END)
+      |    - (CASE WHEN n - c2 > 0
+      |         THEN (n - c2) * ln(CAST(n - c2 AS DOUBLE)) ELSE 0 END)
+      |    + n * ln(CAST(n AS DOUBLE))), 4) AS llr
+      |FROM cnt JOIN c1t USING (w1) JOIN c2t USING (w2) CROSS JOIN nt
+      |ORDER BY llr DESC, w1, w2 LIMIT 20""".stripMargin
+
+  // ─────────────── Zipf rank-frequency fit ───────────────
+
+  /** Zipf fit: OLS of ln(freq) on ln(rank) over the term vocabulary —
+    * slope ≈ −1 is the natural-language signature; the synthetic
+    * corpus's flat vocabulary shows up as a slope near 0, which is
+    * exactly what the diagnostic is for. The global rank window runs
+    * over the AGGREGATED vocabulary (≪ corpus — q_tok_vocab precedent),
+    * never the token stream; the regression aggregates are single-pass
+    * mergeable co-moments (q_corr_stats precedent), round(4).
+    */
+  def qZipfFit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tokens(spark, sfDir)
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("c"), asc("term"))))
+      .agg(count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 4)
+          .as("slope"),
+        round(expr("regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 4)
+          .as("icept"),
+        round(expr("regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))"), 4)
+          .as("r2"))
+      .orderBy("n_terms")
+
+  val qZipfFitSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+      |r AS (SELECT term, c,
+      |    row_number() OVER (ORDER BY c DESC, term) AS rank FROM tf)
+      |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |  round(regr_slope(ln(CAST(c AS DOUBLE)),
+      |    ln(CAST(rank AS DOUBLE))), 4) AS slope,
+      |  round(regr_intercept(ln(CAST(c AS DOUBLE)),
+      |    ln(CAST(rank AS DOUBLE))), 4) AS icept,
+      |  round(regr_r2(ln(CAST(c AS DOUBLE)),
+      |    ln(CAST(rank AS DOUBLE))), 4) AS r2
+      |FROM r ORDER BY n_terms""".stripMargin
+}
