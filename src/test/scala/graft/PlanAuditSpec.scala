@@ -253,4 +253,77 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("partial_max"),
       s"presence bits are not map-side combined:\n$p")
   }
+
+  test("q_tok_chunk is a pure map stage — no shuffle before the sort") {
+    val p = plan("q_tok_chunk")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking introduced a hash shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"chunking regressed to window/join:\n$p")
+  }
+
+  test("q_drift_psi aggregates the bounded bucket space with partials") {
+    val p = plan("q_drift_psi")
+    assert(p.contains("partial_count"),
+      s"bucket counts have no map-side partials:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"grid/reference joins are not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a grid-sized join fell back to sort-merge:\n$p")
+  }
+
+  test("q_window_dedup is two partial-aggregable groupBys, no window") {
+    val p = plan("q_window_dedup")
+    assert(p.contains("partial_count"),
+      s"bucket dedup has no map-side partials:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"windowed dedup regressed to window/join:\n$p")
+  }
+
+  test("q_ann_recall broadcasts the query side; rankings partition on qid") {
+    val p = plan("q_ann_recall")
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("qid")),
+      s"a ranking window lost its qid partition spec:\n$p")
+  }
+
+  test("q_idx_positional combines postings map-side like the MR build") {
+    val p = plan("q_idx_positional")
+    assert(p.contains("partial_collect_list") || p.contains("partial_count"),
+      s"posting build lost its map-side combine:\n$p")
+    assert(!p.contains("Join"),
+      s"positional index build regressed to a join:\n$p")
+  }
+
+  test("q_collocation margins broadcast; no corpus-sized sort-merge") {
+    val p = plan("q_collocation")
+    assert(p.contains("BroadcastHashJoin"),
+      s"margin tables not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a vocab-bounded margin join fell back to sort-merge:\n$p")
+  }
+
+  test("q_zipf_fit windows only the aggregated vocabulary") {
+    val p = plan("q_zipf_fit")
+    // the global rank window must sit ABOVE the tf aggregation (vocab
+    // input), never over the raw token stream — in the printed plan
+    // (root first) the window's SUBTREE below it must contain the tf
+    // HashAggregate
+    val lines = p.linesIterator.toSeq
+    val win = lines.indexWhere(_.contains("Window"))
+    assert(win >= 0
+        && lines.drop(win + 1).exists(_.contains("HashAggregate")),
+      s"rank window is not over the aggregated vocab:\n$p")
+  }
+
+  test("q_basket_lift persists the basket projection and broadcasts margins") {
+    val p = plan("q_basket_lift")
+    assert(p.contains("InMemoryTableScan"),
+      s"basket projection is recomputed per branch:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"margin counts are not broadcast:\n$p")
+  }
 }
