@@ -251,4 +251,85 @@ object EventsPlus {
       |  count(*) AS n_hours
       |FROM lagged WHERE prev IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Robust outliers: top-20 events by |modified z-score| — MAD-based,
+    * so a single extreme value can't inflate its own yardstick the way
+    * q_evt_anomaly's stddev can. Two percentile aggregates per type
+    * (median, then MAD against the broadcast median) + one narrow
+    * scoring pass; the rank key is the round(4)-grid rz with event_id
+    * tiebreak. Exact-interpolation `percentile` matches DuckDB's
+    * percentile_cont (q_agg_percentile precedent).
+    */
+  def qOutlierMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 4)
+          .as("rz"))
+      .orderBy(abs(col("rz")).desc, asc("event_id"))
+      .limit(20)
+  }
+
+  val qOutlierMadSql: String =
+    """WITH med AS (SELECT event_type,
+      |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      |  FROM events GROUP BY event_type),
+      |mad AS (SELECT e.event_type,
+      |    percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med))
+      |      AS mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+      |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+      |  round(0.6745 * (e.value - m.med) / d.mad, 4) AS rz
+      |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      |ORDER BY abs(round(0.6745 * (e.value - m.med) / d.mad, 4)) DESC,
+      |  e.event_id
+      |LIMIT 20""".stripMargin
+
+  /** DAU / WAU actives + stickiness (DAU/WAU, integer ppm) per day.
+    * Day keys are exact integer µs `div`; the 7-day membership is an
+    * in-row explode of each (user, day) onto the ≤7 window days it
+    * covers — a narrow ×7 expansion — then one partial-aggregable
+    * distinct count per day. No row-range self-join, no window over the
+    * event stream; the day grid is calendar-bounded.
+    */
+  def qEvtDauWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("dayn"))
+      .distinct()
+    val days = ud.select("dayn").distinct()
+    val dau = ud.groupBy("dayn").agg(countDistinct("user_id").as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("dayn"), col("dayn") + 6)).as("dayn"))
+      .join(broadcast(days), "dayn")
+      .groupBy("dayn").agg(countDistinct("user_id").as("wau"))
+    days.join(dau, "dayn").join(wau, "dayn")
+      .select(col("dayn"), col("dau"), col("wau"),
+        expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+      .orderBy("dayn")
+  }
+
+  val qEvtDauWauSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn
+      |  FROM events),
+      |days AS (SELECT DISTINCT dayn FROM ud),
+      |dau AS (SELECT dayn, count(DISTINCT user_id) AS dau
+      |  FROM ud GROUP BY dayn),
+      |cover AS (SELECT ud.user_id, d2.d AS dayn
+      |  FROM ud, unnest(generate_series(ud.dayn, ud.dayn + 6)) d2(d)),
+      |wau AS (SELECT c.dayn, count(DISTINCT c.user_id) AS wau
+      |  FROM cover c JOIN days USING (dayn) GROUP BY c.dayn)
+      |SELECT d.dayn, dau.dau, wau.wau,
+      |  (dau.dau * 1000000) // wau.wau AS stickiness_ppm
+      |FROM days d JOIN dau USING (dayn) JOIN wau USING (dayn)
+      |ORDER BY d.dayn""".stripMargin
 }

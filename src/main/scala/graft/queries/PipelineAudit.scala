@@ -237,4 +237,75 @@ object PipelineAudit {
       |    ON e2.qid = ap.qid AND e2.cid = ap.cid GROUP BY e2.qid) h
       |  ON q.qid = h.qid
       |ORDER BY query_id""".stripMargin
+
+  // ─────────────── multi-probe LSH (the recall fix) ───────────────
+
+  /** Multi-probe LSH top-10: each query probes its own bucket PLUS the 8
+    * single-bit-flip neighbor buckets — the standard fix for the recall
+    * loss q_ann_recall measures (more probes ≫ more tables, same index).
+    * The probe set is a 9× in-row expansion of the O(|q|) broadcast query
+    * side; candidates still come only from bucket equi-joins, so the
+    * candidate count stays O(Σ probed-bucket sizes), never O(n²). Rank
+    * keys round(4)-grid-aligned + cid tiebreak.
+    */
+  def qMultiProbeLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("bucket", PipelineExtra.lshBucket(col("v")))
+      .withColumn("nrm", VectorOps.l2norm(col("v")))
+    val q = e.filter(col("vec_id") < 5).select(
+      col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"), col("bucket").as("qb"))
+    val c = e.filter(col("vec_id") >= 5).select(
+      col("vec_id").as("cid"), col("v").as("cv"),
+      col("nrm").as("cn"), col("bucket").as("cb"))
+    val probeCols: Seq[Column] = col("qb") +: (1 to 8).map { i =>
+      concat(substring(col("qb"), 1, i - 1),
+        when(substring(col("qb"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("qb"), i + 1, 8 - i))
+    }
+    val probes = q.select(col("qid"), col("qv"), col("qn"),
+      explode(array(probeCols: _*)).as("probe"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    c.join(broadcast(probes), col("cb") === col("probe"))
+      .withColumn("cos", round(
+        VectorOps.dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid").as("query_id"), col("cid"), col("cos"))
+      .orderBy(asc("query_id"), desc("cos"), asc("cid"))
+  }
+
+  val qMultiProbeLshSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |sig AS (SELECT vec_id,
+      |    string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+      |               ORDER BY p) AS bucket
+      |  FROM (SELECT vec_id, p,
+      |      sum(v[d] * (((p * 31 + d * 17) % 7) - 3)) AS dot
+      |    FROM e, unnest(generate_series(0, 7)) t1(p),
+      |      unnest(generate_series(1, len(v))) t2(d)
+      |    GROUP BY vec_id, p)
+      |  GROUP BY vec_id),
+      |q AS (SELECT e.vec_id AS qid, e.v AS qv, s.bucket AS qb
+      |  FROM e JOIN sig s USING (vec_id) WHERE e.vec_id < 5),
+      |probes AS (
+      |  SELECT qid, qb AS probe FROM q
+      |  UNION ALL
+      |  SELECT qid, substr(qb, 1, i - 1)
+      |    || (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END)
+      |    || substr(qb, i + 1, 8 - i) AS probe
+      |  FROM q, unnest(generate_series(1, 8)) t(i)),
+      |c AS (SELECT e.vec_id AS cid, e.v AS cv, s.bucket AS cb
+      |  FROM e JOIN sig s USING (vec_id) WHERE e.vec_id >= 5),
+      |cand AS (SELECT p.qid, c.cid,
+      |    round(CAST(list_cosine_similarity(c.cv, q.qv) AS DOUBLE), 4) AS cos
+      |  FROM probes p JOIN c ON c.cb = p.probe JOIN q ON q.qid = p.qid)
+      |SELECT qid AS query_id, cid, cos FROM (
+      |  SELECT qid, cid, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+      |  FROM cand) WHERE rn <= 10
+      |ORDER BY query_id, cos DESC, cid""".stripMargin
 }

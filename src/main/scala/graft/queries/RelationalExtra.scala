@@ -358,22 +358,30 @@ object RelationalExtra {
     * exact integer arithmetic: (c12 · N · 10⁶) div (c1 · c2).
     */
   def qBasketLift(spark: SparkSession, sfDir: String): DataFrame = {
-    // ob feeds FOUR plan branches (n, margins, both pair sides) — persist
-    // it or the lineitem⋈part join + distinct re-runs per branch
-    // (2.9 s → ~1 s at sf0.1; at warehouse scale this materialized
-    // basket projection is exactly what you'd stage before a lift sweep).
-    val ob = t(spark, sfDir, "lineitem")
+    // One fact-table pass: per-order sorted distinct brand sets via a
+    // partial-aggregable collect_set (ONE shuffle, map-side combined).
+    // Margins, the order total, and the pair expansion all derive from
+    // this TINY table (|orders| rows × ≤25 brands), persisted so the
+    // three branches don't rescan the fact side — pairs expand IN-ROW
+    // (sorted array, i<j) instead of through an ok-keyed self-join, so
+    // no corpus-sized join exists anywhere in the plan. The oracle keeps
+    // the self-join formulation: two algorithms, one answer.
+    val baskets = t(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
       .join(t(spark, sfDir, "part")
         .select(col("p_partkey"), col("p_brand").as("brand")),
         col("l_partkey") === col("p_partkey"))
-      .select("ok", "brand").distinct()
+      .groupBy("ok")
+      .agg(sort_array(collect_set(col("brand"))).as("brands"))
       .persist()
-    val n = ob.select(countDistinct("ok").as("n_orders"))
-    val cb = ob.groupBy("brand").agg(count(lit(1)).as("c"))
-    val pairs = ob.select(col("ok"), col("brand").as("b1"))
-      .join(ob.select(col("ok"), col("brand").as("b2")), "ok")
-      .filter(col("b1") < col("b2"))
+    val n = baskets.select(count(lit(1)).as("n_orders"))
+    val cb = baskets.select(explode(col("brands")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("c"))
+    val pairs = baskets.select(explode(expr(
+      """flatten(transform(brands, (x, i) ->
+        |  transform(slice(brands, i + 2, size(brands)),
+        |    y -> named_struct('b1', x, 'b2', y))))""".stripMargin)).as("p"))
+      .select(col("p.b1").as("b1"), col("p.b2").as("b2"))
       .groupBy("b1", "b2").agg(count(lit(1)).as("c12"))
     pairs
       .join(broadcast(cb.select(col("brand").as("b1"), col("c").as("c1"))), "b1")

@@ -189,12 +189,19 @@ object Search {
     * n_docs, avgdl) are broadcast-sized.
     */
   private[graft] def bm25Scored(spark: SparkSession, sfDir: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String]): DataFrame =
+    bm25ScoredOn(spark, sfDir,
+      tf(spark, sfDir).filter(col("term").isin(terms: _*)))
+
+  /** [[bm25Scored]] over an arbitrary pre-filtered tf relation — the PRF
+    * path filters by a RUNTIME term set (broadcast join) instead of a
+    * literal IN list. */
+  private[graft] def bm25ScoredOn(spark: SparkSession, sfDir: String,
+      tfIn: DataFrame): DataFrame = {
     val dl = Tables.tokens(spark, sfDir)
       .groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val avgdl = dl.agg(avg(col("dl").cast("double")).as("avgdl"))
-    tf(spark, sfDir)
-      .filter(col("term").isin(terms: _*))
+    tfIn
       .join(broadcast(df(spark, sfDir)), "term")
       .crossJoin(broadcast(nDocs(spark, sfDir)))
       .join(dl, "doc_id")
@@ -253,6 +260,62 @@ object Search {
        |SELECT doc_id, round(sum(s), 4) AS score FROM scored
        |GROUP BY doc_id HAVING count(DISTINCT term) = 2
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Pseudo-relevance-feedback retrieval (Rocchio shape): BM25 seed
+    * top-3 for {spark, join} → top-2 expansion terms by summed raw
+    * tf-idf inside the seed docs (round(4) rank key, term tiebreak,
+    * originals excluded) → BM25 re-rank with the expanded 4-term query.
+    * The two-stage plan a production engine runs: every stage's "small"
+    * side (seed docs, expansion terms, query-term set) is broadcast; the
+    * corpus is touched only through term-filtered posting joins. Output
+    * carries nt so a reader sees how many expanded terms each hit
+    * matched.
+    */
+  def qBm25Prf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seed = bm25Scored(spark, sfDir, Seq("spark", "join"))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"), round(sum("s"), 4).as("sc"))
+      .filter(col("nt") === 2)
+      .orderBy(desc("sc"), asc("doc_id")).limit(3)
+      .select("doc_id")
+    val ex = tfidfRaw(spark, sfDir)
+      .join(broadcast(seed), "doc_id")
+      .filter(!col("term").isin("spark", "join"))
+      .groupBy("term").agg(round(sum("score"), 4).as("w"))
+      .orderBy(desc("w"), asc("term")).limit(2)
+      .select("term")
+    val qterms = Seq("spark", "join").toDF("term").union(ex)
+    bm25ScoredOn(spark, sfDir,
+        tf(spark, sfDir).join(broadcast(qterms), "term"))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"), round(sum("s"), 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val qBm25PrfSql: String =
+    s"""${bm25ScoredCte(Seq("spark", "join"))},
+       |seed AS (SELECT doc_id FROM scored GROUP BY doc_id
+       |  HAVING count(DISTINCT term) = 2
+       |  ORDER BY round(sum(s), 4) DESC, doc_id LIMIT 3),
+       |tfidf AS (SELECT tf.doc_id, tf.term,
+       |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ex AS (SELECT t.term FROM tfidf t JOIN seed USING (doc_id)
+       |  WHERE t.term NOT IN ('spark', 'join')
+       |  GROUP BY t.term
+       |  ORDER BY round(sum(t.score), 4) DESC, t.term LIMIT 2),
+       |qt AS (SELECT 'spark' AS term UNION ALL SELECT 'join'
+       |  UNION ALL SELECT term FROM ex),
+       |fin AS (SELECT tf.doc_id, tf.term,
+       |    ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |      ((tf.tf * 2.2) /
+       |       (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
+       |  FROM tf JOIN qt USING (term) JOIN df USING (term) CROSS JOIN n
+       |  JOIN dl USING (doc_id) CROSS JOIN ad)
+       |SELECT doc_id, count(DISTINCT term) AS nt, round(sum(s), 4) AS score
+       |FROM fin GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   /** Document-document similarity: cosine over TF-IDF term vectors,
     * top-20 pairs on the shared doc_id%10 sample. The join is on term

@@ -167,4 +167,31 @@ object SearchStats {
       |  round(regr_r2(ln(CAST(c AS DOUBLE)),
       |    ln(CAST(rank AS DOUBLE))), 4) AS r2
       |FROM r ORDER BY n_terms""".stripMargin
+
+  // ─────────────── per-segment index statistics ───────────────
+
+  /** Index observability: per segment (even/odd doc split — the same
+    * segmentation q_index_merge compacts), distinct terms, posting
+    * count, and token total. One aggregate pass; the triple-distinct
+    * Expand is fine on bounded segments — a warehouse-scale profile
+    * swaps in approx_count_distinct sketches (q_stats_profile
+    * precedent).
+    */
+  def qSegmentStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select((col("doc_id") % 2).as("segment"), col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("segment")
+      .agg(countDistinct("term").as("n_terms"),
+        countDistinct("term", "doc_id").as("n_postings"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("segment")
+
+  val qSegmentStatsSql: String =
+    """WITH tok AS (SELECT doc_id, doc_id % 2 AS segment,
+      |    unnest(string_split(text, ' ')) AS term FROM documents)
+      |SELECT segment, count(DISTINCT term) AS n_terms,
+      |  count(DISTINCT (term, doc_id)) AS n_postings,
+      |  count(*) AS n_tokens
+      |FROM tok GROUP BY segment ORDER BY segment""".stripMargin
 }

@@ -319,11 +319,54 @@ class PlanAuditSpec extends SparkSpecBase {
       s"rank window is not over the aggregated vocab:\n$p")
   }
 
-  test("q_basket_lift persists the basket projection and broadcasts margins") {
+  test("q_multi_probe_lsh candidates come from bucket equi-joins only") {
+    val p = plan("q_multi_probe_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe set is not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"candidate generation regressed to all-pairs:\n$p")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("qid")),
+      s"ranking window lost its qid partition spec:\n$p")
+  }
+
+  test("q_outlier_mad broadcasts the per-type stats, no window") {
+    val p = plan("q_outlier_mad")
+    assert(p.contains("BroadcastHashJoin"),
+      s"median/MAD dims not broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"robust z regressed to a window:\n$p")
+  }
+
+  test("q_evt_dau_wau distinct-counts with partials, no range self-join") {
+    val p = plan("q_evt_dau_wau")
+    assert(p.contains("partial_count"),
+      s"distinct actives lost map-side partials:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"7-day membership regressed to a range self-join:\n$p")
+  }
+
+  test("q_bm25_prf touches the corpus only through term-keyed joins") {
+    val p = plan("q_bm25_prf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term set is not broadcast:\n$p")
+    // 1-row scalar stats (n_docs, avgdl) legitimately cross-join as
+    // BroadcastNestedLoopJoin Cross — but every KEYED join must be a
+    // broadcast hash join, never sort-merge (seed/expansion/query-term
+    // sides are all bounded) and never a real cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"PRF stage regressed to a non-broadcast join:\n$p")
+  }
+
+  test("q_basket_lift persists baskets, expands pairs in-row, no self-join") {
     val p = plan("q_basket_lift")
     assert(p.contains("InMemoryTableScan"),
-      s"basket projection is recomputed per branch:\n$p")
+      s"basket table is recomputed per branch:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"margin counts are not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair expansion regressed to an ok-keyed self-join:\n$p")
   }
 }
