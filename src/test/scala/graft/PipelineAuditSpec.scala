@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the wave-5/6 operators — the properties that
+  * make each audit/retrieval operator MEAN something, not just run:
+  * chunk tiling exactness, PSI identity/positivity, recall bounds,
+  * multi-probe dominance over single-bucket probing, basket-count
+  * consistency, LLR non-negativity, PRF per-doc score dominance.
+  */
+class PipelineAuditSpec extends SparkSpecBase {
+
+  private def rows(name: String): Seq[Row] =
+    SparkEntry.queries(name)(spark, sf).collect().toSeq
+
+  test("q_tok_chunk tiles every doc: starts stride, ends cover, md5 nonempty") {
+    val byDoc = rows("q_tok_chunk").groupBy(_.getLong(0))
+    val nTok = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, ch) =>
+      val sorted = ch.sortBy(_.getLong(1))
+      // chunk_id is 1..k, starts advance by the stride, the last chunk
+      // reaches exactly the doc's final token
+      assert(sorted.map(_.getLong(1)) == (1L to sorted.size))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(2) == i * 24L + 1, s"doc $doc start stride")
+        assert(r.getLong(3) >= 1 && r.getLong(3) <= 32)
+        assert(r.getString(4).length == 32, "md5 wire format")
+      }
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) - 1 == nTok(doc),
+        s"doc $doc chunks don't cover the doc")
+    }
+  }
+
+  test("q_drift_psi: reference source scores exactly 0, others ≥ 0") {
+    val r = rows("q_drift_psi")
+    val bySrc = r.map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(bySrc("src0") == 0.0, "PSI of the reference against itself")
+    assert(bySrc.values.forall(_ >= 0.0), "PSI is a non-negative divergence")
+    assert(r.map(_.getLong(1)).sum ==
+      Tables.t(spark, sf, "documents").count())
+  }
+
+  test("q_window_dedup conserves events: kept + dropped = total per type") {
+    val r = rows("q_window_dedup")
+    r.foreach { x =>
+      assert(x.getLong(1) == x.getLong(2) + x.getLong(3))
+      assert(x.getLong(2) >= 1)
+    }
+    assert(r.map(_.getLong(1)).sum == Tables.events(spark, sf).count())
+  }
+
+  test("q_ann_recall: hits bounded by probe yield and by k") {
+    rows("q_ann_recall").foreach { r =>
+      val (na, nh, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nh <= na, "can't hit more than the probe returned")
+      assert(na <= 10 && nh <= 10)
+      assert(ppm == nh * 100000, "recall denominator is k=10")
+    }
+  }
+
+  test("multi-probe dominates single-bucket probing per query") {
+    // the recall fix must never do worse than the single bucket: every
+    // single-bucket candidate is also a multi-probe candidate, so the
+    // top-10 cosine of multi-probe weakly dominates rank-by-rank
+    val single = rows("q_ann_recall").map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = rows("q_multi_probe_lsh").groupBy(_.getLong(0))
+    multi.foreach { case (qid, hits) =>
+      assert(hits.size >= math.min(10, single(qid).toInt),
+        s"query $qid: multi-probe returned fewer candidates than its own bucket")
+    }
+    assert(multi.keySet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("q_basket_lift: pair support bounded by both margins and the total") {
+    val n = Tables.t(spark, sf, "lineitem").select("l_orderkey")
+      .distinct().count()
+    rows("q_basket_lift").foreach { r =>
+      val (c12, c1, c2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(c12 <= math.min(c1, c2) && c1 <= n && c2 <= n)
+      assert(r.getLong(5) == c12 * n * 1000000L / (c1 * c2))
+    }
+  }
+
+  test("q_collocation: LLR is non-negative and margins bound the cell") {
+    rows("q_collocation").foreach { r =>
+      assert(r.getDouble(5) >= 0.0, "LLR of a 2x2 table is ≥ 0")
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+  }
+
+  test("q_idx_positional: cf ≥ df ≥ 1 and Σcf = corpus token count") {
+    val r = rows("q_idx_positional")
+    r.foreach { x =>
+      assert(x.getLong(2) >= x.getLong(1) && x.getLong(1) >= 1)
+    }
+    assert(r.map(_.getLong(2)).sum == Tables.tokens(spark, sf).count())
+  }
+
+  test("q_evt_dau_wau: a day's actives are a subset of its week's") {
+    rows("q_evt_dau_wau").foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "DAU ≤ WAU")
+      assert(r.getLong(3) <= 1000000L, "stickiness is a proper fraction")
+    }
+  }
+
+  test("q_outlier_mad ranks by |rz| and stays within its limit") {
+    val r = rows("q_outlier_mad")
+    assert(r.size == 20)
+    val zs = r.map(x => math.abs(x.getDouble(3)))
+    assert(zs == zs.sortBy(-_), "not ordered by |modified z|")
+  }
+
+  test("q_bm25_prf: expansion only ever raises a doc's score") {
+    // BM25 term contributions are positive, so the 4-term expanded score
+    // of any doc must be ≥ its 2-term seed score
+    val seedScores = rows("q_search_bm25")
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows("q_bm25_prf").foreach { r =>
+      val doc = r.getLong(0)
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 4)
+      seedScores.get(doc).foreach { s =>
+        assert(r.getDouble(2) >= s - 1e-9,
+          s"doc $doc lost score through expansion")
+      }
+    }
+  }
+
+  test("q_zipf_fit r² lies in [0, 1] and n_terms matches the vocabulary") {
+    val r = rows("q_zipf_fit").head
+    assert(r.getLong(0) ==
+      Tables.tokens(spark, sf).select("term").distinct().count())
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("q_segment_stats totals equal the corpus totals") {
+    val r = rows("q_segment_stats")
+    assert(r.map(_.getLong(3)).sum == Tables.tokens(spark, sf).count())
+    assert(r.map(_.getLong(2)).sum ==
+      Tables.docTerms(spark, sf).count())
+  }
+}
