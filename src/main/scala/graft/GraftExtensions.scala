@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tokenCountDescriptor)
     ext.injectFunction(GraftExtensions.arrayDotDescriptor)
     ext.injectOptimizerRule(_ => OptimizeTokenCount)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 
@@ -74,5 +75,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(OptimizeTokenCount))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ OptimizeTokenCount
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
   }
 }

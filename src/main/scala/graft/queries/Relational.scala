@@ -286,6 +286,47 @@ object Relational {
       |   WHERE o_orderdate <= CAST(e.ts AS TIMESTAMP)) AS asof_date
       |FROM events e ORDER BY event_id""".stripMargin
 
+  /** KEYED as-of join on the custom `AsofJoinExec` operator
+    * (graft/plans/AsofJoin.scala — logical node + strategy + physical
+    * two-pointer merge): every click looks up the same user's latest
+    * prior purchase, point-in-time-correct. One shuffle + sort per side
+    * (a sort-merge join's envelope), O(1) merge state per partition —
+    * the fully distributed form of q_join_asof's keyless broadcast
+    * binary search. The right side pre-aggregates to one row per
+    * (user, ts) so asof tie-breaking is deterministic. Oracle: DuckDB's
+    * native ASOF LEFT JOIN — two independent implementations of the
+    * operator, one answer.
+    */
+  def qJoinAsofExec(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts").as("cts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("puser"), col("ts").as("pts"))
+      .agg(max("event_id").as("pid"))
+    val j = graft.plans.AsofOps.join(clicks, purch,
+      clicks("user_id"), purch("puser"), clicks("cts"), purch("pts"))
+    j.groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        count(col("pid")).as("n_attributed"),
+        max(expr("(unix_micros(cts) - unix_micros(pts)) div 1000000"))
+          .as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
+  val qJoinAsofExecSql: String =
+    """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |purch AS (SELECT user_id AS puser, CAST(ts AS TIMESTAMP) AS pts,
+      |    max(event_id) AS pid
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.user_id, count(*) AS n_clicks, count(p.pid) AS n_attributed,
+      |  CAST(max((epoch_us(c.cts) - epoch_us(p.pts)) // 1000000) AS BIGINT)
+      |    AS max_gap_s
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.puser AND p.pts <= c.cts
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   /** TPC-H Q5-shaped 5-way star join. Dims broadcast; the two fact tables
     * meet in one shuffle on orderkey. */
   def qJoinMultiway(spark: SparkSession, sfDir: String): DataFrame = {

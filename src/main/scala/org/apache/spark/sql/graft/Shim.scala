@@ -19,4 +19,12 @@ object Shim {
   def functionRegistry(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     spark.sessionState.functionRegistry
+
+  /** Wrap a custom LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * private[sql]) — needed by the graft.plans custom operators. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

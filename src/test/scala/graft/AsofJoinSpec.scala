@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.AsofOps
+
+/** The custom AsofJoinExec operator (graft/plans/AsofJoin.scala):
+  * edge-case semantics on hand-built frames, equality with a
+  * window-based reference formulation on real data, and the physical
+  * plan contract (strategy fires, children clustered + sorted).
+  */
+class AsofJoinSpec extends SparkSpecBase {
+  private val sp = spark
+  import sp.implicits._
+
+  private def asof(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame) =
+    AsofOps.join(l, r, l("k"), r("rk"), l("t"), r("rt"))
+
+  test("matches the latest right row at or before each left time") {
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 10L, "x"), (1L, 15L, "y"), (1L, 30L, "z"))
+      .toDF("rk", "rt", "v")
+    val got = asof(l, r).select("tag", "v").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(got == Map("a" -> "x", "b" -> "y", "c" -> null))
+  }
+
+  test("keys never leak: a left key with no right rows gets nulls") {
+    val l = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("k", "t")
+    val r = Seq((2L, 1L, "only")).toDF("rk", "rt", "v")
+    val got = asof(l, r).select("k", "v").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(got == Map(1L -> null, 2L -> "only", 3L -> null))
+  }
+
+  test("null keys and times never match (equi-join convention)") {
+    val l = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(1L), None))
+      .toDF("k", "t")
+    val r = Seq((Some(1L), Some(5L), "m")).toDF("rk", "rt", "v")
+    val got = asof(l, r).select("v").collect().map(_.getString(0))
+    assert(got.count(_ == "m") == 1 && got.count(_ == null) == 2)
+  }
+
+  test("equal timestamps are inclusive (rt <= lt)") {
+    val l = Seq((7L, 100L)).toDF("k", "t")
+    val r = Seq((7L, 100L, "eq")).toDF("rk", "rt", "v")
+    assert(asof(l, r).select("v").head.getString(0) == "eq")
+  }
+
+  test("agrees with the window-based reference on the events table") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("rk"), unix_micros(col("ts")).as("rt"))
+      .agg(max("event_id").as("pid"))
+    val got = asof(clicks, purch)
+      .select("event_id", "pid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString).orNull)
+      .toMap
+    // reference: plain range join + keep latest by row_number
+    val ref = clicks.join(purch,
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("event_id").orderBy(desc_nulls_last("rt"))))
+      .filter(col("rn") === 1)
+      .select("event_id", "pid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString).orNull)
+      .toMap
+    assert(got.size == ref.size && got == ref)
+  }
+
+  test("plan: strategy fires, both children clustered and sorted") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L, "m")).toDF("rk", "rt", "v")
+    val p = asof(l, r).queryExecution.executedPlan.toString
+    // TreeNode.nodeName strips the Exec suffix: the operator prints as
+    // "AsofJoin <key>: ..."
+    assert(p.contains("AsofJoin "), s"strategy did not fire:\n$p")
+    assert(p.linesIterator.count(_.contains("Sort ")) >= 2
+        && p.linesIterator.count(_.contains("Exchange hashpartitioning")) >= 2,
+      s"children are not clustered + sorted by (key, time):\n$p")
+  }
+
+  test("rejects non-integral key/time types up front") {
+    val l = Seq(("a", 1L)).toDF("k", "t")
+    val r = Seq(("a", 1L, "m")).toDF("rk", "rt", "v")
+    intercept[IllegalArgumentException] {
+      AsofOps.join(l, r, l("k"), r("rk"), l("t"), r("rt"))
+    }
+  }
+}

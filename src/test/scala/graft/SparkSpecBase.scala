@@ -13,6 +13,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // every real entry point (Verify/Bench/Smoke) installs the extension
+    // surface; the shared test session mirrors them
+    GraftExtensions.install(s)
     s
   }
   val sf: String = "/root/testdata/sf0.001"
