@@ -393,6 +393,40 @@ object RelationalExtra {
       .limit(20)
   }
 
+  /** Rolling exact median of purchase values over a 50-row frame per
+    * event type — the windowed-aggregate (non-ranking) surface: an
+    * ORDER-BY window with a bounded ROWS frame carrying a true aggregate
+    * function. The frame is row-bounded so per-row cost is O(50)
+    * regardless of corpus size, and the window partitions on event_type
+    * with a total (tus, event_id) order. Spark's exact-interpolation
+    * `percentile` matches DuckDB's median/quantile_cont
+    * (q_agg_percentile precedent).
+    */
+  def qWinPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(asc("tus"), asc("event_id"))
+      .rowsBetween(-49, Window.currentRow)
+    graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("tus"))
+      .withColumn("roll_med",
+        round(expr("percentile(value, 0.5D)").over(w), 4))
+      .select("event_id", "event_type", "roll_med")
+      .orderBy("tus", "event_id")
+      .limit(5000)
+  }
+
+  val qWinPercentileSql: String =
+    """WITH e AS (SELECT event_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT event_id, event_type,
+      |  round(median(value) OVER (PARTITION BY event_type
+      |    ORDER BY tus, event_id
+      |    ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 4) AS roll_med
+      |FROM e ORDER BY tus, event_id LIMIT 5000""".stripMargin
+
   val qBasketLiftSql: String =
     """WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),

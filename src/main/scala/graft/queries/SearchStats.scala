@@ -194,4 +194,80 @@ object SearchStats {
       |  count(DISTINCT (term, doc_id)) AS n_postings,
       |  count(*) AS n_tokens
       |FROM tok GROUP BY segment ORDER BY segment""".stripMargin
+
+  // ─────────────── typeahead autocomplete ───────────────
+
+  /** Typeahead: top-3 completions per 2-char prefix, ranked by corpus
+    * frequency (tf desc, term asc). The rank window partitions the
+    * AGGREGATED vocabulary by prefix — bounded keys, tiny partitions —
+    * which is exactly the precomputed completion table a search box
+    * serves from.
+    */
+  def qAutocomplete(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPrefix = Window.partitionBy("prefix")
+      .orderBy(desc("tf"), asc("term"))
+    Tables.tokens(spark, sfDir)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .filter(length(col("term")) >= 2)
+      .withColumn("prefix", substring(col("term"), 1, 2))
+      .withColumn("rank", row_number().over(byPrefix))
+      .filter(col("rank") <= 3)
+      .select(col("prefix"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"))
+      .orderBy("prefix", "rank")
+  }
+
+  val qAutocompleteSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+      |r AS (SELECT substr(term, 1, 2) AS prefix, term, tf,
+      |    row_number() OVER (PARTITION BY substr(term, 1, 2)
+      |      ORDER BY tf DESC, term) AS rn
+      |  FROM tf WHERE length(term) >= 2)
+      |SELECT prefix, CAST(rn AS BIGINT) AS rank, term, tf
+      |FROM r WHERE rn <= 3
+      |ORDER BY prefix, rn""".stripMargin
+
+  // ─────────────── vector-space-model retrieval ───────────────
+
+  /** Vector-space-model retrieval: cosine between the {spark, join}
+    * unit-weight query vector and each doc's tf-idf vector, top-10.
+    * Unlike q_search_and's score SUM, VSM length-normalizes by the doc
+    * norm — verbose docs stop winning by volume. The norm table is one
+    * doc-keyed aggregate; the dot product touches only the two query
+    * terms' postings.
+    */
+  def qVsmCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Search.tfidfRaw(spark, sfDir).select("doc_id", "term", "score")
+    val nrm = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("score") * col("score"))).as("nrm"))
+    val qnrm = math.sqrt(2.0) // two unit-weight query terms
+    w.filter(col("term").isin("spark", "join"))
+      .groupBy("doc_id").agg(sum(col("score")).as("dp"))
+      .join(nrm, "doc_id")
+      .select(col("doc_id"),
+        round(col("dp") / (col("nrm") * qnrm), 4).as("cos"))
+      .orderBy(desc("cos"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val qVsmCosineSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      |  GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |w AS (SELECT tf.doc_id, tf.term,
+      |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS s
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |nrm AS (SELECT doc_id, sqrt(sum(s * s)) AS nrm FROM w
+      |  GROUP BY doc_id),
+      |dot AS (SELECT doc_id, sum(s) AS dp FROM w
+      |  WHERE term IN ('spark', 'join') GROUP BY doc_id)
+      |SELECT d.doc_id, round(d.dp / (m.nrm * sqrt(2.0)), 4) AS cos
+      |FROM dot d JOIN nrm m USING (doc_id)
+      |ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin
 }
