@@ -148,4 +148,42 @@ object Sources {
       sums.getLong(0), sums.getLong(1)
     ))).toDF("files_before", "files_after", "n_rows", "chk_chars")
   }
+
+  /** XML-dump ingestion — the reference's actual input format
+    * (enwiki `<page>` records), reconstructed: each doc is rendered as a
+    * `<page><title>…</title><text lang="…">…</text></page>` record, then
+    * parsed BACK with anchored regexp extraction (the record-reader
+    * logic of an XML InputFormat as codegen'd expressions), and the
+    * roundtrip is proven per row. Narrow one-pass plan; the corpus is
+    * single-space lowercase tokens so no XML escaping exists to break
+    * the regexes (guaranteed by §1.2 corpus shape).
+    */
+  def qSourceXml(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("x", concat(
+        lit("<page><title>doc_"), col("doc_id"),
+        lit("</title><text lang=\""), col("lang"), lit("\">"),
+        col("text"), lit("</text></page>")))
+      .select(col("doc_id"),
+        regexp_extract(col("x"), "<title>([^<]*)</title>", 1).as("title"),
+        regexp_extract(col("x"), "<text lang=\"([^\"]*)\"", 1)
+          .as("lang_attr"),
+        md5(regexp_extract(col("x"), "<text[^>]*>(.*)</text>", 1))
+          .as("body_md5"),
+        (regexp_extract(col("x"), "<text[^>]*>(.*)</text>", 1) === col("text"))
+          .cast("int").as("roundtrip_ok"))
+      .orderBy("doc_id")
+
+  val qSourceXmlSql: String =
+    """WITH xml AS (SELECT doc_id, lang, text,
+      |    '<page><title>doc_' || doc_id || '</title><text lang="' || lang
+      |      || '">' || text || '</text></page>' AS x
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_extract(x, '<title>([^<]*)</title>', 1) AS title,
+      |  regexp_extract(x, '<text lang="([^"]*)"', 1) AS lang_attr,
+      |  md5(regexp_extract(x, '<text[^>]*>(.*)</text>', 1)) AS body_md5,
+      |  CAST(regexp_extract(x, '<text[^>]*>(.*)</text>', 1) = text AS INT)
+      |    AS roundtrip_ok
+      |FROM xml ORDER BY doc_id""".stripMargin
 }
