@@ -34,5 +34,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g was GC-bound across the 217-query bench (multi-second pauses
+  // showing up as 5-12 s outliers on otherwise sub-second queries);
+  // the box has 128 GiB — give the single shared JVM real headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
