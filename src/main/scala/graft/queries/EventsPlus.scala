@@ -317,6 +317,55 @@ object EventsPlus {
       .orderBy("dayn")
   }
 
+  /** Bounce rate per day: sessions (30-min inactivity gap, the
+    * q_evt_session definition) with exactly one event, as an integer ppm
+    * of the day's sessions. Same one-key-shuffle window plan as
+    * sessionization — lag → break flag → running sum as session id —
+    * then two partial-aggregable groupBys on bounded keys.
+    */
+  def qEvtBounce(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tus"))
+      .withColumn("prev", lag("tus", 1).over(byUser))
+      .withColumn("brk", when(col("prev").isNull
+        || col("tus") - col("prev") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum("brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(min("tus").as("start_us"), count(lit(1)).as("n_ev"))
+      .withColumn("dayn", expr("start_us div 86400000000"))
+      .groupBy("dayn")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        expr("(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000)" +
+          " div count(1)").as("bounce_ppm"))
+      .orderBy("dayn")
+  }
+
+  val qEvtBounceSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+      |l AS (SELECT user_id, event_id, tus,
+      |    lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS prev FROM e),
+      |f AS (SELECT user_id, event_id, tus,
+      |    CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1
+      |         ELSE 0 END AS brk FROM l),
+      |s AS (SELECT user_id, event_id, tus,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM f),
+      |g AS (SELECT user_id, sess, min(tus) AS start_us, count(*) AS n_ev
+      |  FROM s GROUP BY user_id, sess)
+      |SELECT start_us // 86400000000 AS dayn, count(*) AS n_sessions,
+      |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounce,
+      |  CAST((sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS bounce_ppm
+      |FROM g GROUP BY dayn ORDER BY dayn""".stripMargin
+
   val qEvtDauWauSql: String =
     """WITH ud AS (SELECT DISTINCT user_id,
       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayn

@@ -270,4 +270,76 @@ object SearchStats {
       |SELECT d.doc_id, round(d.dp / (m.nrm * sqrt(2.0)), 4) AS cos
       |FROM dot d JOIN nrm m USING (doc_id)
       |ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin
+
+  // ─────────────── front-coded dictionary compression ───────────────
+
+  /** Front-coding of the sorted term dictionary (the other half of index
+    * compression next to q_index_delta's posting varints): each term
+    * stores only its suffix after the longest common prefix with its
+    * predecessor. The LCP is the COUNT of prefix lengths that match —
+    * prefix matching is monotone in length, so the filter-count equals
+    * the LCP without any loop. Both the lag window and the fold run over
+    * the AGGREGATED vocabulary (≪ corpus, q_tok_vocab precedent).
+    */
+  def qIdxPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tokens(spark, sfDir).select("term").distinct()
+      .withColumn("prev", lag("term", 1).over(Window.orderBy("term")))
+      .withColumn("lcp", expr(
+        """CASE WHEN prev IS NULL THEN 0
+          |ELSE size(filter(
+          |  sequence(1, int(least(length(term), length(prev)))),
+          |  i -> substring(term, 1, i) = substring(prev, 1, i))) END"""
+          .stripMargin))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(length(col("term"))).cast("long").as("raw_bytes"),
+        sum(length(col("term")) - col("lcp")).cast("long").as("coded_bytes"),
+        sum(col("lcp")).cast("long").as("saved_bytes"),
+        expr("(sum(lcp) * 1000000) div sum(length(term))").as("saved_ppm"))
+      .orderBy("n_terms")
+
+  val qIdxPrefixSql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |v AS (SELECT DISTINCT term FROM tok),
+      |s AS (SELECT term, lag(term) OVER (ORDER BY term) AS prev FROM v),
+      |p AS (SELECT term,
+      |    CASE WHEN prev IS NULL THEN 0
+      |         ELSE len(list_filter(generate_series(1,
+      |             least(length(term), length(prev))),
+      |           i -> substr(term, 1, i) = substr(prev, 1, i))) END AS lcp
+      |  FROM s)
+      |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(length(term)) AS BIGINT) AS raw_bytes,
+      |  CAST(sum(length(term) - lcp) AS BIGINT) AS coded_bytes,
+      |  CAST(sum(lcp) AS BIGINT) AS saved_bytes,
+      |  CAST((sum(lcp) * 1000000) // sum(length(term)) AS BIGINT)
+      |    AS saved_ppm
+      |FROM p ORDER BY n_terms""".stripMargin
+
+  // ─────────────── faceted search ───────────────
+
+  /** Faceted search: the (lang × source) facet counts a result page
+    * shows next to the 'spark' hit list. The hit set comes from the
+    * term-filtered postings (a pushable equi-filter), facets are one
+    * partial-aggregable groupBy on the bounded facet space.
+    */
+  def qSearchFacets(spark: SparkSession, sfDir: String): DataFrame = {
+    val hits = Tables.docTerms(spark, sfDir)
+      .filter(col("term") === "spark").select("doc_id").distinct()
+    Tables.t(spark, sfDir, "documents")
+      .join(hits, "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
+  val qSearchFacetsSql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |hits AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')
+      |SELECT d.lang, d.source, count(*) AS n_docs,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+      |FROM documents d JOIN hits USING (doc_id)
+      |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
 }
