@@ -38,10 +38,22 @@ object PipelinePlus {
       .groupBy("doc_id", "k")
       .agg(min(md5(concat(col("term"), lit(":"), col("k")))).as("mh"))
 
+  // The candidate-pair stream feeds FIVE operators (minhash ranking,
+  // duplicate clustering, edit-distance verify, pagerank, triangle
+  // counting) — persist once per (session, sfDir) like Tables.tokens
+  // instead of recomputing the signature+banding pipeline per query.
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** All LSH-candidate pairs (d1 < d2) with their signature-match estimate
     * of token-set Jaccard — the un-truncated pair stream q_dedup_minhash
     * ranks and q_dedup_cluster clusters. */
   private[graft] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}:$sfDir"
+    pairsCache.getOrElseUpdate(key, minhashPairsUncached(spark, sfDir).persist())
+  }
+
+  private def minhashPairsUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = minhashSig(spark, sfDir)
     // band signature = ordered concat of the band's minhashes
     val bands = sig
