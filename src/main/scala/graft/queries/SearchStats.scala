@@ -342,4 +342,77 @@ object SearchStats {
       |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
       |FROM documents d JOIN hits USING (doc_id)
       |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
+
+  // ─────────────── stopword pruning impact ───────────────
+
+  /** Stopword-pruning audit: how much of the index disappears if terms
+    * with df ≥ 70% of the corpus are dropped — the sizing decision an
+    * index builder makes before materializing posting lists. Exact
+    * integer arithmetic throughout (df·100 ≥ n_docs·70 avoids any
+    * float ratio); one vocab-bounded aggregate over the (term, doc)
+    * postings table.
+    */
+  def qIdxStopword(spark: SparkSession, sfDir: String): DataFrame = {
+    val pd = Tables.tokens(spark, sfDir)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfp = pd.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val n = Tables.t(spark, sfDir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    dfp.crossJoin(broadcast(n))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("df") * 100 >= col("n_docs") * 70, 1L).otherwise(0L))
+          .as("n_stop"),
+        sum("df").as("postings"),
+        sum(when(col("df") * 100 >= col("n_docs") * 70, col("df"))
+          .otherwise(0L)).as("postings_pruned"),
+        expr("(sum(CASE WHEN df * 100 >= n_docs * 70 THEN df ELSE 0 END)" +
+          " * 1000000) div sum(df)").as("pruned_ppm"))
+      .orderBy("n_terms")
+  }
+
+  val qIdxStopwordSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |pd AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfp AS (SELECT term, count(*) AS df FROM pd GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+      |  CAST(sum(CASE WHEN df * 100 >= n.n_docs * 70 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_stop,
+      |  CAST(sum(df) AS BIGINT) AS postings,
+      |  CAST(sum(CASE WHEN df * 100 >= n.n_docs * 70 THEN df ELSE 0 END)
+      |    AS BIGINT) AS postings_pruned,
+      |  CAST((sum(CASE WHEN df * 100 >= n.n_docs * 70 THEN df ELSE 0 END)
+      |    * 1000000) // sum(df) AS BIGINT) AS pruned_ppm
+      |FROM dfp CROSS JOIN n ORDER BY n_terms""".stripMargin
+
+  // ─────────────── champion lists (tiered index) ───────────────
+
+  /** Tier-1 champion lists: the top-3 docs per term by tf — the
+    * precomputed high-score tier a tiered index serves before touching
+    * the full posting list. Rank window partitions on term over the
+    * aggregated postings; each partition is one posting list.
+    */
+  def qIdxChampion(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTerm = Window.partitionBy("term").orderBy(desc("tf"), asc("doc_id"))
+    Tables.tokens(spark, sfDir)
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(byTerm))
+      .filter(col("rank") <= 3)
+      .select(col("term"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("tf"))
+      .orderBy("term", "rank")
+  }
+
+  val qIdxChampionSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |pd AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |r AS (SELECT term, doc_id, tf,
+      |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)
+      |      AS rn
+      |  FROM pd)
+      |SELECT term, CAST(rn AS BIGINT) AS rank, doc_id, tf
+      |FROM r WHERE rn <= 3 ORDER BY term, rn""".stripMargin
 }
