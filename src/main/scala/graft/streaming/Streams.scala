@@ -379,4 +379,42 @@ object Streams {
       }
     }
     }
+
+  case class Doc(doc_id: Long, text: String)
+
+  /** Streaming index maintenance — the reference's inverted index kept
+    * up to date by a document stream: docs arrive in two micro-batches,
+    * the term→(sorted postings, df) aggregation runs in complete mode
+    * (collect_set is a mergeable streaming aggregate; count(DISTINCT) is
+    * not supported in streaming, so df derives from the same set), and
+    * after the last batch the maintained index must EQUAL the batch
+    * q_inverted_index build — asserted in StreamingSpec. At production
+    * scale the same plan runs against a file/queue source with the
+    * memory sink swapped for a keyed upsert sink.
+    */
+  def sStreamIndex(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").as[Doc].collect().sortBy(_.doc_id)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[Doc](Encoders.product[Doc], spark)
+    val q = stream.toDF()
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(sort_array(collect_set(col("doc_id"))).as("id_set"))
+      .select(col("term"),
+        array_join(transform(col("id_set"), _.cast("string")), ",")
+          .as("ids"),
+        size(col("id_set")).cast("long").as("df"))
+      .writeStream.format("memory").queryName("s_stream_index")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("s_stream_index").orderBy("term")
+    }
 }

@@ -116,4 +116,14 @@ class StreamingSpec extends SparkSpecBase {
     val diff = streamed.except(batch).count() + batch.except(streamed).count()
     assert(diff == 0)
   }
+
+  test("streaming index maintenance converges to the batch index") {
+    val streamed = streaming.Streams.sStreamIndex(spark, sf)
+      .select("term", "ids", "df")
+    val batch = queries.Search.qInvertedIndex(spark, sf)
+      .select("term", "ids", "df")
+    val diff = streamed.except(batch).count() + batch.except(streamed).count()
+    assert(diff == 0,
+      "post-last-batch streaming index differs from the batch build")
+  }
 }
