@@ -344,6 +344,52 @@ object EventsPlus {
       .orderBy("dayn")
   }
 
+  /** Funnel conversion latency: per converted user, seconds from first
+    * signup to first subsequent purchase; p50/p90/max over the cohort —
+    * the latency half of q_evt_funnel's conversion counts. Two
+    * user-keyed partial aggregates; gaps are exact integer seconds
+    * (µs `div`); quantiles by exact interpolation (q_agg_percentile
+    * precedent), round(4).
+    */
+  def qEvtFunnelTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("s_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(s), "user_id")
+      .filter(col("us") >= col("s_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    s.join(p, "user_id")
+      .select(expr("(p_us - s_us) div 1000000").as("gap_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(gap_s, 0.5D)"), 4).as("p50_s"),
+        round(expr("percentile(gap_s, 0.9D)"), 4).as("p90_s"),
+        max("gap_s").as("max_s"))
+      .orderBy("n_converted")
+  }
+
+  val qEvtFunnelTimeSql: String =
+    """WITH s AS (SELECT user_id,
+      |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT e.user_id,
+      |    min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= s.s_us
+      |  GROUP BY e.user_id),
+      |lat AS (SELECT s.user_id, (p.p_us - s.s_us) // 1000000 AS gap_s
+      |  FROM s JOIN p USING (user_id))
+      |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_s), 4)
+      |    AS p50_s,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_s), 4)
+      |    AS p90_s,
+      |  CAST(max(gap_s) AS BIGINT) AS max_s
+      |FROM lat ORDER BY n_converted""".stripMargin
+
   val qEvtBounceSql: String =
     """WITH e AS (SELECT user_id, event_id,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),

@@ -345,4 +345,46 @@ object PipelineCurate {
       |    AS at_risk
       |FROM documents GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
+
+  /** Curation funnel report: per language, cumulative survivors through
+    * the filter chain (length band → repetition floor) plus the final
+    * keep rate in integer ppm — the stage-by-stage accounting a
+    * pipeline owner reads before shipping a training mix. One narrow
+    * metrics pass + one bounded groupBy; stage flags multiply so each
+    * column is "survived every stage so far".
+    */
+  def qCurationFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("lang"), size(col("arr")).as("n_tok"),
+        size(array_distinct(col("arr"))).as("n_uniq"))
+      .withColumn("pass_len",
+        when(col("n_tok").between(30, 5000), 1L).otherwise(0L))
+      .withColumn("pass_rep",
+        when(col("n_uniq") * 100 >= col("n_tok") * 30, 1L).otherwise(0L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("pass_len").as("after_len"),
+        sum(col("pass_len") * col("pass_rep")).as("after_rep"),
+        expr("(sum(pass_len * pass_rep) * 1000000) div count(1)")
+          .as("keep_ppm"))
+      .orderBy("lang")
+
+  val qCurationFunnelSql: String =
+    """WITH d AS (SELECT doc_id, text, lang,
+      |    string_split(text, ' ') AS arr FROM documents),
+      |m AS (SELECT doc_id, lang, len(arr) AS n_tok,
+      |    len(list_distinct(arr)) AS n_uniq FROM d),
+      |f AS (SELECT doc_id, lang,
+      |    CASE WHEN n_tok BETWEEN 30 AND 5000 THEN 1 ELSE 0 END
+      |      AS pass_len,
+      |    CASE WHEN n_uniq * 100 >= n_tok * 30 THEN 1 ELSE 0 END
+      |      AS pass_rep
+      |  FROM m)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(pass_len) AS BIGINT) AS after_len,
+      |  CAST(sum(pass_len * pass_rep) AS BIGINT) AS after_rep,
+      |  CAST((sum(pass_len * pass_rep) * 1000000) // count(*) AS BIGINT)
+      |    AS keep_ppm
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -415,4 +415,44 @@ object SearchStats {
       |  FROM pd)
       |SELECT term, CAST(rn AS BIGINT) AS rank, doc_id, tf
       |FROM r WHERE rn <= 3 ORDER BY term, rn""".stripMargin
+
+  // ─────────────── windowed co-occurrence counts ───────────────
+
+  /** Context-window co-occurrence: unordered term pairs within a ±2
+    * token window (the word2vec-style context-count matrix), top-20 —
+    * narrower context than q_cooccur_pmi's whole-doc co-occurrence and
+    * looser than q_collocation's strict adjacency. The pair expansion is
+    * IN-ROW (each token pairs only with the next two positions), so the
+    * stream is ≤ 2 pairs per token — linear in the corpus, no
+    * positional self-join.
+    */
+  def qCooccurWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(explode(expr(
+        """flatten(transform(arr, (x, i) ->
+          |  transform(slice(arr, i + 2, 2), y ->
+          |    named_struct(
+          |      'w1', CASE WHEN x < y THEN x ELSE y END,
+          |      'w2', CASE WHEN x < y THEN y ELSE x END))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_cooccur"))
+      .orderBy(desc("n_cooccur"), asc("w1"), asc("w2"))
+      .limit(20)
+
+  val qCooccurWindowSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+      |  FROM documents),
+      |p AS (SELECT doc_id, i AS pos, arr[i] AS term, arr AS arr,
+      |    len(arr) AS n
+      |  FROM d, unnest(generate_series(1, len(arr))) t(i)),
+      |pairs AS (SELECT
+      |    CASE WHEN p.term < arr[j] THEN p.term ELSE arr[j] END AS w1,
+      |    CASE WHEN p.term < arr[j] THEN arr[j] ELSE p.term END AS w2
+      |  FROM p, unnest(generate_series(p.pos + 1,
+      |      least(p.pos + 2, p.n))) t2(j))
+      |SELECT w1, w2, count(*) AS n_cooccur
+      |FROM pairs GROUP BY w1, w2
+      |ORDER BY n_cooccur DESC, w1, w2 LIMIT 20""".stripMargin
 }
