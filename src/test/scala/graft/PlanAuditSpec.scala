@@ -369,4 +369,52 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"),
       s"pair expansion regressed to an ok-keyed self-join:\n$p")
   }
+
+  test("q_autocomplete ranks inside prefix partitions over the vocab") {
+    val p = plan("q_autocomplete")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("prefix")),
+      s"completion ranking lost its prefix partition spec:\n$p")
+  }
+
+  test("q_win_percentile keeps a bounded ROWS frame, no full-partition buffering") {
+    val p = plan("q_win_percentile")
+    assert(p.contains("rowsbetween(49") || p.contains("ROWS BETWEEN 49")
+      || p.contains("-49"),
+      s"rolling median lost its bounded frame:\n$p")
+    assert(p.contains("PushedFilters")
+      && p.contains("EqualTo(event_type,purchase)"),
+      s"the purchase filter is not pushed to the scan:\n$p")
+  }
+
+  test("q_cooccur_window has no join — pairs expand in-row") {
+    val p = plan("q_cooccur_window")
+    assert(!p.contains("Join"),
+      s"context pairs regressed to a positional self-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts lost map-side partials:\n$p")
+  }
+
+  test("q_evt_funnel_time aggregates per user with partials, no window") {
+    val p = plan("q_evt_funnel_time")
+    assert(p.contains("partial_min"),
+      s"first-event lookups lost map-side partials:\n$p")
+    assert(!p.contains("Window"),
+      s"funnel latency regressed to a window:\n$p")
+  }
+
+  test("q_curation_funnel is one narrow pass + one bounded groupBy") {
+    val p = plan("q_curation_funnel")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"funnel report regressed to joins/windows:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"stage sums lost map-side partials:\n$p")
+  }
+
+  test("q_idx_champion windows only posting-list partitions") {
+    val p = plan("q_idx_champion")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("term")),
+      s"champion ranking lost its term partition spec:\n$p")
+  }
 }
