@@ -158,8 +158,15 @@ object AsofOps {
       require(ok.contains(e.dataType),
         s"asof join key/time must be integral-comparable, got ${e.dataType}")
     }
-    Shim.ofRows(l.sparkSession,
-      AsofJoinPlan(l.queryExecution.analyzed, r.queryExecution.analyzed,
-        lk, rk, lt, rt))
+    val (la, ra) = (l.queryExecution.analyzed, r.queryExecution.analyzed)
+    // Self-join lineage guard: AsofJoinPlan bypasses the Analyzer's
+    // dedupRight, so shared exprIds across the two sides would make
+    // BindReferences resolve right-side columns to the left occurrence —
+    // silently wrong output. Fail fast instead; callers alias one side.
+    val shared = la.outputSet.intersect(ra.outputSet)
+    require(shared.isEmpty,
+      s"asof join sides must not share output attributes (got $shared); " +
+        "alias one side, e.g. right.select(col(\"k\").as(\"rk\"), ...)")
+    Shim.ofRows(l.sparkSession, AsofJoinPlan(la, ra, lk, rk, lt, rt))
   }
 }

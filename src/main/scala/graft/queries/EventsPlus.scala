@@ -265,9 +265,15 @@ object EventsPlus {
       .select(col("event_id"), col("event_type"), col("value"))
     val med = ev.groupBy("event_type")
       .agg(expr("percentile(value, 0.5D)").as("med"))
+    // mad > 0 pins the division semantics across engines: a zero MAD
+    // (over half the values equal to the median) would make non-ANSI
+    // Spark yield NULL where DuckDB yields ±inf, silently reordering the
+    // rank (round-3 ADVICE). Degenerate types are excluded BY CONTRACT
+    // on both sides — a constant-valued type has no robust outliers.
     val mad = ev.join(broadcast(med), "event_type")
       .groupBy("event_type")
       .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+      .filter(col("mad") > 0)
     ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
       .select(col("event_id"), col("event_type"),
         round(col("value"), 4).as("value"),
@@ -281,10 +287,11 @@ object EventsPlus {
     """WITH med AS (SELECT event_type,
       |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
       |  FROM events GROUP BY event_type),
-      |mad AS (SELECT e.event_type,
+      |mad AS (SELECT event_type, mad FROM (SELECT e.event_type,
       |    percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med))
       |      AS mad
       |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+      |  WHERE mad > 0)
       |SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
       |  round(0.6745 * (e.value - m.med) / d.mad, 4) AS rz
       |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)

@@ -28,18 +28,23 @@ object Pipeline {
     """SELECT min(doc_id) AS doc_id, md5(text) AS h
       |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
 
-  /** Near-dup pairs by token-set Jaccard over a doc_id%10 sample
-    * (SURVEY.md §7.4-4: the tiny vocabulary makes an unrestricted token
-    * self-join quadratic; the deterministic sample bounds it). Jaccard is
-    * a ratio of exact ints → bit-identical across engines. */
+  /** Near-dup pairs: EXACT token-set Jaccard re-scored over the memoized
+    * minhash-LSH candidate stream ([[PipelinePlus.minhashPairs]]) on the
+    * shared doc_id%10 sample — the dedup-funnel verify shape (candidates
+    * from banded buckets, exact metric on candidates only, the
+    * q_dedup_editdist pattern). Round 3 judged the previous term-keyed
+    * self-join `weak`: hot stopword-class terms go |docs-with-term|² at
+    * 100×, and sampling only rescales the constant. Candidate volume is
+    * now O(Σ bucket²) by construction, and the persisted pair stream is
+    * shared with its five other consumers. Jaccard stays a ratio of
+    * exact ints → bit-identical across engines. */
   def qDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
-    val dt = Tables.docTerms(spark, sfDir)
-      .filter(col("doc_id") % 10 === 0)
+    val dt = PipelinePlus.sampleTerms(spark, sfDir)
     val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = dt.toDF("d1", "term")
-    val b = dt.toDF("d2", "term")
-    a.join(b, Seq("term"))
-      .filter(col("d1") < col("d2"))
+    val cand = PipelinePlus.minhashPairs(spark, sfDir).select("d1", "d2")
+    cand
+      .join(dt.toDF("d1", "term"), "d1")
+      .join(dt.toDF("d2", "term"), Seq("d2", "term"))
       .groupBy("d1", "d2")
       .agg(count(lit(1)).as("inter"))
       .join(sizes.toDF("d1", "sz1"), "d1")
@@ -52,15 +57,15 @@ object Pipeline {
   }
 
   val qDedupNearSql: String =
-    """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
-      |    AS term FROM documents WHERE doc_id % 10 = 0),
+    s"""WITH ${PipelinePlus.lshCandCte},
       |sz AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
-      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |  FROM dt a JOIN dt b ON a.term = b.term AND a.doc_id < b.doc_id
-      |  GROUP BY d1, d2)
+      |iv AS (SELECT c.d1, c.d2, count(*) AS inter
+      |  FROM cand c JOIN dt a ON a.doc_id = c.d1
+      |    JOIN dt b ON b.doc_id = c.d2 AND b.term = a.term
+      |  GROUP BY c.d1, c.d2)
       |SELECT d1, d2, round(CAST(inter AS DOUBLE) /
       |    (s1.sz + s2.sz - inter), 4) AS jaccard
-      |FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      |FROM iv JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
       |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin
 
   /** Brute-force cosine top-k against vec_id=0, all math in double

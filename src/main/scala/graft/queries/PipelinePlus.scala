@@ -107,19 +107,26 @@ object PipelinePlus {
       .orderBy(asc("lev"), asc("d1"), asc("d2")).limit(20)
   }
 
-  val qDedupEditdistSql: String =
-    s"""WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
+  /** DuckDB CTE chain yielding the LSH candidate-pair set `cand(d1, d2)`
+    * over the shared doc_id%10 sample `dt(doc_id, term)` — the oracle-side
+    * mirror of [[minhashPairs]]. Interpolate after `WITH ` (or append to an
+    * existing CTE list); exposes `dt`, `sig`, `bands`, `cand`. */
+  private[queries] val lshCandCte: String =
+    s"""dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
       |    AS term FROM documents WHERE doc_id % 10 = 0),
       |sig AS (SELECT doc_id, k, min(md5(term || ':' || k)) AS mh
       |  FROM dt, generate_series(0, ${K - 1}) t(k) GROUP BY doc_id, k),
       |bands AS (SELECT doc_id, k // 2 AS band,
       |    string_agg(mh, '|' ORDER BY k) AS bsig
       |  FROM sig GROUP BY doc_id, band),
-      |cand0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-      |    AND a.doc_id < b.doc_id),
-      |cand AS (SELECT d1, d2
-      |  FROM cand0 JOIN sig s1 ON s1.doc_id = d1
+      |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  val qDedupEditdistSql: String =
+    s"""WITH $lshCandCte,
+      |cand200 AS (SELECT d1, d2
+      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
       |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
       |  GROUP BY d1, d2
       |  ORDER BY avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END) DESC,
@@ -129,22 +136,13 @@ object PipelinePlus {
       |    round(1.0 - levenshtein(x.text, y.text)
       |      / CAST(greatest(length(x.text), length(y.text)) AS DOUBLE), 4)
       |      AS sim
-      |  FROM cand JOIN documents x ON x.doc_id = d1
+      |  FROM cand200 JOIN documents x ON x.doc_id = d1
       |    JOIN documents y ON y.doc_id = d2)
       |SELECT d1, d2, lev, sim FROM lv
       |ORDER BY lev, d1, d2 LIMIT 20""".stripMargin
 
   val qDedupMinhashSql: String =
-    s"""WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
-      |    AS term FROM documents WHERE doc_id % 10 = 0),
-      |sig AS (SELECT doc_id, k, min(md5(term || ':' || k)) AS mh
-      |  FROM dt, generate_series(0, ${K - 1}) t(k) GROUP BY doc_id, k),
-      |bands AS (SELECT doc_id, k // 2 AS band,
-      |    string_agg(mh, '|' ORDER BY k) AS bsig
-      |  FROM sig GROUP BY doc_id, band),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-      |    AND a.doc_id < b.doc_id),
+    s"""WITH $lshCandCte,
       |est AS (SELECT d1, d2, round(avg(CASE WHEN s1.mh = s2.mh
       |      THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
       |  FROM cand JOIN sig s1 ON s1.doc_id = d1

@@ -357,6 +357,12 @@ object RelationalExtra {
     * margin counts and order total are brand-bounded broadcasts. Lift is
     * exact integer arithmetic: (c12 · N · 10⁶) div (c1 · c2).
     */
+  // Persisted per (session, sfDir) like PipelinePlus.pairsCache: a fresh
+  // .persist() per invocation would leak one cached copy into storage
+  // memory on every bench/test run of this query (round-3 ADVICE).
+  private val basketsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def qBasketLift(spark: SparkSession, sfDir: String): DataFrame = {
     // One fact-table pass: per-order sorted distinct brand sets via a
     // partial-aggregable collect_set (ONE shuffle, map-side combined).
@@ -366,14 +372,16 @@ object RelationalExtra {
     // (sorted array, i<j) instead of through an ok-keyed self-join, so
     // no corpus-sized join exists anywhere in the plan. The oracle keeps
     // the self-join formulation: two algorithms, one answer.
-    val baskets = t(spark, sfDir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey"))
-      .join(t(spark, sfDir, "part")
-        .select(col("p_partkey"), col("p_brand").as("brand")),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy("ok")
-      .agg(sort_array(collect_set(col("brand"))).as("brands"))
-      .persist()
+    val baskets = basketsCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$sfDir",
+      t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+        .join(t(spark, sfDir, "part")
+          .select(col("p_partkey"), col("p_brand").as("brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("ok")
+        .agg(sort_array(collect_set(col("brand"))).as("brands"))
+        .persist())
     val n = baskets.select(count(lit(1)).as("n_orders"))
     val cb = baskets.select(explode(col("brands")).as("brand"))
       .groupBy("brand").agg(count(lit(1)).as("c"))

@@ -411,6 +411,37 @@ class PlanAuditSpec extends SparkSpecBase {
       s"stage sums lost map-side partials:\n$p")
   }
 
+  // ───────────────────────── round-4 shapes ─────────────────────────
+
+  /** The round-3 `weak` shape was a doc×doc self-join keyed on term
+    * ALONE — |docs-with-term|² on hot terms at 100×. The de-skewed plan
+    * must (a) read candidates from the persisted LSH pair stream and
+    * (b) produce pairs through a join keyed on (candidate doc id, term),
+    * never on bare term between two doc-sized sides. (A term-keyed
+    * BROADCAST join against the vocab-bounded df table is legitimate and
+    * exempted.) */
+  private def assertCandidateRescoring(name: String): Unit = {
+    val p = plan(name)
+    assert(p.contains("InMemoryTableScan"),
+      s"candidate stream is not the persisted LSH pairs:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Join")
+        && l.contains("d2") && l.contains("term")),
+      s"no (candidate, term)-keyed re-scoring join:\n$p")
+    val smjTermOnly = p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("term")
+        && !l.contains("d1") && !l.contains("d2"))
+    assert(!smjTermOnly,
+      s"shuffle join keyed on bare term — the hot-key self-join shape:\n$p")
+  }
+
+  test("q_dedup_near re-scores LSH candidates — no uncapped term self-join") {
+    assertCandidateRescoring("q_dedup_near")
+  }
+
+  test("q_doc_sim re-scores LSH candidates — no uncapped term self-join") {
+    assertCandidateRescoring("q_doc_sim")
+  }
+
   test("q_idx_champion windows only posting-list partitions") {
     val p = plan("q_idx_champion")
     val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
