@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-unit-row evidence artifact: on a FULL test run the reporter writes
+// UNIT_RESULTS.json (suite/test/status for every oracle=unit query) so
+// the driver/judge can confirm the 27 no-oracle rows without re-running
+// the suite. Partial (testOnly) runs leave the file untouched.
+Test / testOptions +=
+  Tests.Argument(TestFrameworks.ScalaTest, "-C", "graft.UnitResultsReporter")
 // The driver parses ONE raw JSON line from `runMain graft.Bench` stdout.
 // Default LoggedOutput prefixes every forked-stdout line with "[info] "
 // and sbt appends "[success] Total time..." — both broke the driver's

@@ -14,6 +14,14 @@ class ContractSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("UnitEvidence covers exactly the oracle=unit rows") {
+    val unitRows = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val declared = UnitEvidence.evidence.keySet
+    assert(declared == unitRows,
+      s"undeclared unit rows: ${unitRows -- declared}; " +
+        s"stale evidence entries: ${declared -- unitRows}")
+  }
+
   test("every oracle SQL carries a total ORDER BY (determinism rule A)") {
     // the ORDER BY must govern the OUTERMOST select — one inside a
     // subquery or window OVER(...) doesn't order the output. Strip all

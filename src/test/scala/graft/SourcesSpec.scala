@@ -19,6 +19,13 @@ class SourcesSpec extends SparkSpecBase {
     assert(df.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("parquet roundtrip preserves row count and aggregates") {
+    val rt = queries.Relational.qSinkRoundtrip(spark, sf)
+    val direct = Tables.t(spark, sf, "nation")
+      .agg(count(lit(1)).as("cnt"), sum("n_nationkey").as("key_sum"))
+    assert(rt.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("CSV roundtrip preserves per-status aggregates") {
     val rt = sources.Sources.qSourceCsv(spark, sf)
     val direct = Tables.t(spark, sf, "orders")

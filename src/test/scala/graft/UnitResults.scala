@@ -1,0 +1,145 @@
+package graft
+
+import scala.collection.mutable
+
+import org.scalatest.Reporter
+import org.scalatest.events._
+
+/** Declares, for each `oracle=unit` row (a `SparkEntry.queries` key with
+  * NO `oracleSql` entry — non-SQL-expressible or engine-specific), the
+  * ScalaTest evidence that verifies it: (suite, test name) pairs.
+  *
+  * [[UnitResultsReporter]] resolves this map against a full `sbt test`
+  * run and writes `UNIT_RESULTS.json` so the driver/judge can confirm
+  * all unit rows without re-running the 7-minute suite (round-3 advice).
+  * `ContractSpec` pins the key set to exactly
+  * `queries.keySet -- oracleSql.keySet`, so a new unit row cannot ship
+  * without declared evidence.
+  */
+object UnitEvidence {
+  val evidence: Map[String, Seq[(String, String)]] = Map(
+    "q_agg_approx_pct" -> Seq(
+      "PipelineExtraSpec" -> "approx percentiles land within 5% of exact"),
+    "q_agg_cms" -> Seq(
+      "PipelineSketchSpec" -> "cms: estimates dominate exact counts within the ε·N bound"),
+    "q_agg_hll" -> Seq(
+      "CustomSpec" -> "approx_count_distinct within 5% of exact (q_agg_hll contract)"),
+    "q_agg_hll_union" -> Seq(
+      "PipelineSketchSpec" -> "hll union: merged estimate within 5% of exact, per scope"),
+    "q_compact_files" -> Seq(
+      "SearchIndexSpec" -> "compaction keeps every row and lands on the target file count"),
+    "q_contamination_bloom" -> Seq(
+      "PipelineSketchSpec" -> "bloom contamination: superset of exact hits, bounded fp excess",
+      "PlanAuditSpec" -> "q_contamination_bloom probes with NO join — the filter is a literal"),
+    "q_mm_decode" -> Seq(
+      "PipelinePlusSpec" -> "mm decode: fixed-width features, deterministic, bounded"),
+    "q_mm_frames" -> Seq(
+      "PipelinePlusSpec" -> "mm frames: every 4th 16-byte frame, hash-stable"),
+    "q_mm_resize" -> Seq(
+      "PipelinePlusSpec" -> "mm resize: pooled buckets equal a driver-side reference"),
+    "q_sink_bucketed" -> Seq(
+      "SourcesSpec" -> "bucketed join is Exchange-free and matches the plain join"),
+    "q_sink_partitioned" -> Seq(
+      "SourcesSpec" -> "partitioned sink prunes: scan carries a partition filter"),
+    "q_sink_roundtrip" -> Seq(
+      "SourcesSpec" -> "parquet roundtrip preserves row count and aggregates"),
+    "q_source_csv" -> Seq(
+      "SourcesSpec" -> "CSV roundtrip preserves per-status aggregates"),
+    "q_source_json" -> Seq(
+      "SourcesSpec" -> "JSON roundtrip preserves per-type aggregates"),
+    "q_text_lang_id" -> Seq(
+      "PipelinePlusSpec" -> "lang-id is deterministic, total, and in-domain"),
+    "s_stream_dedup" -> Seq(
+      "StreamingSpec" -> "streaming dedup removes the duplicate second delivery"),
+    "s_stream_file" -> Seq(
+      "StreamingSpec" -> "file-source stream drains the directory and matches batch totals"),
+    "s_stream_foreach" -> Seq(
+      "StreamingSpec" -> "foreachBatch sink: no loss or duplication across batches"),
+    "s_stream_index" -> Seq(
+      "StreamingSpec" -> "streaming index maintenance converges to the batch index"),
+    "s_stream_join" -> Seq(
+      "StreamingSpec" -> "stream-static join matches the batch join aggregates"),
+    "s_stream_late" -> Seq(
+      "StreamingSpec" -> "late-data drop: late replays never exceed on-time counts"),
+    "s_stream_session" -> Seq(
+      "StreamingSpec" -> "streaming session windows match batch sessionization counts"),
+    "s_stream_stateful" -> Seq(
+      "StreamingSpec" -> "stateful running totals equal batch per-user aggregates"),
+    "s_stream_stream_join" -> Seq(
+      "StreamingSpec" -> "stream-stream interval join matches the batch self-join"),
+    "s_stream_tumbling" -> Seq(
+      "StreamingSpec" -> "streaming tumbling window matches the batch formulation"),
+    "s_stream_tws" -> Seq(
+      "StreamingSpec" -> "transformWithState running totals equal batch per-user aggregates"),
+    "x_expr_custom" -> Seq(
+      "CustomSpec" -> "x_expr_custom hashes match driver-side recomputation"),
+  )
+}
+
+/** ScalaTest reporter (wired via `Test / testOptions` `-C`) that records
+  * every test outcome and, when a run observed ALL evidence tests from
+  * [[UnitEvidence]] (i.e. a full `sbt test`, not a `testOnly` subset),
+  * writes `UNIT_RESULTS.json`: per unit row, the covering tests and
+  * their pass/fail status. Content is deterministic (no durations or
+  * timestamps) so the committed artifact only diffs when evidence or
+  * outcomes change.
+  */
+class UnitResultsReporter extends Reporter {
+  private val outcomes = mutable.Map.empty[(String, String), String]
+  private var totalSucceeded = 0
+  private var totalFailed = 0
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  override def apply(event: Event): Unit = synchronized {
+    event match {
+      case e: TestSucceeded =>
+        totalSucceeded += 1
+        outcomes((e.suiteName, e.testName)) = "pass"
+      case e: TestFailed =>
+        totalFailed += 1
+        outcomes((e.suiteName, e.testName)) = "fail"
+      case _: RunCompleted | _: RunStopped | _: RunAborted => writeIfComplete()
+      case _ => ()
+    }
+  }
+
+  private def writeIfComplete(): Unit = {
+    val missing = UnitEvidence.evidence.values.flatten
+      .filterNot(outcomes.contains).toSeq
+    if (missing.nonEmpty) {
+      println(s"[unit-results] partial run — not writing UNIT_RESULTS.json " +
+        s"(${missing.size} evidence tests not observed)")
+      return
+    }
+    val rows = UnitEvidence.evidence.toSeq.sortBy(_._1).map {
+      case (id, tests) =>
+        val status =
+          if (tests.forall(t => outcomes(t) == "pass")) "pass" else "fail"
+        val ev = tests.map { case (suite, test) =>
+          s"""{"suite":"${esc(suite)}","test":"${esc(test)}","status":"${outcomes((suite, test))}"}"""
+        }.mkString("[", ",", "]")
+        s"""    "${esc(id)}": {"status":"$status","evidence":$ev}"""
+    }
+    val json =
+      s"""{
+         |  "comment": "per-unit-row ScalaTest evidence for the oracle=unit queries (no DuckDB oracle); written by graft.UnitResultsReporter on a full sbt test run",
+         |  "tests_succeeded": $totalSucceeded,
+         |  "tests_failed": $totalFailed,
+         |  "unit_rows": {
+         |${rows.mkString(",\n")}
+         |  }
+         |}
+         |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("UNIT_RESULTS.json"), json)
+    println(s"[unit-results] wrote UNIT_RESULTS.json " +
+      s"(${UnitEvidence.evidence.size} unit rows)")
+  }
+}
