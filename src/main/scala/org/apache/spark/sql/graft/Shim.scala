@@ -20,6 +20,21 @@ object Shim {
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     spark.sessionState.functionRegistry
 
+  /** Build a sibling SparkSession on an existing SparkContext with a
+    * [[org.apache.spark.sql.SparkSessionExtensions]] populated by `f` —
+    * semantically what `spark.sql.extensions=<class>` does at session
+    * build. That static conf is read from the SparkContext and cannot
+    * take effect on an already-running context, so exercising the
+    * injected-extension path (vs GraftExtensions.install's live-session
+    * registration) needs the private[sql] session constructor. */
+  def sessionWithExtensions(spark: org.apache.spark.sql.SparkSession,
+      f: org.apache.spark.sql.SparkSessionExtensions => Unit)
+      : org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.classic.SparkSession.builder()
+      .sparkContext(spark.sparkContext)
+      .withExtensions(f)
+      .create()
+
   /** Wrap a custom LogicalPlan as a DataFrame (`Dataset.ofRows` is
     * private[sql]) — needed by the graft.plans custom operators. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

@@ -55,6 +55,41 @@ class CatalystExtensionSpec extends SparkSpecBase {
     assert(r.getDouble(2) == 5.0) // shorter length wins, no throw
   }
 
+  test("spark.sql.extensions=graft.GraftExtensions wires rule + strategy + functions") {
+    // The install() path (live-session registration) is what Verify/Bench
+    // use; this exercises the OTHER registration route — a session BUILT
+    // with the extension class applied (what `spark.sql.extensions=
+    // graft.GraftExtensions` does; the static conf itself cannot take
+    // effect on the suite's already-running context), where
+    // injectFunction / injectOptimizerRule / injectPlannerStrategy all
+    // apply (SURVEY.md §4.3).
+    val s2 = org.apache.spark.sql.graft.Shim
+      .sessionWithExtensions(spark, new GraftExtensions()(_))
+    // injected functions resolve in SQL
+    assert(s2.sql("SELECT token_count('a b c')").head.getInt(0) == 3)
+    assert(s2.sql("SELECT fnv1a64('hash join')").head.getLong(0) ==
+      functions.Fnv1a64.hash("hash join".getBytes(StandardCharsets.UTF_8)))
+    assert(s2.sql(
+      "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head.getDouble(0) == 11.0)
+    // injected optimizer rule fires
+    val df = s2.read.parquet(s"$sf/documents.parquet")
+      .select(size(split(col("text"), " ")).as("n"))
+    assert(df.queryExecution.optimizedPlan.expressions.exists(_.exists {
+      case _: graft.functions.TokenCount => true
+      case _ => false
+    }), "injected OptimizeTokenCount did not fire")
+    // injected planner strategy plans the custom as-of operator
+    val l = s2.range(10).select((col("id") % 2).as("k"), col("id").as("t"))
+    val r = s2.range(5).select((col("id") % 2).as("rk"),
+      (col("id") * 2).as("rt"), col("id").as("v"))
+    val asof = plans.AsofOps.join(l, r,
+      l("k"), r("rk"), l("t"), r("rt"))
+    assert(asof.queryExecution.executedPlan.toString.contains("AsofJoin"),
+      "injected AsofJoinStrategy did not plan the custom exec")
+    assert(asof.count() == 10) // LEFT OUTER: every left row survives
+  }
+
   test("OptimizeTokenCount rewrites size(split(s, ' ')) in the plan") {
     val df = Tables.t(spark, sf, "documents")
       .select(size(split(col("text"), " ")).as("n"))

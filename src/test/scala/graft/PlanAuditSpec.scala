@@ -442,6 +442,12 @@ class PlanAuditSpec extends SparkSpecBase {
     assertCandidateRescoring("q_doc_sim")
   }
 
+  test("q_token_count plans the native token_count kernel (optimizer rule fired)") {
+    val p = plan("q_token_count")
+    assert(p.contains("token_count"),
+      s"OptimizeTokenCount did not rewrite size(split):\n$p")
+  }
+
   test("q_idx_champion windows only posting-list partitions") {
     val p = plan("q_idx_champion")
     val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
