@@ -331,15 +331,29 @@ object Search {
     val w = tfidfRaw(spark, sfDir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("term"), col("score"))
-    val norms = w.groupBy("doc_id")
-      .agg(sqrt(sum(col("score") * col("score"))).as("nrm"))
+    // Gather each doc's sparse TF-IDF vector ONCE (term → score map, one
+    // row per sampled doc), then join the candidate pairs twice on doc id
+    // and score in-row: dot over the key union, norms over each map —
+    // the q_dedup_editdist gather shape. This keeps the whole pair
+    // pipeline candidate-bounded (no |cand|×|terms| posting expansion,
+    // no recomputed tfidf per consumer) and joins only on doc ids, which
+    // LSH bucketing keeps skew-free.
+    val vec = w.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("score"))))
+        .as("m"))
     val cand = PipelinePlus.minhashPairs(spark, sfDir).select("d1", "d2")
     cand
-      .join(w.toDF("d1", "term", "s1"), "d1")
-      .join(w.toDF("d2", "term", "s2"), Seq("d2", "term"))
-      .groupBy("d1", "d2").agg(sum(col("s1") * col("s2")).as("dot"))
-      .join(norms.toDF("d1", "n1"), "d1")
-      .join(norms.toDF("d2", "n2"), "d2")
+      .join(vec.select(col("doc_id").as("d1"), col("m").as("m1")), "d1")
+      .join(vec.select(col("doc_id").as("d2"), col("m").as("m2")), "d2")
+      .select(col("d1"), col("d2"),
+        expr("""aggregate(
+                  map_values(map_zip_with(m1, m2,
+                    (k, x, y) -> coalesce(x, 0d) * coalesce(y, 0d))),
+                  0d, (acc, v) -> acc + v)""").as("dot"),
+        expr("sqrt(aggregate(map_values(m1), 0d, (acc, v) -> acc + v * v))")
+          .as("n1"),
+        expr("sqrt(aggregate(map_values(m2), 0d, (acc, v) -> acc + v * v))")
+          .as("n2"))
       .select(col("d1"), col("d2"),
         round(col("dot") / (col("n1") * col("n2")), 4).as("cos"))
       .orderBy(desc("cos"), asc("d1"), asc("d2"))

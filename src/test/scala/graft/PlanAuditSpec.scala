@@ -420,13 +420,15 @@ class PlanAuditSpec extends SparkSpecBase {
     * never on bare term between two doc-sized sides. (A term-keyed
     * BROADCAST join against the vocab-bounded df table is legitimate and
     * exempted.) */
-  private def assertCandidateRescoring(name: String): Unit = {
+  private def assertCandidateRescoring(name: String,
+      rescoringJoinKeys: Seq[String]): Unit = {
     val p = plan(name)
     assert(p.contains("InMemoryTableScan"),
       s"candidate stream is not the persisted LSH pairs:\n$p")
     assert(p.linesIterator.exists(l => l.contains("Join")
-        && l.contains("d2") && l.contains("term")),
-      s"no (candidate, term)-keyed re-scoring join:\n$p")
+        && rescoringJoinKeys.forall(l.contains)),
+      s"no ${rescoringJoinKeys.mkString("(", ", ", ")")}-keyed " +
+        s"re-scoring join:\n$p")
     val smjTermOnly = p.linesIterator.exists(l =>
       l.contains("SortMergeJoin") && l.contains("term")
         && !l.contains("d1") && !l.contains("d2"))
@@ -435,11 +437,15 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("q_dedup_near re-scores LSH candidates — no uncapped term self-join") {
-    assertCandidateRescoring("q_dedup_near")
+    assertCandidateRescoring("q_dedup_near", Seq("d2", "term"))
   }
 
-  test("q_doc_sim re-scores LSH candidates — no uncapped term self-join") {
-    assertCandidateRescoring("q_doc_sim")
+  test("q_doc_sim gathers candidate vectors by doc id — no term join at all") {
+    assertCandidateRescoring("q_doc_sim", Seq("d2"))
+    // the in-row map scoring must leave no term-keyed pair join anywhere
+    assert(!plan("q_doc_sim").linesIterator.exists(l =>
+        l.contains("Join") && l.contains("term") && l.contains("d2")),
+      "posting-expansion join crept back into q_doc_sim")
   }
 
   test("q_token_count plans the native token_count kernel (optimizer rule fired)") {
