@@ -53,28 +53,50 @@ object Bench {
     // the median also strips shared-build cost from later consumers.
     val Runs = 3
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // A throwing query must surface as a FAILURE, not as a near-zero
+    // median that reads like a speedup: record the error, report the
+    // query at -1, and count it in n_failed on the stdout line.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = Seq.fill(Runs) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable => errors(name) =
+            s"${t.getClass.getSimpleName}: " +
+              Option(t.getMessage).getOrElse("").replace('\n', ' ').take(160)
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> (times(Runs / 2), times.head) // (median, min)
+      val ok = !errors.contains(name)
+      name -> (if (ok) (times(Runs / 2), times.head) else (-1.0, -1.0))
     }.toMap
-    val total = results.values.map(_._1).sum
-    def json(ns: Iterable[String], withMin: Boolean): String = {
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def json(ns: Iterable[String], full: Boolean): String = {
       def m(f: ((Double, Double)) => Double) = ns.filter(results.contains)
         .map(k => s"\"" + k + "\":" + fmt(f(results(k))))
         .mkString("{", ",", "}")
       val minPart =
-        if (withMin) s""","queries_min":${m(_._2)}""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"n_queries":${results.size},"queries":${m(_._1)}$minPart,"sf":"$sfDir"}"""
+        if (full) s""","queries_min":${m(_._2)}""" else ""
+      val errPart =
+        if (full) s""","errors":${errors.map { case (k, v) =>
+          s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
+        else if (errors.nonEmpty)
+          s""","failed":${errors.keys.map(jstr).mkString("[", ",", "]")}"""
+        else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"n_queries":${results.size},"n_failed":${errors.size},"queries":${m(_._1)}$minPart$errPart,"sf":"$sfDir"}"""
     }
     // full map for the repo record (BASELINE.md engine table)
     val fw = new java.io.PrintWriter("BENCH_FULL.json")
-    try fw.println(json(names, withMin = true)) finally fw.close()
-    println(json(Headline, withMin = false))
+    try fw.println(json(names, full = true)) finally fw.close()
+    println(json(Headline, full = false))
     spark.stop()
   }
 }

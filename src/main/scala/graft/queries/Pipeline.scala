@@ -36,19 +36,25 @@ object Pipeline {
     * self-join `weak`: hot stopword-class terms go |docs-with-term|² at
     * 100×, and sampling only rescales the constant. Candidate volume is
     * now O(Σ bucket²) by construction, and the persisted pair stream is
-    * shared with its five other consumers. Jaccard stays a ratio of
-    * exact ints → bit-identical across engines. */
+    * shared with its five other consumers.
+    *
+    * Each doc's distinct-term set is gathered ONCE (one row per sampled
+    * doc), the candidates join twice on doc id alone — which LSH
+    * bucketing keeps skew-free — and |A∩B| is computed in-row via
+    * array_intersect: the q_doc_sim map-gather shape, with no
+    * |cand|×|terms| posting expansion between the candidate join and
+    * the pair aggregate. Jaccard stays a ratio of exact ints →
+    * bit-identical with the oracle's term-join formulation. */
   def qDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
-    val dt = PipelinePlus.sampleTerms(spark, sfDir)
-    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sets = PipelinePlus.sampleTerms(spark, sfDir)
+      .groupBy("doc_id").agg(collect_set("term").as("ts"))
     val cand = PipelinePlus.minhashPairs(spark, sfDir).select("d1", "d2")
     cand
-      .join(dt.toDF("d1", "term"), "d1")
-      .join(dt.toDF("d2", "term"), Seq("d2", "term"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.toDF("d1", "sz1"), "d1")
-      .join(sizes.toDF("d2", "sz2"), "d2")
+      .join(sets.select(col("doc_id").as("d1"), col("ts").as("t1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("ts").as("t2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("t1"), col("t2"))).as("inter"),
+        size(col("t1")).as("sz1"), size(col("t2")).as("sz2"))
       .select(col("d1"), col("d2"),
         round(col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))

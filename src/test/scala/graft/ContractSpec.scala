@@ -22,6 +22,23 @@ class ContractSpec extends SparkSpecBase {
         s"stale evidence entries: ${declared -- unitRows}")
   }
 
+  test("UnitEvidence points at tests that actually exist") {
+    // Renaming an evidence test would otherwise just make the reporter
+    // treat every full run as partial and silently freeze the committed
+    // UNIT_RESULTS.json. Resolve each (suite, test) against the real
+    // suite's registered test names (suite constructors only register
+    // tests — the shared SparkSession stays untouched).
+    val bad = UnitEvidence.evidence.values.flatten.toSeq.distinct
+      .filterNot { case (suiteName, testName) =>
+        try Class.forName(s"graft.$suiteName").getDeclaredConstructor()
+          .newInstance().asInstanceOf[org.scalatest.Suite]
+          .testNames.contains(testName)
+        catch { case _: Throwable => false }
+      }
+    assert(bad.isEmpty,
+      s"evidence pointing at nonexistent suites/tests: $bad")
+  }
+
   test("every oracle SQL carries a total ORDER BY (determinism rule A)") {
     // the ORDER BY must govern the OUTERMOST select — one inside a
     // subquery or window OVER(...) doesn't order the output. Strip all

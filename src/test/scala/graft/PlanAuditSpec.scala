@@ -416,10 +416,12 @@ class PlanAuditSpec extends SparkSpecBase {
   /** The round-3 `weak` shape was a doc×doc self-join keyed on term
     * ALONE — |docs-with-term|² on hot terms at 100×. The de-skewed plan
     * must (a) read candidates from the persisted LSH pair stream and
-    * (b) produce pairs through a join keyed on (candidate doc id, term),
-    * never on bare term between two doc-sized sides. (A term-keyed
-    * BROADCAST join against the vocab-bounded df table is legitimate and
-    * exempted.) */
+    * (b) score pairs through joins keyed on candidate doc ids, never a
+    * SHUFFLE join keyed on bare term between two doc-sized sides — any
+    * shuffle strategy counts (sort-merge AND shuffled-hash: a size
+    * misestimate or SHJ preference must not sneak the hot-key shape past
+    * the audit). A term-keyed BROADCAST join against the vocab-bounded
+    * df table is legitimate and exempted. */
   private def assertCandidateRescoring(name: String,
       rescoringJoinKeys: Seq[String]): Unit = {
     val p = plan(name)
@@ -429,23 +431,24 @@ class PlanAuditSpec extends SparkSpecBase {
         && rescoringJoinKeys.forall(l.contains)),
       s"no ${rescoringJoinKeys.mkString("(", ", ", ")")}-keyed " +
         s"re-scoring join:\n$p")
-    val smjTermOnly = p.linesIterator.exists(l =>
-      l.contains("SortMergeJoin") && l.contains("term")
-        && !l.contains("d1") && !l.contains("d2"))
-    assert(!smjTermOnly,
+    val shuffleJoinTermOnly = p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        && l.contains("term") && !l.contains("d1") && !l.contains("d2"))
+    assert(!shuffleJoinTermOnly,
       s"shuffle join keyed on bare term — the hot-key self-join shape:\n$p")
+    // the in-row scoring must leave no term-keyed PAIR join anywhere —
+    // (term, candidate-id) keys are the posting-expansion signature
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("term") && l.contains("d2")),
+      s"posting-expansion join crept back into $name:\n$p")
   }
 
-  test("q_dedup_near re-scores LSH candidates — no uncapped term self-join") {
-    assertCandidateRescoring("q_dedup_near", Seq("d2", "term"))
+  test("q_dedup_near gathers candidate token sets by doc id — no term join") {
+    assertCandidateRescoring("q_dedup_near", Seq("d2"))
   }
 
   test("q_doc_sim gathers candidate vectors by doc id — no term join at all") {
     assertCandidateRescoring("q_doc_sim", Seq("d2"))
-    // the in-row map scoring must leave no term-keyed pair join anywhere
-    assert(!plan("q_doc_sim").linesIterator.exists(l =>
-        l.contains("Join") && l.contains("term") && l.contains("d2")),
-      "posting-expansion join crept back into q_doc_sim")
   }
 
   test("q_token_count plans the native token_count kernel (optimizer rule fired)") {
