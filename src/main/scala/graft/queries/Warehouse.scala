@@ -18,13 +18,21 @@ object Warehouse {
     * per-key the highest version survives. The per-status aggregate of
     * the merged table proves updates won and inserts were kept — the
     * semantics of MERGE INTO without a mutable table format.
+    *
+    * Money is summed as integer CENTS (the qRfm / q_incremental_agg
+    * precedent), divided back once at the end: a double sum over ~15k
+    * prices reaches ~1.2e10 at sf0.1, where Spark's partial-sum order
+    * vs DuckDB's sequential accumulation differ by ~5e-5 — enough to
+    * cross the round(4) grid (caught by the sf0.1 oracle sweep; the
+    * sf0.01 gate never sees it). Cents sums are exact in both engines.
     */
   def qUpsertLatest(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.t(spark, sfDir, "orders")
-      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
     val base = orders.withColumn("version", lit(1))
     val upd = orders.filter(col("o_orderkey") % 10 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") + 100)
+      .withColumn("cents", col("cents") + 10000L)
       .withColumn("version", lit(2))
     val w = Window.partitionBy("o_orderkey").orderBy(desc("version"))
     base.unionByName(upd)
@@ -32,20 +40,21 @@ object Warehouse {
       .filter(col("rn") === 1)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        round(sum("o_totalprice"), 4).as("total"))
+        (sum("cents").cast("double") / 100.0).as("total"))
       .orderBy("o_orderstatus")
   }
 
   val qUpsertLatestSql: String =
-    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+    """WITH base AS (SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
       |    1 AS version FROM orders),
-      |upd AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 100,
-      |    2 AS version FROM orders WHERE o_orderkey % 10 = 0),
+      |upd AS (SELECT o_orderkey, o_orderstatus, cents + 10000,
+      |    2 AS version FROM base WHERE o_orderkey % 10 = 0),
       |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
       |m AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
       |    ORDER BY version DESC) AS rn FROM u)
       |SELECT o_orderstatus, count(*) AS n,
-      |  round(sum(o_totalprice), 4) AS total
+      |  CAST(sum(cents) AS DOUBLE) / 100.0 AS total
       |FROM m WHERE rn = 1
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -194,14 +203,17 @@ object Warehouse {
     * proves inserts landed, updates won, and deletes vanished.
     */
   def qCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    // money as integer cents — see qUpsertLatest's scaladoc: double sums
+    // diverge from DuckDB past the round(4) grid at sf0.1 magnitudes
     val orders = Tables.t(spark, sfDir, "orders")
-      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
     val base = orders.filter(col("o_orderkey") % 3 =!= 0)
       .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
     val ins = orders.filter(col("o_orderkey") % 3 === 0)
       .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
     val upd = orders.filter(col("o_orderkey") % 5 === 0)
-      .withColumn("o_totalprice", col("o_totalprice") + 500)
+      .withColumn("cents", col("cents") + 50000L)
       .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
     val del = orders.filter(col("o_orderkey") % 7 === 0)
       .withColumn("seq", lit(3L)).withColumn("op", lit("D"))
@@ -211,26 +223,27 @@ object Warehouse {
       .filter(col("rn") === 1 && col("op") =!= "D")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        round(sum("o_totalprice"), 4).as("total"))
+        (sum("cents").cast("double") / 100.0).as("total"))
       .orderBy("o_orderstatus")
   }
 
   val qCdcApplySql: String =
-    """WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+    """WITH src AS (SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
       |    FROM orders),
       |log AS (
       |  SELECT *, 0 AS seq, 'I' AS op FROM src WHERE o_orderkey % 3 <> 0
       |  UNION ALL
       |  SELECT *, 1, 'I' FROM src WHERE o_orderkey % 3 = 0
       |  UNION ALL
-      |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500, 2, 'U'
+      |  SELECT o_orderkey, o_orderstatus, cents + 50000, 2, 'U'
       |    FROM src WHERE o_orderkey % 5 = 0
       |  UNION ALL
       |  SELECT *, 3, 'D' FROM src WHERE o_orderkey % 7 = 0),
       |m AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
       |    ORDER BY seq DESC) AS rn FROM log)
       |SELECT o_orderstatus, count(*) AS n,
-      |  round(sum(o_totalprice), 4) AS total
+      |  CAST(sum(cents) AS DOUBLE) / 100.0 AS total
       |FROM m WHERE rn = 1 AND op <> 'D'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
