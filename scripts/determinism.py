@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Run-to-run determinism audit for the graded gate.
+
+Usage: python3 scripts/determinism.py <verifyOutDirA> <verifyOutDirB>
+
+Compares two independent `graft.Verify` runs of the SAME code at the
+SAME SF, query by query. The driver's oracle compare is in-order and
+value-exact (modulo round(_, 9)), so any run-to-run instability —
+float partial-sum merge order crossing a round() grid, a sort that is
+not total breaking ties differently, an unseeded sample — would make
+the gate flake even though a single run passes. This audit catches
+that class empirically.
+
+Oracle-checked queries (present in oracle_sql.json) are compared
+IN ORDER, exactly like the driver. No-oracle outputs (streaming,
+sketches, sinks) are compared as sorted multisets: their row order is
+not graded, but their values should still be stable.
+"""
+import json, os, sys
+import duckdb
+
+
+def rows_of(con, out_dir, name):
+    cur = con.execute(
+        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+    cols = [d[0] for d in cur.description]
+    perm = [cols.index(c) for c in sorted(cols)]
+    return sorted(cols), [tuple(repr(r[i]) for i in perm) for r in cur.fetchall()]
+
+
+def main():
+    dir_a, dir_b = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    oracle = set(json.load(open(f"{dir_a}/oracle_sql.json")))
+    names = sorted(d for d in os.listdir(dir_a)
+                   if os.path.isdir(os.path.join(dir_a, d)))
+    missing = [n for n in names if not os.path.isdir(os.path.join(dir_b, n))]
+    if missing:
+        print(f"FAIL: {len(missing)} outputs missing from {dir_b}: {missing[:5]}")
+        sys.exit(1)
+    n_pass = n_fail = 0
+    for name in names:
+        try:
+            ca, ra = rows_of(con, dir_a, name)
+            cb, rb = rows_of(con, dir_b, name)
+        except Exception as e:
+            print(f"FAIL {name}: read error: {e}")
+            n_fail += 1
+            continue
+        ordered = name in oracle
+        if not ordered:
+            ra, rb = sorted(ra), sorted(rb)
+        if ca != cb:
+            print(f"FAIL {name}: cols {ca} vs {cb}")
+            n_fail += 1
+        elif ra == rb:
+            n_pass += 1
+        else:
+            n_fail += 1
+            if len(ra) != len(rb):
+                print(f"FAIL {name}: rowcount {len(ra)} vs {len(rb)}")
+            else:
+                for i, (x, y) in enumerate(zip(ra, rb)):
+                    if x != y:
+                        kind = "in-order" if ordered else "sorted"
+                        print(f"FAIL {name}: first {kind} diff row {i}:\n  A={x}\n  B={y}")
+                        break
+    print(f"== determinism: {n_pass} stable, {n_fail} diverged ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
