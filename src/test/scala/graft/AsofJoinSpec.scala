@@ -74,6 +74,60 @@ class AsofJoinSpec extends SparkSpecBase {
     assert(got.size == ref.size && got == ref)
   }
 
+  test("agrees with the window reference on randomized collision-heavy frames") {
+    // Tiny key/time domains force duplicate keys, duplicate times, and
+    // per-key runs spanning partition boundaries — the states the
+    // two-pointer merge has to get right. Seeded, so deterministic.
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 3) {
+      val lRows = Seq.tabulate(150 + rnd.nextInt(100)) { i =>
+        (if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(6).toLong),
+          if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(25).toLong),
+          i.toLong)
+      }
+      val rRows = Seq.tabulate(120 + rnd.nextInt(100)) { _ =>
+        (if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(6).toLong),
+          if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(25).toLong),
+          rnd.nextInt(1000).toLong)
+      }
+      val l = lRows.toDF("k", "t", "lid").repartition(7)
+      // dedupe right per (key, time): with duplicates the operator's
+      // survivor follows the partition sort's tie order (documented in
+      // AsofOps.join), so aggregate first to make the reference total
+      val r = rRows.toDF("rk", "rt", "v0").groupBy("rk", "rt")
+        .agg(max("v0").as("v")).repartition(5)
+      def toMap(rows: Array[Row]) =
+        rows.map(x => x.getLong(0) -> x.get(1)).toMap
+      val got = toMap(AsofOps.join(l, r, l("k"), r("rk"), l("t"), r("rt"))
+        .select("lid", "v").collect())
+      val ref = toMap(l.join(r,
+          col("k") === col("rk") && col("rt") <= col("t"), "left")
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("lid").orderBy(desc_nulls_last("rt"))))
+        .filter(col("rn") === 1)
+        .select("lid", "v").collect())
+      assert(got.size == lRows.size && got == ref)
+    }
+  }
+
+  test("supports int keys and date times (non-long internal encodings)") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val l = Seq((1, d("2024-01-10"), "a"), (1, d("2024-01-02"), "b"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1, d("2024-01-05"), "m")).toDF("rk", "rt", "v")
+    val got = asof(l, r).select("tag", "v").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(got == Map("a" -> "m", "b" -> null))
+  }
+
+  test("rejects sides that share output lineage (unaliased self-join)") {
+    val d = Seq((1L, 2L)).toDF("k", "t")
+    val e = intercept[IllegalArgumentException] {
+      AsofOps.join(d, d, d("k"), d("k"), d("t"), d("t"))
+    }
+    assert(e.getMessage.contains("alias one side"))
+  }
+
   test("plan: strategy fires, both children clustered and sorted") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 5L, "m")).toDF("rk", "rt", "v")
