@@ -29,7 +29,7 @@ object Warehouse {
   def qUpsertLatest(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.t(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
     val base = orders.withColumn("version", lit(1))
     val upd = orders.filter(col("o_orderkey") % 10 === 0)
       .withColumn("cents", col("cents") + 10000L)
@@ -46,7 +46,7 @@ object Warehouse {
 
   val qUpsertLatestSql: String =
     """WITH base AS (SELECT o_orderkey, o_orderstatus,
-      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
       |    1 AS version FROM orders),
       |upd AS (SELECT o_orderkey, o_orderstatus, cents + 10000,
       |    2 AS version FROM base WHERE o_orderkey % 10 = 0),
@@ -207,7 +207,7 @@ object Warehouse {
     // diverge from DuckDB past the round(4) grid at sf0.1 magnitudes
     val orders = Tables.t(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
     val base = orders.filter(col("o_orderkey") % 3 =!= 0)
       .withColumn("seq", lit(0L)).withColumn("op", lit("I"))
     val ins = orders.filter(col("o_orderkey") % 3 === 0)
@@ -229,7 +229,7 @@ object Warehouse {
 
   val qCdcApplySql: String =
     """WITH src AS (SELECT o_orderkey, o_orderstatus,
-      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       |    FROM orders),
       |log AS (
       |  SELECT *, 0 AS seq, 'I' AS op FROM src WHERE o_orderkey % 3 <> 0
@@ -260,7 +260,7 @@ object Warehouse {
     val daily = Tables.t(spark, sfDir, "orders")
       .select(col("o_orderstatus"),
         to_date(col("o_orderdate")).as("day"),
-        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       .groupBy("o_orderstatus", "day")
       .agg(count(lit(1)).as("cnt"), sum("cents").as("cents"))
     daily
@@ -276,7 +276,7 @@ object Warehouse {
   val qIncrementalAggSql: String =
     """WITH f AS (SELECT o_orderstatus,
       |    CAST(o_orderdate AS DATE) AS day,
-      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       |  FROM orders)
       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
       |  CAST(sum(cents) AS BIGINT) AS total_cents,
