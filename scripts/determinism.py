@@ -11,10 +11,16 @@ not total breaking ties differently, an unseeded sample — would make
 the gate flake even though a single run passes. This audit catches
 that class empirically.
 
-Oracle-checked queries (present in oracle_sql.json) are compared
-IN ORDER, exactly like the driver. No-oracle outputs (streaming,
-sketches, sinks) are compared as sorted multisets: their row order is
-not graded, but their values should still be stable.
+The query set is the UNION of both dirs: Verify skips a query that
+throws, so a one-sided absence is an intermittent crash — the worst
+flake class — and must FAIL, not fall out of the comparison. Columns
+are compared positionally (same code wrote both runs, so any column
+order or name difference is itself a divergence; name-sorting would
+also mask a duplicate-named column). Oracle-checked queries (present
+in oracle_sql.json) are compared IN ORDER, exactly like the driver.
+No-oracle outputs (streaming, sketches, sinks) are compared as sorted
+multisets: their row order is not graded, but their values should
+still be stable.
 """
 import json, os, sys
 import duckdb
@@ -24,22 +30,26 @@ def rows_of(con, out_dir, name):
     cur = con.execute(
         f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
     cols = [d[0] for d in cur.description]
-    perm = [cols.index(c) for c in sorted(cols)]
-    return sorted(cols), [tuple(repr(r[i]) for i in perm) for r in cur.fetchall()]
+    return cols, [tuple(repr(v) for v in r) for r in cur.fetchall()]
 
 
 def main():
     dir_a, dir_b = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     oracle = set(json.load(open(f"{dir_a}/oracle_sql.json")))
-    names = sorted(d for d in os.listdir(dir_a)
-                   if os.path.isdir(os.path.join(dir_a, d)))
-    missing = [n for n in names if not os.path.isdir(os.path.join(dir_b, n))]
-    if missing:
-        print(f"FAIL: {len(missing)} outputs missing from {dir_b}: {missing[:5]}")
-        sys.exit(1)
+
+    def outputs(d):
+        return set(n for n in os.listdir(d)
+                   if os.path.isdir(os.path.join(d, n)))
+
+    names_a, names_b = outputs(dir_a), outputs(dir_b)
     n_pass = n_fail = 0
-    for name in names:
+    for name in sorted(names_a | names_b):
+        if name not in names_a or name not in names_b:
+            side = dir_b if name not in names_b else dir_a
+            print(f"FAIL {name}: missing from {side} — intermittent failure")
+            n_fail += 1
+            continue
         try:
             ca, ra = rows_of(con, dir_a, name)
             cb, rb = rows_of(con, dir_b, name)

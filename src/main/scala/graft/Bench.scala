@@ -72,24 +72,17 @@ object Bench {
       name -> (if (ok) (times(Runs / 2), times.head) else (-1.0, -1.0))
     }.toMap
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     def json(ns: Iterable[String], full: Boolean): String = {
       def m(f: ((Double, Double)) => Double) = ns.filter(results.contains)
-        .map(k => s"\"" + k + "\":" + fmt(f(results(k))))
+        .map(k => JsonOut.str(k) + ":" + fmt(f(results(k))))
         .mkString("{", ",", "}")
       val minPart =
         if (full) s""","queries_min":${m(_._2)}""" else ""
       val errPart =
         if (full) s""","errors":${errors.map { case (k, v) =>
-          s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")}"""
+          s"${JsonOut.str(k)}:${JsonOut.str(v)}" }.mkString("{", ",", "}")}"""
         else if (errors.nonEmpty)
-          s""","failed":${errors.keys.map(jstr).mkString("[", ",", "]")}"""
+          s""","failed":${errors.keys.map(JsonOut.str).mkString("[", ",", "]")}"""
         else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"n_queries":${results.size},"n_failed":${errors.size},"queries":${m(_._1)}$minPart$errPart,"sf":"$sfDir"}"""
     }

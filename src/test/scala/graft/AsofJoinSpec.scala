@@ -98,8 +98,12 @@ class AsofJoinSpec extends SparkSpecBase {
         .agg(max("v0").as("v")).repartition(5)
       def toMap(rows: Array[Row]) =
         rows.map(x => x.getLong(0) -> x.get(1)).toMap
-      val got = toMap(AsofOps.join(l, r, l("k"), r("rk"), l("t"), r("rt"))
-        .select("lid", "v").collect())
+      val gotRows = AsofOps.join(l, r, l("k"), r("rk"), l("t"), r("rt"))
+        .select("lid", "v").collect()
+      // exactly one output row per left row BEFORE the Map collapse —
+      // a duplicate-emitting regression would dedupe away inside toMap
+      assert(gotRows.length == lRows.size)
+      val got = toMap(gotRows)
       val ref = toMap(l.join(r,
           col("k") === col("rk") && col("rt") <= col("t"), "left")
         .withColumn("rn", row_number().over(Window

@@ -28,15 +28,26 @@ class ContractSpec extends SparkSpecBase {
     // UNIT_RESULTS.json. Resolve each (suite, test) against the real
     // suite's registered test names (suite constructors only register
     // tests — the shared SparkSession stays untouched).
+    // NOTE: resolution assumes every evidence suite lives directly in
+    // the `graft` package with a nullary constructor (true for all
+    // suites in this repo); a failure below can therefore also mean
+    // "suite moved / can't instantiate", so the reflection error is
+    // carried into the message instead of being swallowed as absence.
     val bad = UnitEvidence.evidence.values.flatten.toSeq.distinct
-      .filterNot { case (suiteName, testName) =>
-        try Class.forName(s"graft.$suiteName").getDeclaredConstructor()
-          .newInstance().asInstanceOf[org.scalatest.Suite]
-          .testNames.contains(testName)
-        catch { case _: Throwable => false }
+      .flatMap { case (suiteName, testName) =>
+        try {
+          if (Class.forName(s"graft.$suiteName").getDeclaredConstructor()
+              .newInstance().asInstanceOf[org.scalatest.Suite]
+              .testNames.contains(testName))
+            None
+          else Some(s"$suiteName/$testName: test name not registered")
+        } catch {
+          case t: Throwable =>
+            Some(s"$suiteName/$testName: cannot resolve suite ($t)")
+        }
       }
     assert(bad.isEmpty,
-      s"evidence pointing at nonexistent suites/tests: $bad")
+      s"evidence pointing at unresolvable suites/tests: $bad")
   }
 
   test("every oracle SQL carries a total ORDER BY (determinism rule A)") {

@@ -421,7 +421,10 @@ class PlanAuditSpec extends SparkSpecBase {
     * shuffle strategy counts (sort-merge AND shuffled-hash: a size
     * misestimate or SHJ preference must not sneak the hot-key shape past
     * the audit). A term-keyed BROADCAST join against the vocab-bounded
-    * df table is legitimate and exempted. */
+    * df table is legitimate and exempted — but only when it does NOT
+    * also carry a candidate id: a (term, d2)-keyed join is posting
+    * expansion (a per-candidate row blowup) under ANY join strategy,
+    * broadcast included, so the last check is deliberately blanket. */
   private def assertCandidateRescoring(name: String,
       rescoringJoinKeys: Seq[String]): Unit = {
     val p = plan(name)

@@ -89,14 +89,6 @@ class UnitResultsReporter extends Reporter {
   private var totalSucceeded = 0
   private var totalFailed = 0
 
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
-
   override def apply(event: Event): Unit = synchronized {
     event match {
       case e: TestSucceeded =>
@@ -123,9 +115,9 @@ class UnitResultsReporter extends Reporter {
         val status =
           if (tests.forall(t => outcomes(t) == "pass")) "pass" else "fail"
         val ev = tests.map { case (suite, test) =>
-          s"""{"suite":"${esc(suite)}","test":"${esc(test)}","status":"${outcomes((suite, test))}"}"""
+          s"""{"suite":${JsonOut.str(suite)},"test":${JsonOut.str(test)},"status":"${outcomes((suite, test))}"}"""
         }.mkString("[", ",", "]")
-        s"""    "${esc(id)}": {"status":"$status","evidence":$ev}"""
+        s"""    ${JsonOut.str(id)}: {"status":"$status","evidence":$ev}"""
     }
     val json =
       s"""{
