@@ -31,6 +31,10 @@ object Bench {
       // SFs turns every query into pure task-launch overhead; at cluster
       // scale size-based is the recommended setting too.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // same UTC pin as Verify/Smoke/Golden: timings don't care, but a
+      // non-UTC box must not make the benched plans compute different
+      // values than the graded ones
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
