@@ -111,46 +111,54 @@ object Warehouse {
     * price on keys ≡1 mod 5, add shifted keys).
     */
   def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val old = Tables.t(spark, sfDir, "orders")
-      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v_old"))
-    val nw = Tables.t(spark, sfDir, "orders")
+    // money as integer cents — see qUpsertLatest's scaladoc: the
+    // added/removed buckets sum FULL prices (±3.2e9 at sf0.1), inside
+    // the float-sum boundary BASELINE.md's convention flags
+    val base = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val old = base.select(col("o_orderkey").as("k"), col("cents").as("c_old"))
+    val nw = base
       .filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey").as("k"),
-        when(col("o_orderkey") % 5 === 1, col("o_totalprice") + 50)
-          .otherwise(col("o_totalprice")).as("v_new"))
-      .unionByName(Tables.t(spark, sfDir, "orders")
+        when(col("o_orderkey") % 5 === 1, col("cents") + 5000L)
+          .otherwise(col("cents")).as("c_new"))
+      .unionByName(base
         .filter(col("o_orderkey") % 11 === 0)
         .select((col("o_orderkey") + 1000000).as("k"),
-          col("o_totalprice").as("v_new")))
+          col("cents").as("c_new")))
     old.join(nw, Seq("k"), "full_outer")
       .withColumn("change",
-        when(col("v_old").isNull, "added")
-          .when(col("v_new").isNull, "removed")
-          .when(col("v_old") =!= col("v_new"), "changed")
+        when(col("c_old").isNull, "added")
+          .when(col("c_new").isNull, "removed")
+          .when(col("c_old") =!= col("c_new"), "changed")
           .otherwise("same"))
       .groupBy("change")
       .agg(count(lit(1)).as("n"),
-        round(sum(coalesce(col("v_new"), lit(0.0)) -
-          coalesce(col("v_old"), lit(0.0))), 4).as("net_delta"))
+        (sum(coalesce(col("c_new"), lit(0L)) -
+          coalesce(col("c_old"), lit(0L))).cast("double") / 100.0)
+          .as("net_delta"))
       .orderBy("change")
   }
 
   val qSnapshotDiffSql: String =
-    """WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v_old
-      |  FROM orders),
+    """WITH src AS (SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |old AS (SELECT o_orderkey AS k, cents AS c_old FROM src),
       |nw AS (SELECT o_orderkey AS k,
-      |    CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice + 50
-      |      ELSE o_totalprice END AS v_new
-      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |    CASE WHEN o_orderkey % 5 = 1 THEN cents + 5000
+      |      ELSE cents END AS c_new
+      |  FROM src WHERE o_orderkey % 7 <> 0
       |  UNION ALL
-      |  SELECT o_orderkey + 1000000, o_totalprice FROM orders
+      |  SELECT o_orderkey + 1000000, cents FROM src
       |  WHERE o_orderkey % 11 = 0),
-      |d AS (SELECT CASE WHEN v_old IS NULL THEN 'added'
-      |      WHEN v_new IS NULL THEN 'removed'
-      |      WHEN v_old <> v_new THEN 'changed' ELSE 'same' END AS change,
-      |    coalesce(v_new, 0.0) - coalesce(v_old, 0.0) AS delta
+      |d AS (SELECT CASE WHEN c_old IS NULL THEN 'added'
+      |      WHEN c_new IS NULL THEN 'removed'
+      |      WHEN c_old <> c_new THEN 'changed' ELSE 'same' END AS change,
+      |    coalesce(c_new, 0) - coalesce(c_old, 0) AS delta
       |  FROM old FULL OUTER JOIN nw USING (k))
-      |SELECT change, count(*) AS n, round(sum(delta), 4) AS net_delta
+      |SELECT change, count(*) AS n,
+      |  CAST(sum(delta) AS DOUBLE) / 100.0 AS net_delta
       |FROM d GROUP BY change ORDER BY change""".stripMargin
 
   /** Z-order (Morton) layout key: interleave the bits of two clamped
