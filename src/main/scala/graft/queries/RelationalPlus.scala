@@ -155,12 +155,19 @@ object RelationalPlus {
     * the fact side picks a deterministic salt, so one hot key spreads over
     * SALT reducers instead of one. The result is identical to the plain
     * join — which is exactly what the oracle checks.
+    *
+    * The fact salt is a hash over per-row attributes, NOT
+    * `l_linenumber % SALT`: linenumber is 1..7, so a modulo salt never
+    * hits 0 (1/SALT of every exploded dim replica shuffles and matches
+    * nothing) and concentrates a hot key on salt=1 (every order has a
+    * line 1, few have a line 7) instead of spreading it uniformly.
     */
   private val SALT = 8
 
   def qJoinSalted(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
-      .withColumn("salt", (col("l_linenumber") % SALT).cast("int"))
+      .withColumn("salt",
+        pmod(hash(col("l_partkey"), col("l_linenumber")), lit(SALT)))
     val od = t(spark, sfDir, "orders")
       .withColumn("salt", explode(sequence(lit(0), lit(SALT - 1))))
     li.join(od,

@@ -53,6 +53,17 @@ class PipelineExtraSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
+  test("fact salt occupies every bucket (no dead dim replicas)") {
+    // the old l_linenumber % 8 salt never produced 0 (linenumber is
+    // 1..7), so 1/8 of the exploded dim rows shuffled and matched
+    // nothing and a hot key concentrated on salt=1 instead of spreading
+    val salts = Tables.t(spark, sf, "lineitem")
+      .select(pmod(hash(col("l_partkey"), col("l_linenumber")), lit(8))
+        .as("salt"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(salts == (0 until 8).toSet, s"salt buckets hit: $salts")
+  }
+
   test("unpivot doubles the row count; pivot keeps one row per priority") {
     val parts = Tables.t(spark, sf, "part").count()
     assert(queries.RelationalPlus.qUnpivot(spark, sf).count() == 2 * parts)
