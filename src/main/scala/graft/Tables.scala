@@ -67,6 +67,16 @@ object Tables {
     * it re-evaluates per shingle — O(len²) per doc (3× measured on the
     * fingerprint family at sf0.1).
     */
+  /** 60-bit content-hash bucket: first 15 hex chars of md5(c) as a
+    * BIGINT. EXACTLY 15 chars — 60 bits — so the long can never go
+    * negative, matching DuckDB's `('0x' || substring(md5(x),1,15))
+    * ::BIGINT`; a 16-char copy would overflow to negative buckets and
+    * silently break every keep-rate / split comparison. Callers apply
+    * their own modulus (split %100, sampling %1e6, simhash raw). ONE
+    * definition for the four bucket-hash queries. */
+  def md5Bucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   def shingles3Arr(arr: org.apache.spark.sql.Column,
       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(size(arr) >= 3,

@@ -11,6 +11,28 @@ import graft.Tables
   */
 object Events {
 
+  /** 30-min inactivity gap, µs. The ONE session definition shared by
+    * qEvtSession, qJoinInterval and EventsPlus.qEvtBounce. */
+  private[queries] val SessionGapUs = 1800000000L
+
+  /** Shared sessionization: lag → break flag → running sum as session
+    * id, one window shuffle per user. Adds `ts_us` (µs) and
+    * `session_id` (1-based per user) to the events table. Centralized
+    * like Tables.tokens so the gap constant and the (ts_us, event_id)
+    * tie-break cannot silently diverge between the three operators
+    * that sessionize. */
+  private[queries] def sessionized(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > SessionGapUs, 1)
+          .otherwise(when(lag("ts_us", 1).over(byUser).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum("gap").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("gap")
+  }
+
   def qEvtTumbling(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
@@ -43,14 +65,7 @@ object Events {
   /** Sessionization with a 30-min inactivity gap: lag → gap flag → running
     * sum as session id — all window functions, shuffle-once per user. */
   def qEvtSession(spark: SparkSession, sfDir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    Tables.events(spark, sfDir)
-      .withColumn("ts_us", unix_micros(col("ts")))
-      .withColumn("gap",
-        when(col("ts_us") - lag("ts_us", 1).over(byUser) > 1800000000L, 1)
-          .otherwise(when(lag("ts_us", 1).over(byUser).isNull, 1).otherwise(0)))
-      .withColumn("session_id", sum("gap").over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessionized(spark, sfDir)
       .groupBy("user_id", "session_id")
       // `div` (integer division) on both sides: DuckDB CAST(double AS
       // BIGINT) rounds half-even while Spark cast truncates.
@@ -213,16 +228,10 @@ object Events {
     * BNLJ over sessions×events; PlanAuditSpec asserts it never appears.
     */
   def qJoinInterval(spark: SparkSession, sfDir: String): DataFrame = {
-    val B = 1800000000L // 30 min in µs — matches the session gap
-    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val B = SessionGapUs // bucket width = the session gap
     val ev = Tables.events(spark, sfDir)
       .withColumn("ts_us", unix_micros(col("ts")))
-    val sess = ev
-      .withColumn("gap",
-        when(col("ts_us") - lag("ts_us", 1).over(byUser) > 1800000000L, 1)
-          .otherwise(when(lag("ts_us", 1).over(byUser).isNull, 1).otherwise(0)))
-      .withColumn("session_id", sum("gap").over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = sessionized(spark, sfDir)
       .groupBy(col("user_id").as("s_user"), col("session_id"))
       .agg(min("ts_us").as("lo"), max("ts_us").as("hi"))
     val sessBuckets = sess.withColumn("bucket",

@@ -324,24 +324,15 @@ object EventsPlus {
       .orderBy("dayn")
   }
 
-  /** Bounce rate per day: sessions (30-min inactivity gap, the
-    * q_evt_session definition) with exactly one event, as an integer ppm
-    * of the day's sessions. Same one-key-shuffle window plan as
-    * sessionization — lag → break flag → running sum as session id —
-    * then two partial-aggregable groupBys on bounded keys.
+  /** Bounce rate per day: sessions (Events.sessionized — THE shared
+    * 30-min-gap definition) with exactly one event, as an integer ppm
+    * of the day's sessions, then two partial-aggregable groupBys on
+    * bounded keys.
     */
   def qEvtBounce(spark: SparkSession, sfDir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_id"),
-        expr("unix_micros(ts)").as("tus"))
-      .withColumn("prev", lag("tus", 1).over(byUser))
-      .withColumn("brk", when(col("prev").isNull
-        || col("tus") - col("prev") > 1800000000L, 1).otherwise(0))
-      .withColumn("sess", sum("brk").over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "sess")
-      .agg(min("tus").as("start_us"), count(lit(1)).as("n_ev"))
+    Events.sessionized(spark, sfDir)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("start_us"), count(lit(1)).as("n_ev"))
       .withColumn("dayn", expr("start_us div 86400000000"))
       .groupBy("dayn")
       .agg(count(lit(1)).as("n_sessions"),

@@ -76,8 +76,7 @@ object PipelineCurate {
       .select("lang", "n_docs", "weight_ppm", "keep_ppm")
     val kept = docs
       .withColumn("bucket",
-        conv(substring(md5(col("text")), 1, 15), 16, 10)
-          .cast("long") % 1000000L)
+        Tables.md5Bucket(col("text")) % 1000000L)
       .join(broadcast(rates.select("lang", "keep_ppm")), "lang")
       .filter(col("bucket") < col("keep_ppm"))
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))

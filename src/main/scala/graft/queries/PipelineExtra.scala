@@ -164,8 +164,7 @@ object PipelineExtra {
   def qSplitTrain(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "documents")
       .withColumn("bucket",
-        (conv(substring(md5(col("text")), 1, 15), 16, 10)
-          .cast("long") % 100).cast("int"))
+        (Tables.md5Bucket(col("text")) % 100).cast("int"))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")

@@ -168,7 +168,7 @@ object PipelinePlus {
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val dt = sampleTerms(spark, sfDir)
       .withColumn("h",
-        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
+        Tables.md5Bucket(col("term")))
     val sim = dt
       .crossJoin(spark.range(SimBits).select(col("id").as("b")))
       .withColumn("contrib",

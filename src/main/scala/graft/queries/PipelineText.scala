@@ -96,8 +96,7 @@ object PipelineText {
     * same md5 trick as q_split_train); reported per stratum.
     */
   def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = (conv(substring(md5(col("text")), 1, 15), 16, 10)
-      .cast("long") % 100).cast("int")
+    val bucket = (Tables.md5Bucket(col("text")) % 100).cast("int")
     val rate = when(col("lang") === "en", 10)
       .when(col("lang") === "de", 20)
       .otherwise(50)
