@@ -34,11 +34,33 @@ def rows_of(con, out_dir, name):
 
 
 def main():
+    if len(sys.argv) < 3:
+        print("usage: determinism.py <verifyOutDirA> <verifyOutDirB>")
+        sys.exit(2)
     dir_a, dir_b = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    oracle = set(json.load(open(f"{dir_a}/oracle_sql.json")))
+    # A Verify run that crashed before writing oracle_sql.json is itself
+    # the intermittent-failure class this audit exists to catch — report
+    # it as a structured FAIL, not an unhandled traceback.
+    oracle = None
+    for d in (dir_a, dir_b):
+        try:
+            with open(f"{d}/oracle_sql.json") as f:
+                oracle = set(json.load(f))
+            break
+        except (OSError, ValueError) as e:
+            print(f"FAIL oracle_sql.json: unreadable in {d}: {e} — "
+                  "Verify run died before finishing")
+    if oracle is None:
+        print("== determinism: 0 stable, 1 diverged ==")
+        sys.exit(1)
 
     def outputs(d):
+        if not os.path.isdir(d):
+            # a missing run dir = that Verify run never started/finished;
+            # every query the other side wrote becomes a one-sided FAIL
+            print(f"FAIL {d}: run directory missing")
+            return set()
         return set(n for n in os.listdir(d)
                    if os.path.isdir(os.path.join(d, n)))
 

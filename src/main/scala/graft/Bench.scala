@@ -18,7 +18,12 @@ object Bench {
     "q_agg_rollup", "q_fn_array", "q_sim_ivf", "q_contamination",
     "q_split_train", "q_text_quality")
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  // Locale.ROOT, NOT the f-interpolator: f"$v%.3f" uses the JVM default
+  // locale, and a comma-decimal locale (de_DE, fr_FR) would turn the
+  // driver-parsed stdout line into invalid JSON ("value":123,456) — the
+  // same class of box-dependence as the UTC pin below.
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,14 +68,21 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // Stop after the first failure: the result is already pinned to -1,
+      // so re-running a slow-failing query (100 s to an OOM) twice more
+      // buys nothing, and keeping the FIRST error preserves the root
+      // cause instead of whatever a warmed-up retry happens to throw.
       val times = Seq.fill(Runs) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case t: Throwable => errors(name) =
-            s"${t.getClass.getSimpleName}: " +
-              Option(t.getMessage).getOrElse("").replace('\n', ' ').take(160)
+        if (errors.contains(name)) 0.0
+        else {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case t: Throwable => errors(name) =
+              s"${t.getClass.getSimpleName}: " +
+                Option(t.getMessage).getOrElse("").replace('\n', ' ').take(160)
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        (System.nanoTime() - t0) / 1e9
       }.sorted
       val ok = !errors.contains(name)
       name -> (if (ok) (times(Runs / 2), times.head) else (-1.0, -1.0))

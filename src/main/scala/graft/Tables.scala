@@ -29,6 +29,19 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Atomic memoize-for-persist. `concurrent.Map.getOrElseUpdate` may
+    * evaluate the by-name default MORE THAN ONCE under contention — only
+    * one value wins the putIfAbsent, and a losing value that was already
+    * `.persist()`ed leaks in storage memory with no handle to unpersist
+    * it. Two concurrent first-callers are a real schedule here: ScalaTest
+    * suites share the forked test JVM. Serializing the build closes the
+    * race; the lock is uncontended after first materialization.
+    */
+  private[graft] def memo(
+      cache: scala.collection.concurrent.TrieMap[String, DataFrame],
+      key: String)(build: => DataFrame): DataFrame =
+    cache.synchronized { cache.getOrElseUpdate(key, build) }
+
   // Tokenized documents are reused by the whole §2.9 search family plus
   // several §2.10 pipeline ops; persist once per (session, sfDir).
   private val tokenCache =
@@ -40,12 +53,11 @@ object Tables {
     */
   def tokens(spark: SparkSession, sfDir: String): DataFrame = {
     val key = s"${spark.sparkContext.applicationId}:$sfDir"
-    tokenCache.getOrElseUpdate(
-      key,
+    memo(tokenCache, key) {
       t(spark, sfDir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .persist()
-    )
+    }
   }
 
   /** Distinct (doc_id, term) pairs — posting-list input. */

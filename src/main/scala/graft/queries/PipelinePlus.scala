@@ -50,7 +50,7 @@ object PipelinePlus {
     * ranks and q_dedup_cluster clusters. */
   private[graft] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val key = s"${spark.sparkContext.applicationId}:$sfDir"
-    pairsCache.getOrElseUpdate(key, minhashPairsUncached(spark, sfDir).persist())
+    Tables.memo(pairsCache, key)(minhashPairsUncached(spark, sfDir).persist())
   }
 
   private def minhashPairsUncached(spark: SparkSession, sfDir: String): DataFrame = {

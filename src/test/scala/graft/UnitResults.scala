@@ -97,6 +97,14 @@ class UnitResultsReporter extends Reporter {
       case e: TestFailed =>
         totalFailed += 1
         outcomes((e.suiteName, e.testName)) = "fail"
+      // canceled (failed assume(), e.g. missing testdata) and ignored
+      // evidence tests must still count as OBSERVED — with a non-pass
+      // status — or a full green run would skip the rewrite and leave a
+      // stale artifact claiming "pass" for a test that no longer runs.
+      case e: TestCanceled =>
+        outcomes((e.suiteName, e.testName)) = "canceled"
+      case e: TestIgnored =>
+        outcomes((e.suiteName, e.testName)) = "ignored"
       case _: RunCompleted | _: RunStopped | _: RunAborted => writeIfComplete()
       case _ => ()
     }
