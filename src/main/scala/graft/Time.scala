@@ -14,6 +14,9 @@ object Time {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // same UTC pin as Bench/Verify/Smoke: a non-UTC box must time the
+      // SAME plans (row sets included) as the graded/benched entry points
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

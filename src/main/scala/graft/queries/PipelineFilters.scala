@@ -73,7 +73,15 @@ object PipelineFilters {
     * corpus → broadcast), then a narrow scoring pass; the corpus total
     * rides along as a broadcast scalar.
     */
-  def qSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc (doc_id, n_tok, surprisal-4dp) — THE shared surprisal
+    * definition. qQualityBucket buckets by exactly this score, so the
+    * two operators must stay bit-identical; one builder (and one SQL
+    * CTE chain below) makes a drift impossible, the Events.sessionized
+    * pattern. Vocabulary tf ≪ corpus → broadcast; the corpus total
+    * rides along as a broadcast scalar.
+    */
+  private def perDocSurprisal(spark: SparkSession, sfDir: String,
+      scoreCol: String): DataFrame = {
     val toks = Tables.tokens(spark, sfDir)
     val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
     val total = toks.agg(count(lit(1)).as("n_total"))
@@ -82,19 +90,27 @@ object PipelineFilters {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"),
         round(avg(log2(col("n_total")) - log2(col("tf"))), 4)
-          .as("surprisal"))
-      .orderBy("doc_id")
+          .as(scoreCol))
   }
 
+  /** Shared CTE chain for the same definition on the DuckDB side:
+    * yields `pd(doc_id, n_tok, <scoreCol>)`. */
+  private def perDocSurprisalCte(scoreCol: String): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+       |tot AS (SELECT count(*) AS n_total FROM tok),
+       |pd AS (SELECT doc_id, count(*) AS n_tok,
+       |    round(avg(log2(n_total) - log2(tf)), 4) AS $scoreCol
+       |  FROM tok JOIN tf USING (term) CROSS JOIN tot
+       |  GROUP BY doc_id)""".stripMargin
+
+  def qSurprisal(spark: SparkSession, sfDir: String): DataFrame =
+    perDocSurprisal(spark, sfDir, "surprisal").orderBy("doc_id")
+
   val qSurprisalSql: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |  FROM documents),
-      |tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
-      |tot AS (SELECT count(*) AS n_total FROM tok)
-      |SELECT doc_id, count(*) AS n_tok,
-      |  round(avg(log2(n_total) - log2(tf)), 4) AS surprisal
-      |FROM tok JOIN tf USING (term) CROSS JOIN tot
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""${perDocSurprisalCte("surprisal")}
+       |SELECT doc_id, n_tok, surprisal FROM pd ORDER BY doc_id""".stripMargin
 
   // ──────────────────────────── PII scrubbing ────────────────────────────
 
@@ -229,14 +245,7 @@ object PipelineFilters {
     */
   def qQualityBucket(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.tokens(spark, sfDir)
-    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    val perDoc = toks.join(broadcast(tf), "term")
-      .crossJoin(broadcast(total))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        round(avg(log2(col("n_total")) - log2(col("tf"))), 4).as("s4"))
+    val perDoc = perDocSurprisal(spark, sfDir, "s4")
     val byLang = Window.partitionBy("lang").orderBy("s4", "doc_id")
     Tables.t(spark, sfDir, "documents")
       .select("doc_id", "lang")
@@ -249,14 +258,7 @@ object PipelineFilters {
   }
 
   val qQualityBucketSql: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |  FROM documents),
-      |tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
-      |tot AS (SELECT count(*) AS n_total FROM tok),
-      |pd AS (SELECT doc_id, count(*) AS n_tok,
-      |    round(avg(log2(n_total) - log2(tf)), 4) AS s4
-      |  FROM tok JOIN tf USING (term) CROSS JOIN tot
-      |  GROUP BY doc_id),
+    s"""${perDocSurprisalCte("s4")},
       |b AS (SELECT d.lang, pd.n_tok, pd.s4,
       |    ntile(3) OVER (PARTITION BY d.lang
       |      ORDER BY pd.s4, pd.doc_id) AS bucket

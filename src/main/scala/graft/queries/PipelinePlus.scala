@@ -446,8 +446,13 @@ object PipelinePlus {
       }
       val lpMap = map(entries.toIndexedSeq: _*)
       struct(
+        // try_element_at, NOT element_at: under Spark 4's default ANSI
+        // mode a missing map key THROWS, so the smoothing-floor coalesce
+        // would be dead code and any gram absent from one language's
+        // profile (inevitable on a non-degenerate corpus) fails the
+        // whole query instead of scoring at the add-1 floor.
         -aggregate(col("grams"), lit(0.0),
-          (acc, g) => acc + coalesce(element_at(lpMap, g), lit(floor)))
+          (acc, g) => acc + coalesce(try_element_at(lpMap, g), lit(floor)))
           .as("negScore"),
         lit(l).as("l"))
     }
@@ -506,8 +511,11 @@ object PipelinePlus {
         val width = 1 + (h & 0x3ff).toInt
         val height = 1 + ((h >>> 32) & 0x3ff).toInt
         // comma-joined wire format: the driver hashes every output
-        // column and can't sort/hash raw array cells
-        (id, feats.map(f => f"$f%.6f").mkString(","), width, height)
+        // column and can't sort/hash raw array cells. Locale.ROOT, not
+        // the f-interpolator — a comma-decimal executor locale would
+        // change the hashed string (same hazard Bench.fmt guards).
+        (id, feats.map(f => String.format(java.util.Locale.ROOT,
+          "%.6f", Float.box(f))).mkString(","), width, height)
       })
       .toDF("doc_id", "features", "width", "height")
       .orderBy("doc_id")
@@ -539,8 +547,10 @@ object PipelinePlus {
             s.toFloat / (hi - lo)
           }
         }
-        // comma-joined wire format (driver comparator; see qMmDecode)
-        (id, n, pooled.map(p => f"$p%.4f").mkString(","))
+        // comma-joined wire format, Locale.ROOT (driver comparator and
+        // locale hazard: see qMmDecode)
+        (id, n, pooled.map(p => String.format(java.util.Locale.ROOT,
+          "%.4f", Float.box(p))).mkString(","))
       })
       .toDF("doc_id", "n_bytes", "pooled")
       .orderBy("doc_id")

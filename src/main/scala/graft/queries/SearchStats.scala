@@ -353,10 +353,11 @@ object SearchStats {
     * postings table.
     */
   def qIdxStopword(spark: SparkSession, sfDir: String): DataFrame = {
-    val pd = Tables.tokens(spark, sfDir)
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val dfp = pd.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    // docTerms (distinct (term, doc) pairs) suffices: the pruning stats
+    // are document-frequency-only, and the collection-frequency column a
+    // previous version also computed was never read by any output.
+    val dfp = Tables.docTerms(spark, sfDir)
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables.t(spark, sfDir, "documents")
       .agg(count(lit(1)).as("n_docs"))
     dfp.crossJoin(broadcast(n))

@@ -81,7 +81,13 @@ object Warehouse {
     intervals
       .withColumn("valid_to", lead("valid_from", 1).over(byGrp))
       .select("user_id", "state", "valid_from", "valid_to", "n_events")
-      .orderBy("user_id", "valid_from")
+      // state tie-break: two ADJACENT intervals of one user share
+      // valid_from when the state flips between two events at the same
+      // µs, and adjacent intervals always differ in state — so
+      // (user_id, valid_from, state) is total where (user_id,
+      // valid_from) alone would let the two engines order the tied
+      // rows differently (rule A: every oracle sort must be total).
+      .orderBy("user_id", "valid_from", "state")
   }
 
   val qScd2Sql: String =
@@ -101,7 +107,7 @@ object Warehouse {
       |SELECT user_id, state, valid_from,
       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
       |    AS valid_to, n_events
-      |FROM iv ORDER BY user_id, valid_from""".stripMargin
+      |FROM iv ORDER BY user_id, valid_from, state""".stripMargin
 
   /** Snapshot diff (CDC without a log): compare two table versions by
     * key and classify every row as added / removed / changed / same —
