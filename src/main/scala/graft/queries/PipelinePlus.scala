@@ -446,11 +446,12 @@ object PipelinePlus {
       }
       val lpMap = map(entries.toIndexedSeq: _*)
       struct(
-        // try_element_at, NOT element_at: under Spark 4's default ANSI
-        // mode a missing map key THROWS, so the smoothing-floor coalesce
-        // would be dead code and any gram absent from one language's
-        // profile (inevitable on a non-degenerate corpus) fails the
-        // whole query instead of scoring at the add-1 floor.
+        // try_element_at, not element_at: null-on-missing-key is the
+        // semantics the smoothing-floor coalesce DEPENDS on, and
+        // element_at's missing-key behavior has shifted across Spark
+        // versions/ANSI modes (docs say ANSI throws; 4.1.2 measures
+        // null). try_element_at pins it; EdgeCorpusSpec drives the
+        // unseen-gram path the driver corpus never produces.
         -aggregate(col("grams"), lit(0.0),
           (acc, g) => acc + coalesce(try_element_at(lpMap, g), lit(floor)))
           .as("negScore"),
