@@ -68,7 +68,12 @@ case class TopKRows(
     val s = score.eval(input)
     val a = key1.eval(input)
     val b = key2.eval(input)
-    if (s == null || a == null || b == null) buf
+    // NaN is skipped like null: `better` is false on every NaN compare,
+    // so a NaN that entered the heap at index > 0 could never be chosen
+    // as "worst" by insert's eviction scan — it would squat in a top-k
+    // slot forever, displacing real rows. No-score rows don't rank.
+    if (s == null || a == null || b == null ||
+      java.lang.Double.isNaN(s.asInstanceOf[Double])) buf
     else insert(buf, (s.asInstanceOf[Double],
       a.asInstanceOf[Long], b.asInstanceOf[Int]))
   }

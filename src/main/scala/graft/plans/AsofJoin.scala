@@ -158,6 +158,15 @@ object AsofOps {
       require(ok.contains(e.dataType),
         s"asof join key/time must be integral-comparable, got ${e.dataType}")
     }
+    // Cross-side type equality, same fail-fast rationale as the lineage
+    // guard below: an Int-vs-Long key pair hash-partitions equal values
+    // to DIFFERENT partitions (Murmur3 hashInt != hashLong), and a
+    // Date-vs-Timestamp time pair compares days against micros — both
+    // produce silently wrong (empty-match) output, not an error.
+    require(lk.dataType == rk.dataType,
+      s"asof join key types must match, got ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"asof join time types must match, got ${lt.dataType} vs ${rt.dataType}")
     val (la, ra) = (l.queryExecution.analyzed, r.queryExecution.analyzed)
     // Self-join lineage guard: AsofJoinPlan bypasses the Analyzer's
     // dedupRight, so shared exprIds across the two sides would make

@@ -83,12 +83,21 @@ object Search {
     * comparator hashes every output column and cannot sort/hash raw
     * array cells, so the wire format is scalar. The array-typed posting
     * list itself stays covered in SearchSpec. */
+  /** term → (comma-joined sorted postings, df) from a grouped `id_set`
+    * column — THE index wire format. One definition shared with the
+    * streaming index maintenance (Streams.sStreamIndex), whose asserted
+    * contract is byte-equality with this batch build: a separator/sort/
+    * cast tweak applied to one side only would silently fork the two. */
+  private[graft] def postingsProjection(grouped: DataFrame): DataFrame =
+    grouped.select(col("term"),
+      array_join(transform(col("id_set"), _.cast("string")), ",").as("ids"),
+      size(col("id_set")).cast("long").as("df"))
+
   def qInvertedIndex(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.docTerms(spark, sfDir)
-      .groupBy("term")
-      .agg(array_join(transform(sort_array(collect_set(col("doc_id"))),
-        _.cast("string")), ",").as("ids"),
-        count(lit(1)).as("df"))
+    postingsProjection(
+      Tables.docTerms(spark, sfDir)
+        .groupBy("term")
+        .agg(sort_array(collect_set(col("doc_id"))).as("id_set")))
       .orderBy("term")
 
   val qInvertedIndexSql: String =

@@ -24,11 +24,24 @@ object Streams {
 
   private val sentinelTs = Timestamp.valueOf("2030-01-01 00:00:00")
 
+  // The whole s_* family feeds from the same immutable sorted array;
+  // without memoization every operator (×3 bench runs each) re-pays the
+  // parquet scan + driver collect + sort. Same per-(session, sfDir)
+  // cache discipline as Tables.memo, synchronized for the same reason
+  // (concurrent first callers must not both collect).
+  private val evCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Ev]]
+
   private def eventRows(spark: SparkSession, sfDir: String): Array[Ev] = {
-    import spark.implicits._
-    Tables.events(spark, sfDir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[Ev].collect().sortBy(_.event_id)
+    val key = s"${spark.sparkContext.applicationId}:$sfDir"
+    evCache.synchronized {
+      evCache.getOrElseUpdate(key, {
+        import spark.implicits._
+        Tables.events(spark, sfDir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Ev].collect().sortBy(_.event_id)
+      })
+    }
   }
 
   private def newStream(spark: SparkSession): MemoryStream[Ev] =
@@ -154,15 +167,22 @@ object Streams {
       stream.addData(b2.toSeq)
       q.processAllAvailable()
     } finally q.stop()
-    // Update mode appends one row per (user, batch); keep the final
-    // state — the PAIR from the row with the highest n_events, not two
-    // independent maxes (value_sum can decrease if values are negative).
-    spark.table("s_stream_stateful")
+    finalStatePerUser(spark, "s_stream_stateful")
+    }
+
+  /** Update mode appends one row per (user, batch); keep the final
+    * state — the PAIR from the row with the highest n_events, not two
+    * independent maxes (value_sum can decrease if values are negative).
+    * ONE definition shared by the flatMapGroupsWithState and
+    * transformWithState operators, so the pair-recovery subtlety cannot
+    * drift between them.
+    */
+  private def finalStatePerUser(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"),
         round(expr("max_by(value_sum, n_events)"), 4).as("value_sum"))
       .orderBy("user_id")
-    }
 
   /** Stream-static join: the event stream enriched per micro-batch against
     * a static parquet dim (customer) — no state store, the static side is
@@ -193,8 +213,11 @@ object Streams {
     * watermarks, so each side's join state evicts once the other side's
     * watermark passes the interval bound — the state-bounded shape that
     * survives an unbounded stream (an un-watermarked stream-stream join
-    * buffers forever). Sentinels on BOTH streams flush the final pairs;
-    * distinct sentinel users keep them from joining each other.
+    * buffers forever). NOTE: for an INNER stream-stream join the
+    * watermark bounds STATE only — matches are emitted in the
+    * micro-batch where both rows are present, so no sentinel/flush
+    * batch is needed here. (An OUTER variant WOULD need a later batch
+    * to advance the watermark before unmatched rows emit null-padded.)
     */
   def sStreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame =
     withStreamPartitions(spark) {
@@ -219,12 +242,8 @@ object Streams {
       vs.addData(evs.filter(_.event_type == "view").toSeq)
       ps.addData(evs.filter(_.event_type == "purchase").toSeq)
       q.processAllAvailable()
-      vs.addData(Seq(Ev(-1L, sentinelTs, -1L, "view", 0.0)))
-      ps.addData(Seq(Ev(-2L, sentinelTs, -2L, "purchase", 0.0)))
-      q.processAllAvailable()
     } finally q.stop()
     spark.table("s_stream_stream_join")
-      .filter(col("v_user") >= 0)
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("user_id")
@@ -366,12 +385,7 @@ object Streams {
         stream.addData(b2.toSeq)
         q.processAllAvailable()
       } finally q.stop()
-      // one row per (user, batch) in update mode → keep the final state
-      spark.table("s_stream_tws")
-        .groupBy("user_id")
-        .agg(max("n_events").as("n_events"),
-          round(expr("max_by(value_sum, n_events)"), 4).as("value_sum"))
-        .orderBy("user_id")
+      finalStatePerUser(spark, "s_stream_tws")
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set(providerKey, p)
@@ -399,14 +413,11 @@ object Streams {
       .select("doc_id", "text").as[Doc].collect().sortBy(_.doc_id)
     val (b1, b2) = docs.splitAt(docs.length / 2)
     val stream = MemoryStream[Doc](Encoders.product[Doc], spark)
-    val q = stream.toDF()
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy("term")
-      .agg(sort_array(collect_set(col("doc_id"))).as("id_set"))
-      .select(col("term"),
-        array_join(transform(col("id_set"), _.cast("string")), ",")
-          .as("ids"),
-        size(col("id_set")).cast("long").as("df"))
+    val q = graft.queries.Search.postingsProjection(
+      stream.toDF()
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term")
+        .agg(sort_array(collect_set(col("doc_id"))).as("id_set")))
       .writeStream.format("memory").queryName("s_stream_index")
       .outputMode("complete").start()
     try {

@@ -14,7 +14,12 @@ object Custom {
     * the extension hierarchy — see graft.functions.Fnv1a64 for the
     * codegen'd Expression ceiling.) */
   def qUdfScalar(spark: SparkSession, sfDir: String): DataFrame = {
-    val vowels = udf((s: String) => s.count("aeiou".contains(_)).toLong)
+    // Option return: String is a reference type, so Spark hands a NULL
+    // text straight to the lambda — a bare s.count would NPE the task
+    // where the oracle's regexp arithmetic propagates NULL. None ↦ NULL
+    // keeps the UDF total and oracle-consistent.
+    val vowels =
+      udf((s: String) => Option(s).map(_.count("aeiou".contains(_)).toLong))
     Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"), vowels(col("text")).as("n_vowels"))
       .orderBy("doc_id")
