@@ -11,6 +11,13 @@ not total breaking ties differently, an unseeded sample — would make
 the gate flake even though a single run passes. This audit catches
 that class empirically.
 
+Also supported (and run in round 4): CROSS-PARALLELISM comparison —
+one Verify at the default 32 threads vs one at SPARK_GRAFT_CPUS=7.
+Different partitioning reorders ties and float partial-sum merges
+that same-config reruns cannot perturb, so a clean cross-parallelism
+pass is the stronger totality witness (226 stable / 0 diverged on
+round-4 HEAD at sf0.01).
+
 The query set is the UNION of both dirs: Verify skips a query that
 throws, so a one-sided absence is an intermittent crash — the worst
 flake class — and must FAIL, not fall out of the comparison. Columns
