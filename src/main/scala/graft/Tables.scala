@@ -89,6 +89,22 @@ object Tables {
   def md5Bucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Adjacent-token pairs of a token array — zip the array against its
+    * own 1-shifted tail; `combine` shapes each pair ("a b" string for
+    * the n-gram counters, a (w1, w2) struct for collocations). ONE
+    * definition for the three bigram-expansion queries (q_ngrams,
+    * q_ngram_lm, q_collocation), the md5Bucket/shingles3 precedent: a
+    * slice off-by-one edited into one copy cannot silently miss the
+    * others. Built inside a single projection — no self-join, and no
+    * per-element re-split (the element_at(split(...)) trap). */
+  def bigramsArr(arr: org.apache.spark.sql.Column)(
+      combine: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(
+      slice(arr, lit(1), size(arr) - 1),
+      slice(arr, lit(2), size(arr) - 1),
+      combine)
+
   def shingles3Arr(arr: org.apache.spark.sql.Column,
       text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(size(arr) >= 3,

@@ -143,13 +143,10 @@ object Pipeline {
     * (sequence+transform) — no self-join, no extra shuffle. */
   def qNgrams(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "documents")
-      // Materialize the token array ONCE per row, then pair adjacent
-      // tokens via zip_with over two slices — element_at(split(...), i)
-      // inside a lambda re-splits the text per element (O(tokens²)/doc).
+      // Materialize the token array ONCE per row; the pairing itself is
+      // the shared Tables.bigramsArr expansion.
       .select(split(col("text"), " ").as("arr"))
-      .select(explode(zip_with(
-        slice(col("arr"), lit(1), size(col("arr")) - 1),
-        slice(col("arr"), lit(2), size(col("arr")) - 1),
+      .select(explode(Tables.bigramsArr(col("arr"))(
         (a, b) => concat(a, lit(" "), b))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))

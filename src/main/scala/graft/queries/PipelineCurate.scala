@@ -172,9 +172,8 @@ object PipelineCurate {
     val byPrefix = Window.partitionBy("w1")
     Tables.t(spark, sfDir, "documents")
       .withColumn("arr", split(col("text"), " "))
-      .select(explode(expr(
-        "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1)," +
-          " (a, b) -> concat(a, ' ', b))")).as("bigram"))
+      .select(explode(Tables.bigramsArr(col("arr"))(
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("n_prefix", sum("n").over(byPrefix))

@@ -396,7 +396,13 @@ object RelationalExtra {
       .join(broadcast(cb.select(col("brand").as("b2"), col("c").as("c2"))), "b2")
       .crossJoin(broadcast(n))
       .select(col("b1"), col("b2"), col("c12"), col("c1"), col("c2"),
-        expr("(c12 * n_orders * 1000000) div (c1 * c2)").as("lift_ppm"))
+        // decimal(38) numerator: c12 grows with the order count, so
+        // c12 · n_orders · 10⁶ blows through BIGINT around TPC-H sf15
+        // (ANSI: ArithmeticException; non-ANSI: silent negative lifts).
+        // Exact decimal widening keeps the same integral value; the
+        // oracle widens identically via HUGEINT.
+        expr("(cast(c12 as decimal(38,0)) * n_orders * 1000000)" +
+          " div (cast(c1 as decimal(38,0)) * c2)").as("lift_ppm"))
       .orderBy(desc("lift_ppm"), asc("b1"), asc("b2"))
       .limit(20)
   }
@@ -418,11 +424,21 @@ object RelationalExtra {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("event_type"), col("value"),
         expr("unix_micros(ts)").as("tus"))
+      // Bound the window INPUT, not just the output: after the
+      // purchase filter the partition key is a constant, so the window
+      // would otherwise funnel the whole purchase stream through ONE
+      // sort task (the q_shard_pack scale-killer this file's qRfm note
+      // warns about). The frame only looks backwards and the output is
+      // the first 5000 rows of the SAME total order, so rows past 5000
+      // cannot affect any emitted value — TakeOrdered (per-partition
+      // heap + merge) prunes them distributively, and the single-
+      // partition window then runs over ≤5000 rows at any corpus size.
+      .orderBy("tus", "event_id")
+      .limit(5000)
       .withColumn("roll_med",
         round(expr("percentile(value, 0.5D)").over(w), 4))
       .select("event_id", "event_type", "roll_med")
       .orderBy("tus", "event_id")
-      .limit(5000)
   }
 
   val qWinPercentileSql: String =
@@ -444,7 +460,8 @@ object RelationalExtra {
       |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
       |  GROUP BY 1, 2)
       |SELECT b1, b2, c12, c1.c AS c1, c2.c AS c2,
-      |  (c12 * n.n_orders * 1000000) // (c1.c * c2.c) AS lift_ppm
+      |  CAST((CAST(c12 AS HUGEINT) * n.n_orders * 1000000)
+      |    // (CAST(c1.c AS HUGEINT) * c2.c) AS BIGINT) AS lift_ppm
       |FROM pairs JOIN cb c1 ON b1 = c1.brand
       |JOIN cb c2 ON b2 = c2.brand CROSS JOIN n
       |ORDER BY lift_ppm DESC, b1, b2 LIMIT 20""".stripMargin

@@ -72,9 +72,8 @@ object SearchStats {
   def qCollocation(spark: SparkSession, sfDir: String): DataFrame = {
     val bg = Tables.t(spark, sfDir, "documents")
       .withColumn("arr", split(col("text"), " "))
-      .select(explode(expr(
-        """zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1),
-          |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)).as("p"))
+      .select(explode(Tables.bigramsArr(col("arr"))(
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1t = cnt.groupBy("w1").agg(sum("c12").as("c1"))
@@ -285,7 +284,14 @@ object SearchStats {
     Tables.tokens(spark, sfDir).select("term").distinct()
       .withColumn("prev", lag("term", 1).over(Window.orderBy("term")))
       .withColumn("lcp", expr(
+        // the explicit < 1 branch pins the empty-term edge: Spark's
+        // sequence(1, 0) is the DESCENDING [1, 0] (i=0 then "matches"
+        // via zero-length substrings → lcp 1) where DuckDB's
+        // generate_series(1, 0) is empty (lcp 0). The corpus contract
+        // says no empty tokens, but the guard makes the divergence
+        // impossible rather than merely unexercised.
         """CASE WHEN prev IS NULL THEN 0
+          |WHEN least(length(term), length(prev)) < 1 THEN 0
           |ELSE size(filter(
           |  sequence(1, int(least(length(term), length(prev)))),
           |  i -> substring(term, 1, i) = substring(prev, 1, i))) END"""
