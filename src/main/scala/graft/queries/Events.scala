@@ -75,15 +75,24 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
-  val qEvtSessionSql: String =
-    """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP))
+  /** Oracle-side sessionization chain (e → flagged → sess) — the SQL
+    * twin of [[sessionized]], gap interpolated from [[SessionGapUs]].
+    * ONE definition for both session oracles (q_evt_session,
+    * q_join_interval), so the gap constant or tie-break edited on the
+    * Scala side cannot silently diverge from either SQL copy. */
+  private val sessCte: String =
+    s"""e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP))
       |    AS ts_us, CAST(ts AS TIMESTAMP) AS tss FROM events),
       |flagged AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w
-      |    > 1800000000 OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS gap
+      |    > $SessionGapUs OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END
+      |    AS gap
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |sess AS (SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id
       |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-      |    CURRENT ROW) AS BIGINT) AS session_id FROM flagged)
+      |    CURRENT ROW) AS BIGINT) AS session_id FROM flagged)""".stripMargin
+
+  val qEvtSessionSql: String =
+    s"""WITH $sessCte
       |SELECT user_id, session_id, count(*) AS n_events,
       |  (max(ts_us) - min(ts_us)) // 1000000 AS dur_sec,
       |  min(tss) AS start_ts
@@ -245,14 +254,7 @@ object Events {
   }
 
   val qJoinIntervalSql: String =
-    """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP))
-      |    AS ts_us FROM events),
-      |flagged AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w
-      |    > 1800000000 OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS gap
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-      |sess AS (SELECT *, CAST(sum(gap) OVER (PARTITION BY user_id
-      |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-      |    CURRENT ROW) AS BIGINT) AS session_id FROM flagged),
+    s"""WITH $sessCte,
       |iv AS (SELECT user_id AS s_user, session_id,
       |    min(ts_us) AS lo, max(ts_us) AS hi
       |  FROM sess GROUP BY user_id, session_id)

@@ -116,6 +116,26 @@ object PipelineGraph {
       .orderBy("doc_id")
   }
 
+  /** Oracle-side verified-edge chain: [[PipelinePlus.lshCandCte]] (THE
+    * candidate CTEs, K interpolated there) + the signature-agreement
+    * verify at [[EdgeThreshold]]. ONE definition for the three graph
+    * oracles, interpolating the SAME constants the Spark side filters
+    * on — retuning K or the threshold cannot fork engine from oracle. */
+  private val estCte: String =
+    s"""${PipelinePlus.lshCandCte},
+      |est AS (SELECT d1, d2
+      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
+      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
+      |  GROUP BY d1, d2
+      |  HAVING avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END)
+      |    >= $EdgeThreshold)""".stripMargin
+
+  /** estCte + the symmetric (a, b) edge list. */
+  private val edgesCte: String =
+    s"""$estCte,
+      |edges AS (SELECT d1 AS a, d2 AS b FROM est
+      |  UNION ALL SELECT d2, d1 FROM est)""".stripMargin
+
   /** Same three unrolled rounds in SQL: shared edge/degree CTEs, then
     * r1/r2/r3 each re-derive contributions from the previous round. */
   val qGraphPagerankSql: String = {
@@ -129,23 +149,7 @@ object PipelineGraph {
         |  LEFT JOIN deg dg ON dg.doc_id = e.a
         |  GROUP BY n.doc_id)""".stripMargin
     s"""WITH
-      |dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
-      |    AS term FROM documents WHERE doc_id % 10 = 0),
-      |sig AS (SELECT doc_id, k, min(md5(term || ':' || k)) AS mh
-      |  FROM dt, generate_series(0, 7) t(k) GROUP BY doc_id, k),
-      |bands AS (SELECT doc_id, k // 2 AS band,
-      |    string_agg(mh, '|' ORDER BY k) AS bsig
-      |  FROM sig GROUP BY doc_id, band),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-      |    AND a.doc_id < b.doc_id),
-      |est AS (SELECT d1, d2
-      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
-      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
-      |  GROUP BY d1, d2
-      |  HAVING avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END) >= 0.875),
-      |edges AS (SELECT d1 AS a, d2 AS b FROM est
-      |  UNION ALL SELECT d2, d1 FROM est),
+      |$edgesCte,
       |deg AS (SELECT a AS doc_id, count(*) AS deg FROM edges GROUP BY a),
       |nodes AS (SELECT DISTINCT doc_id FROM dt),
       |r0 AS (SELECT doc_id, 1.0 / (SELECT count(*) FROM nodes) AS pr
@@ -161,24 +165,8 @@ object PipelineGraph {
     * start node that reaches a doc over symmetric edges IS the component
     * minimum the propagation loop converges to. */
   val qDedupClusterSql: String =
-    """WITH RECURSIVE
-      |dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
-      |    AS term FROM documents WHERE doc_id % 10 = 0),
-      |sig AS (SELECT doc_id, k, min(md5(term || ':' || k)) AS mh
-      |  FROM dt, generate_series(0, 7) t(k) GROUP BY doc_id, k),
-      |bands AS (SELECT doc_id, k // 2 AS band,
-      |    string_agg(mh, '|' ORDER BY k) AS bsig
-      |  FROM sig GROUP BY doc_id, band),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-      |    AND a.doc_id < b.doc_id),
-      |est AS (SELECT d1, d2
-      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
-      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
-      |  GROUP BY d1, d2
-      |  HAVING avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END) >= 0.875),
-      |edges AS (SELECT d1 AS a, d2 AS b FROM est
-      |  UNION ALL SELECT d2, d1 FROM est),
+    s"""WITH RECURSIVE
+      |$edgesCte,
       |nodes AS (SELECT DISTINCT doc_id FROM dt),
       |reach(src, node) AS (
       |  SELECT doc_id, doc_id FROM nodes
@@ -218,22 +206,8 @@ object PipelineGraph {
   }
 
   val qTriangleCountSql: String =
-    """WITH
-      |dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
-      |    AS term FROM documents WHERE doc_id % 10 = 0),
-      |sig AS (SELECT doc_id, k, min(md5(term || ':' || k)) AS mh
-      |  FROM dt, generate_series(0, 7) t(k) GROUP BY doc_id, k),
-      |bands AS (SELECT doc_id, k // 2 AS band,
-      |    string_agg(mh, '|' ORDER BY k) AS bsig
-      |  FROM sig GROUP BY doc_id, band),
-      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-      |    AND a.doc_id < b.doc_id),
-      |est AS (SELECT d1, d2
-      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
-      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
-      |  GROUP BY d1, d2
-      |  HAVING avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END) >= 0.875),
+    s"""WITH
+      |$estCte,
       |tri AS (SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
       |  FROM est e1 JOIN est e2 ON e1.d2 = e2.d1
       |  WHERE EXISTS (SELECT 1 FROM est e3

@@ -243,11 +243,16 @@ object PipelinePlus {
       .limit(20)
   }
 
+  // CAST the embedding INPUTS to DOUBLE[], not just the result: the
+  // Spark side computes fully in double (§2 rule C), and float-computed
+  // cosines measurably cross the round(4) grid on this very table (12
+  // sampled pairs at sf0.1) — today those pairs rank outside the top-20
+  // cut, so a result-only cast passes by luck.
   val qDedupEmbedSql: String =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings
-      |  WHERE vec_id % 5 = 0)
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE vec_id % 5 = 0)
       |SELECT a.vec_id AS v1, b.vec_id AS v2,
-      |  round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+      |  round(CAST(list_cosine_similarity(a.emb, b.emb)
       |    AS DOUBLE), 4) AS cos
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin
@@ -312,8 +317,8 @@ object PipelinePlus {
       |q AS (SELECT clabel AS qcell, embedding AS qv FROM assigned
       |  WHERE vec_id = 0)
       |SELECT vec_id, label,
-      |  round(CAST(list_cosine_similarity(a.embedding, q.qv) AS DOUBLE), 4)
-      |    AS cos
+      |  round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(q.qv AS DOUBLE[])) AS DOUBLE), 4) AS cos
       |FROM assigned a JOIN q ON a.clabel = q.qcell
       |WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
@@ -348,18 +353,24 @@ object PipelinePlus {
       .orderBy("doc_id")
   }
 
+  // the IN-list interpolates THE Stopwords constant the Spark side
+  // filters on (twice — stop_ratio and quality), so editing the list
+  // cannot fork the two engines or the two SQL occurrences
+  private val stopwordsInList: String =
+    Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
   val qTextQualitySql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  len(arr)::BIGINT AS n_tok,
       |  len(list_distinct(arr))::BIGINT AS n_unique,
       |  round(len(list_distinct(arr)) / CAST(len(arr) AS DOUBLE), 4) AS ttr,
       |  round((length(text) - len(arr) + 1) / CAST(len(arr) AS DOUBLE), 4)
       |    AS avg_tok_len,
-      |  round(len(list_filter(arr, x -> x IN ('query','window','scan')))
+      |  round(len(list_filter(arr, x -> x IN $stopwordsInList))
       |    / CAST(len(arr) AS DOUBLE), 4) AS stop_ratio,
       |  round(0.5 * (len(list_distinct(arr)) / CAST(len(arr) AS DOUBLE))
       |    + 0.5 * (1.0 - len(list_filter(arr,
-      |        x -> x IN ('query','window','scan')))
+      |        x -> x IN $stopwordsInList))
       |      / CAST(len(arr) AS DOUBLE)), 4) AS quality
       |FROM (SELECT doc_id, text, string_split(text, ' ') AS arr
       |  FROM documents) ORDER BY doc_id""".stripMargin

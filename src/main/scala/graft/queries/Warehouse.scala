@@ -81,13 +81,16 @@ object Warehouse {
     intervals
       .withColumn("valid_to", lead("valid_from", 1).over(byGrp))
       .select("user_id", "state", "valid_from", "valid_to", "n_events")
-      // state tie-break: two ADJACENT intervals of one user share
-      // valid_from when the state flips between two events at the same
-      // µs, and adjacent intervals always differ in state — so
-      // (user_id, valid_from, state) is total where (user_id,
-      // valid_from) alone would let the two engines order the tied
-      // rows differently (rule A: every oracle sort must be total).
-      .orderBy("user_id", "valid_from", "state")
+      // Sort on EVERY output column: same-µs state flips make
+      // (user_id, valid_from) tie, and three alternating flips at one
+      // µs even tie (user_id, valid_from, state) across NON-adjacent
+      // intervals — but rows tying on all five columns are identical
+      // rows, so the full-column key is effectively total (rule A).
+      // valid_to is NULL for each user's open interval: pin NULLS LAST
+      // explicitly on both engines (Spark's asc default is nulls FIRST,
+      // DuckDB's is nulls last — an unpinned tie would diverge).
+      .orderBy(col("user_id"), col("valid_from"), col("state"),
+        col("valid_to").asc_nulls_last, col("n_events"))
   }
 
   val qScd2Sql: String =
@@ -107,14 +110,16 @@ object Warehouse {
       |SELECT user_id, state, valid_from,
       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
       |    AS valid_to, n_events
-      |FROM iv ORDER BY user_id, valid_from, state""".stripMargin
+      |FROM iv ORDER BY user_id, valid_from, state,
+      |  valid_to ASC NULLS LAST, n_events""".stripMargin
 
   /** Snapshot diff (CDC without a log): compare two table versions by
     * key and classify every row as added / removed / changed / same —
     * one full-outer join on the key, the shape incremental pipelines
     * use to derive a changefeed from periodic snapshots. The "new"
     * snapshot is derived deterministically (drop keys ≡0 mod 7, bump
-    * price on keys ≡1 mod 5, add shifted keys).
+    * price on keys ≡1 mod 5, add negated keys — collision-free with the
+    * non-negative real key space at any SF).
     */
   def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     // money as integer cents — see qUpsertLatest's scaladoc: the
@@ -131,7 +136,12 @@ object Warehouse {
           .otherwise(col("cents")).as("c_new"))
       .unionByName(base
         .filter(col("o_orderkey") % 11 === 0)
-        .select((col("o_orderkey") + 1000000).as("k"),
+        // synthesized "added" keys are NEGATIVE: real orderkeys are a
+        // dense non-negative space, so -(k+1) can never collide at any
+        // SF — a fixed +1e6 shift collides with real keys once the
+        // table passes 1e6 rows (~TPC-H sf0.7) and silently turns
+        // 'added' rows into fanned-out 'changed' ones
+        .select((-col("o_orderkey") - 1).as("k"),
           col("cents").as("c_new")))
     old.join(nw, Seq("k"), "full_outer")
       .withColumn("change",
@@ -156,7 +166,7 @@ object Warehouse {
       |      ELSE cents END AS c_new
       |  FROM src WHERE o_orderkey % 7 <> 0
       |  UNION ALL
-      |  SELECT o_orderkey + 1000000, cents FROM src
+      |  SELECT -o_orderkey - 1, cents FROM src
       |  WHERE o_orderkey % 11 = 0),
       |d AS (SELECT CASE WHEN c_old IS NULL THEN 'added'
       |      WHEN c_new IS NULL THEN 'removed'

@@ -79,9 +79,24 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** The bucketed join itself, exposed so the spec can assert its plan is
-    * Exchange-free below the join. */
-  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    * Exchange-free below the join. Memoized per (session, sfDir) under
+    * the Tables.memo lock: the build drops/creates FIXED catalog table
+    * names, so un-memoized concurrent callers (suites share the forked
+    * test JVM) could interleave one caller's DROP with the other's
+    * saveAsTable — and repeated callers would re-pay both bucketed
+    * writes per invocation.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.memo(bucketedCache,
+      s"${spark.sparkContext.applicationId}:$sfDir") {
+      bucketedJoinUncached(spark, sfDir)
+    }
+
+  private def bucketedJoinUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tmpDir("graft_bucket_")
     Seq("graft_li_b", "graft_od_b").foreach { tbl =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
