@@ -12,21 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** The generator emits parquet timestamps annotated
+    * `isAdjustedToUTC=false`, which Spark 4 surfaces as TIMESTAMP_NTZ by
+    * default. Everything downstream (range frames on `unix_micros`, ts
+    * literals cast with `cast("timestamp")`, the DuckDB oracle's naive
+    * TIMESTAMP under a UTC session) is written against TimestampType, so
+    * pin the reader to the classic mapping. Session TZ is UTC in every
+    * entrypoint, making the two readings value-identical.
+    */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS,false), which Spark 4.x refuses
-    * to read natively (SURVEY.md §1.3). Read it as a long (ns since epoch)
-    * via the legacy conf and convert with INTEGER division — double division
-    * can round the last microsecond. DuckDB reads the same column as
-    * TIMESTAMP_NS; oracle SQL must CAST(ts AS TIMESTAMP) (ns→µs truncation,
-    * identical semantics).
+  /** `events.ts` has shipped as both TIMESTAMP(NANOS,false) — which Spark
+    * 4.x refuses to read natively (SURVEY.md §1.3) and the legacy conf
+    * surfaces as a long of epoch-nanos — and plain TIMESTAMP(MICROS).
+    * Normalize either encoding to a µs TimestampType column. The ns→µs
+    * conversion uses INTEGER division: double division can round the last
+    * microsecond. DuckDB reads the same column as a naive TIMESTAMP either
+    * way; oracle SQL keeps CAST(ts AS TIMESTAMP) (a no-op on µs data).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Atomic memoize-for-persist. `concurrent.Map.getOrElseUpdate` may
