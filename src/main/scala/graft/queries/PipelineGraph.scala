@@ -50,17 +50,24 @@ object PipelineGraph {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     while (!converged) {
-      // pull the minimum neighbor label, keep the smaller of (own, pulled)
-      val pulled = sym
-        .join(labels, sym("d2") === labels("doc_id"))
-        .groupBy(sym("d1").as("nid"))
-        .agg(min("cluster").as("nbr_min"))
-      val next = labels
-        .join(pulled, labels("doc_id") === pulled("nid"), "left")
-        .select(labels("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
+      // Two pull steps per materialized round: each step pulls the
+      // minimum neighbor label and keeps the smaller of (own, pulled).
+      // Labels reach their component minimum at the same fixpoint either
+      // way (min-propagation is monotone), but pairing the hops halves
+      // the checkpoint + convergence-scan round-trips — the loop's cost
+      // is per-round job latency, not data volume, at every scale.
+      val twoHop = (1 to 2).foldLeft(labels) { (cur, _) =>
+        val pulled = sym
+          .join(cur, sym("d2") === cur("doc_id"))
+          .groupBy(sym("d1").as("nid"))
+          .agg(min("cluster").as("nbr_min"))
+        cur
+          .join(pulled, cur("doc_id") === pulled("nid"), "left")
+          .select(cur("doc_id"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+              .as("cluster"))
+      }
+      val next = twoHop.localCheckpoint()
       // decimal sum: overflow-proof at any corpus size
       val s = next.agg(sum(col("cluster").cast("decimal(38,0)")))
         .head().getDecimal(0)
