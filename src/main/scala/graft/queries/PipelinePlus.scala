@@ -31,12 +31,25 @@ object PipelinePlus {
     * docs sharing any band bucket become candidate pairs; the signature
     * match fraction estimates token-set Jaccard. Top-20 pairs by estimate.
     */
-  /** (doc_id, k, mh) minhash signatures of the shared sample. */
+  /** (doc_id, sig: array of K minhashes) — ONE groupBy carrying K
+    * min-aggregates, instead of crossJoin(range(K)) + groupBy(doc, k):
+    * the crossJoin formulation replicates the term stream K× before the
+    * shuffle, which at corpus scale is K× the shuffle bytes for the same
+    * information. Each hash is the 60-bit md5 prefix as a BIGINT
+    * ([[Tables.md5Bucket]]): md5 hex is fixed-length lowercase, so
+    * numeric order of the prefix equals lexicographic order of the
+    * digest and `min(prefix) = prefix(min)` — signatures, band buckets,
+    * and match indicators are bit-identical to the per-row full-string
+    * formulation in BOTH engines, while the min-aggregates run as
+    * codegen'd HashAggregate over longs (a string min forces
+    * SortAggregate with a full sort per side).
+    */
   private[queries] def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
     sampleTerms(spark, sfDir)
-      .crossJoin(spark.range(K).select(col("id").as("k")))
-      .groupBy("doc_id", "k")
-      .agg(min(md5(concat(col("term"), lit(":"), col("k")))).as("mh"))
+      .groupBy("doc_id")
+      .agg(array((0 until K).map { k =>
+        min(Tables.md5Bucket(concat(col("term"), lit(":"), lit(k.toLong))))
+      }: _*).as("sig"))
 
   // The candidate-pair stream feeds FIVE operators (minhash ranking,
   // duplicate clustering, edit-distance verify, pagerank, triangle
@@ -54,26 +67,36 @@ object PipelinePlus {
   }
 
   private def minhashPairsUncached(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = minhashSig(spark, sfDir)
-    // band signature = ordered concat of the band's minhashes
-    val bands = sig
-      .withColumn("band", expr("k div 2"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("k"), col("mh")))),
-        x => x.getField("mh")), "|").as("bsig"))
+    // The signature table feeds THREE plan positions (both sides of the
+    // band self-join and the pair re-join), and Catalyst does not reuse
+    // the exchange across the aliased copies — without materialization
+    // the scan→distinct→min-agg pipeline runs once per copy. Checkpoint
+    // eagerly: sig is one row per sampled doc at ANY corpus size, so the
+    // one-time materialization is the cheap side of the trade everywhere.
+    val sig = minhashSig(spark, sfDir).localCheckpoint()
+    // band signature = ordered concat of the band's minhashes, unpacked
+    // from the signature array IN-ROW (no per-k shuffle)
+    val bands = sig.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, ${K / 2 - 1}), b -> named_struct(
+         |  'band', b,
+         |  'bsig', concat(cast(sig[2*b] as string), '|',
+         |                 cast(sig[2*b+1] as string))))""".stripMargin))
+      .as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bsig").as("bsig"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    // match fraction in-row over the two signature arrays: multiples of
+    // 1/K, exact in binary, identical to the per-k row avg formulation
     cand
-      .join(sig.toDF("d1", "k", "mh1"), Seq("d1"))
-      .join(sig.toDF("d2", "k", "mh2"), Seq("d2", "k"))
-      .groupBy("d1", "d2")
-      .agg(avg(when(col("mh1") === col("mh2"), 1.0).otherwise(0.0))
-        .as("est_jaccard"))
+      .join(sig.toDF("d1", "s1"), Seq("d1"))
+      .join(sig.toDF("d2", "s2"), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (size(filter(zip_with(col("s1"), col("s2"), (x, y) => x === y),
+          b => b)).cast("double") / K).as("est_jaccard"))
   }
 
   def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
@@ -114,7 +137,8 @@ object PipelinePlus {
   private[queries] val lshCandCte: String =
     s"""dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
       |    AS term FROM documents WHERE doc_id % 10 = 0),
-      |sig AS (SELECT doc_id, k, min(md5(term || ':' || k)) AS mh
+      |sig AS (SELECT doc_id, k,
+      |    min(('0x' || substr(md5(term || ':' || k), 1, 15))::BIGINT) AS mh
       |  FROM dt, generate_series(0, ${K - 1}) t(k) GROUP BY doc_id, k),
       |bands AS (SELECT doc_id, k // 2 AS band,
       |    string_agg(mh, '|' ORDER BY k) AS bsig
