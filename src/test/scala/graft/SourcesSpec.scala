@@ -57,6 +57,28 @@ class SourcesSpec extends SparkSpecBase {
     assert(rt.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("Tables.events normalizes both ts encodings to the same timestamps") {
+    // The driver has shipped events.ts as TIMESTAMP(NANOS) (read as
+    // epoch-ns longs via the legacy conf) and as TIMESTAMP(MICROS); the
+    // round-5 regeneration switched encodings mid-build and broke 90
+    // tests. Pin the adapter: a synthetic events dir whose ts is an
+    // epoch-ns LONG must decode to exactly the timestamps the real
+    // (µs-encoded) table yields, keeping the legacy branch from rotting
+    // while it is dead code on the current files.
+    val real = Tables.events(spark, sf)
+    assert(real.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val dir = TmpDirs.create("graft_events_nslong_")
+    real.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val viaLong = Tables.events(spark, dir)
+    assert(viaLong.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val a = real.select("event_id", "ts").orderBy("event_id").collect().toSeq
+    val b = viaLong.select("event_id", "ts").orderBy("event_id").collect().toSeq
+    assert(a == b, "ns-long decode diverged from native µs decode")
+  }
+
   test("bucketed join is Exchange-free and matches the plain join") {
     val joined = sources.Sources.bucketedJoin(spark, sf)
     val physical = joined.queryExecution.executedPlan.toString
