@@ -66,7 +66,7 @@ object PipelinePlus {
     Tables.memo(pairsCache, key)(minhashPairsUncached(spark, sfDir).persist())
   }
 
-  private def minhashPairsUncached(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def minhashPairsUncached(spark: SparkSession, sfDir: String): DataFrame = {
     // The signature table feeds THREE plan positions (both sides of the
     // band self-join and the pair re-join), and Catalyst does not reuse
     // the exchange across the aliased copies — without materialization
