@@ -65,6 +65,22 @@ class PlanAuditSpec extends SparkSpecBase {
       s"no map-side partial aggregation:\n$p")
   }
 
+  test("minhash signatures build in one pass: no K-way replication, hash agg") {
+    // The signature build must stay ONE groupBy carrying K min-aggregates
+    // over longs: a crossJoin(range(K)) replicates the term stream K×
+    // before the shuffle, and a string-typed min falls back to
+    // SortAggregate with a full sort per side — both are the shapes that
+    // bleed at corpus scale. Audit the uncached build (the memoized
+    // stream may already be cache-wrapped by earlier suites).
+    val p = queries.PipelinePlus.minhashPairsUncached(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"signature build replicates the term stream:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"min-agg fell back to sorted aggregation:\n$p")
+  }
+
   test("q_dedup_simhash candidates come from a banded equi-join, not O(n²)") {
     val p = plan("q_dedup_simhash")
     // the PAIRING join must be an equi-join keyed on (band, bv) — the
