@@ -21,6 +21,7 @@ object Probe {
     }
     if (args.length == 2) {
       val df = SparkEntry.queries(args(1))(spark, args(0))
+      df.count() // let AQE finalize before printing the executed plan
       println(df.queryExecution.executedPlan.toString
         .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange")
           || l.contains("Aggregate") || l.contains("Scan parquet") || l.contains("Sort"))
