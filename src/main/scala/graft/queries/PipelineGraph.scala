@@ -31,22 +31,22 @@ object PipelineGraph {
     * components (cluster = min doc_id reachable) decide keeps. One row per
     * sampled doc: its cluster id, the cluster size, and the keep flag.
     */
-  def qDedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = PipelinePlus.minhashPairs(spark, sfDir)
-      .filter(col("est_jaccard") >= EdgeThreshold)
-      .select(col("d1"), col("d2"))
+  /** Connected components by min-label propagation, reusable over any
+    * (nodes, directed edges) pair — `edges` need not be symmetric; the
+    * symmetric closure is taken here. Returns one (doc_id, cluster) row
+    * per node, cluster = min node id reachable. Labels only ever DECREASE
+    * under min-propagation, so the label sum is a convergence witness:
+    * one scalar aggregate per round instead of a self-join diff.
+    */
+  private[graft] def connectedComponents(
+      nodes: DataFrame, edges: DataFrame): DataFrame = {
     // symmetric closure so one propagation direction suffices
     val sym = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint()
-    val nodes = PipelinePlus.sampleTerms(spark, sfDir)
-      .select("doc_id").distinct()
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint()
-    // labels only ever DECREASE under min-propagation, so the label sum
-    // is a convergence witness: one scalar aggregate per round instead
-    // of a self-join diff
     var prevSum: java.math.BigDecimal = null
     var converged = false
     while (!converged) {
@@ -75,6 +75,16 @@ object PipelineGraph {
       converged = s == prevSum || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
     }
+    labels
+  }
+
+  def qDedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = PipelinePlus.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= EdgeThreshold)
+      .select(col("d1"), col("d2"))
+    val nodes = PipelinePlus.sampleTerms(spark, sfDir)
+      .select("doc_id").distinct()
+    val labels = connectedComponents(nodes, edges)
     val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
     labels
       .join(sizes, "cluster")

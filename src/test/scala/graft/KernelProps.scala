@@ -155,4 +155,21 @@ object KernelProps extends Properties("graft.kernels") {
       evalRows(agg)(agg.deserialize(agg.serialize(buf))) ==
         evalRows(agg)(buf)
     }
+
+  // The identity the one-pass minhash build rests on (PipelinePlus
+  // .minhashSig): md5 hex is fixed-length lowercase, so the numeric
+  // 60-bit prefix orders exactly like the full digest string, and
+  // min-then-truncate equals truncate-then-min over any input set.
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucket60(hex: String): Long =
+    java.lang.Long.parseLong(hex.take(15), 16)
+
+  property("min over md5 strings == min over 60-bit prefix buckets") =
+    Prop.forAll(Gen.nonEmptyListOf(tokeny)) { ss =>
+      val hexes = ss.map(md5hex)
+      bucket60(hexes.min) == hexes.map(bucket60).min
+    }
 }

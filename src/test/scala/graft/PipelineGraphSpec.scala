@@ -28,6 +28,25 @@ class PipelineGraphSpec extends SparkSpecBase {
       .count() == 0)
   }
 
+  test("label propagation converges on a deep chain (diameter >> one round)") {
+    // The real near-dup graph only exercises shallow components; pin the
+    // loop's convergence on the adversarial shape — a 12-node chain whose
+    // diameter forces many two-hop rounds — plus an isolated node and a
+    // separate triangle, all labeled with their component minimum.
+    val s = spark
+    import s.implicits._
+    val chain = (1L to 11L).map(i => (i, i + 1)).toList
+    val tri = List((20L, 21L), (21L, 22L), (20L, 22L))
+    val edges = (chain ++ tri).toDF("d1", "d2")
+    val nodes = ((1L to 12L).toList ++ List(15L) ++ (20L to 22L).toList)
+      .toDF("doc_id")
+    val got = queries.PipelineGraph.connectedComponents(nodes, edges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = ((1L to 12L).map(_ -> 1L) ++ Seq(15L -> 15L) ++
+      (20L to 22L).map(_ -> 20L)).toArray
+    assert(got.sameElements(want))
+  }
+
   test("every verified near-dup edge lands inside one cluster") {
     val edges = queries.PipelinePlus.minhashPairs(spark, sf)
       .filter(col("est_jaccard") >= 0.875)
