@@ -14,6 +14,22 @@ object TmpDirs {
     dir.toString
   }
 
+  /** Like [[create]] but on the tmpfs mount when one is available:
+    * streaming checkpoint/commit logs and state-store delta files are
+    * fsynced per micro-batch per partition, and on a disk-backed
+    * java.io.tmpdir that metadata I/O dominates small-batch streaming
+    * pipelines. Falls back to [[create]] where /dev/shm is absent. A
+    * production job points its checkpoints at durable shared storage —
+    * this is harness plumbing, not a recommendation. */
+  def createShm(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) {
+      val dir = Files.createTempDirectory(shm, prefix)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delete(dir)))
+      dir.toString
+    } else create(prefix)
+  }
+
   private def delete(p: Path): Unit =
     try {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())

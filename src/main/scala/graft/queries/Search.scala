@@ -336,33 +336,57 @@ object Search {
     * over each doc's FULL sampled term vector, so the score is the true
     * cosine of the TF-IDF vectors, computed for candidate pairs only.
     */
+  // The per-doc TF-IDF vector table (m: term → score map, nrm: l2 norm;
+  // one row per sampled doc) is a BUILD-ONCE index artifact like
+  // Tables.tokens and PipelinePlus.minhashPairs: memoize per (session,
+  // sfDir) under the same lock discipline. Checkpoint eagerly (the
+  // minhashSig precedent): the d1/d2 pair joins are two aliased copies
+  // of this subtree and Catalyst does not reuse the exchange across
+  // them — un-materialized, the ENTIRE tf-idf DAG (tf agg + df agg +
+  // scan) runs twice per execution (measured: the dominant q_doc_sim
+  // cost at sf0.1). Post-checkpoint, AQE sees the true stats (tiny
+  // locally / data-sized at scale) and picks broadcast vs shuffle join
+  // accordingly. Norms are folded in HERE because they are a PER-DOC
+  // quantity (codegen'd sum aggregate, 1 per sampled doc) — not an
+  // interpreted higher-order fold PER PAIR (|cand| ≫ |docs|: 92k vs 500
+  // on this corpus) — which is also exactly where the oracle SQL
+  // computes them (its nrm CTE).
+  private val docVecCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def docVectors(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.memo(docVecCache,
+      s"${spark.sparkContext.applicationId}:$sfDir") {
+      tfidfRaw(spark, sfDir)
+        .filter(col("doc_id") % 10 === 0)
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("term"), col("score"))))
+          .as("m"),
+          sqrt(sum(col("score") * col("score"))).as("nrm"))
+        .localCheckpoint()
+    }
+
   def qDocSim(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = tfidfRaw(spark, sfDir)
-      .filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), col("term"), col("score"))
-    // Gather each doc's sparse TF-IDF vector ONCE (term → score map, one
-    // row per sampled doc), then join the candidate pairs twice on doc id
-    // and score in-row: dot over the key union, norms over each map —
-    // the q_dedup_editdist gather shape. This keeps the whole pair
-    // pipeline candidate-bounded (no |cand|×|terms| posting expansion,
-    // no recomputed tfidf per consumer) and joins only on doc ids, which
+    // Gather each doc's sparse TF-IDF vector ONCE (the memoized
+    // docVectors index), then join the candidate pairs twice on doc id
+    // and compute the dot in-row over the key union — the
+    // q_dedup_editdist gather shape. This keeps the whole pair pipeline
+    // candidate-bounded (no |cand|×|terms| posting expansion, no
+    // recomputed tfidf per consumer) and joins only on doc ids, which
     // LSH bucketing keeps skew-free.
-    val vec = w.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("term"), col("score"))))
-        .as("m"))
+    val vec = docVectors(spark, sfDir)
     val cand = PipelinePlus.minhashPairs(spark, sfDir).select("d1", "d2")
     cand
-      .join(vec.select(col("doc_id").as("d1"), col("m").as("m1")), "d1")
-      .join(vec.select(col("doc_id").as("d2"), col("m").as("m2")), "d2")
+      .join(vec.select(col("doc_id").as("d1"), col("m").as("m1"),
+        col("nrm").as("n1")), "d1")
+      .join(vec.select(col("doc_id").as("d2"), col("m").as("m2"),
+        col("nrm").as("n2")), "d2")
       .select(col("d1"), col("d2"),
         expr("""aggregate(
                   map_values(map_zip_with(m1, m2,
                     (k, x, y) -> coalesce(x, 0d) * coalesce(y, 0d))),
                   0d, (acc, v) -> acc + v)""").as("dot"),
-        expr("sqrt(aggregate(map_values(m1), 0d, (acc, v) -> acc + v * v))")
-          .as("n1"),
-        expr("sqrt(aggregate(map_values(m2), 0d, (acc, v) -> acc + v * v))")
-          .as("n2"))
+        col("n1"), col("n2"))
       .select(col("d1"), col("d2"),
         round(col("dot") / (col("n1") * col("n2")), 4).as("cos"))
       .orderBy(desc("cos"), asc("d1"), asc("d2"))
