@@ -33,7 +33,13 @@ object Sources {
 
   /** CSV sink → source roundtrip: write orders as headered CSV, re-read
     * with explicit schema, verify the aggregate survives the text
-    * representation (timestamps/floats are the lossy suspects). */
+    * representation (timestamps/floats are the lossy suspects). The
+    * money total sums exact integer CENTS (the BASELINE.md float-sum
+    * convention, qUpsertLatest precedent): at sf0.1 the status-O group
+    * sum reaches ~1.25e10, where Spark's partial-sum order vs DuckDB's
+    * sequential scan land on different sides of a round(4) grid —
+    * caught by the round-6 sf0.1 sweep the day this row gained its
+    * DuckDB oracle. */
   def qSourceCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tmpDir("graft_csv_")
     val orders = Tables.t(spark, sfDir, "orders")
@@ -47,7 +53,9 @@ object Sources {
       .schema(orders.schema)
       .csv(dir)
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .agg(count(lit(1)).as("n"),
+        (sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("double") / 100.0).as("total"))
       .orderBy("o_orderstatus")
   }
 

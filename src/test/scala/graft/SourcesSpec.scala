@@ -30,7 +30,9 @@ class SourcesSpec extends SparkSpecBase {
     val rt = sources.Sources.qSourceCsv(spark, sf)
     val direct = Tables.t(spark, sf, "orders")
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .agg(count(lit(1)).as("n"),
+        (sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("double") / 100.0).as("total"))
       .orderBy("o_orderstatus")
     assert(rt.collect().toSeq == direct.collect().toSeq)
   }
