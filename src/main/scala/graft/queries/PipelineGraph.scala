@@ -56,6 +56,11 @@ object PipelineGraph {
       // way (min-propagation is monotone), but pairing the hops halves
       // the checkpoint + convergence-scan round-trips — the loop's cost
       // is per-round job latency, not data volume, at every scale.
+      // Round 6 measured 4 pulls/round as WORSE (4.7 vs 4.1 s warm,
+      // same session): this graph's clusters have diameter ≈ 2, so 2
+      // pulls already converge in one propagation round + one
+      // confirmation round — extra pulls add per-round joins and save
+      // zero rounds.
       val twoHop = (1 to 2).foldLeft(labels) { (cur, _) =>
         val pulled = sym
           .join(cur, sym("d2") === cur("doc_id"))
