@@ -20,11 +20,38 @@ object Search {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
 
-  /** df per term. */
+  /** df per term — a vocabulary-bounded, build-once index statistic
+    * (one row per term). Memoized + eagerly checkpointed per (session,
+    * sfDir) like Tables.tokens: the BM25/tf-idf family references it
+    * from MANY plan positions (q_search_wand alone held FIVE copies of
+    * its scored subtree → 25 document scans per execution before round
+    * 6), and Catalyst does not reuse aggregates across aliased copies.
+    * tf deliberately stays UN-materialized: term predicates must keep
+    * pushing below the tf aggregate into the scan (a full-tf artifact
+    * would be corpus-sized and defeat pruned per-query retrieval). */
+  private val dfCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private def df(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.docTerms(spark, sfDir)
-      .groupBy("term")
-      .agg(count(lit(1)).as("df"))
+    Tables.memo(dfCache, s"${spark.sparkContext.applicationId}:$sfDir") {
+      Tables.docTerms(spark, sfDir)
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+    }
+
+  /** Per-doc token length — the other bounded index statistic (one row
+    * per doc), shared by every BM25 stage. Same memoization rationale
+    * as [[df]]. */
+  private val dlCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def dl(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.memo(dlCache, s"${spark.sparkContext.applicationId}:$sfDir") {
+      Tables.tokens(spark, sfDir)
+        .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .localCheckpoint()
+    }
 
   /** Single-row corpus size, cross-joined (broadcast) where needed. */
   private def nDocs(spark: SparkSession, sfDir: String): DataFrame =
@@ -207,13 +234,12 @@ object Search {
     * literal IN list. */
   private[graft] def bm25ScoredOn(spark: SparkSession, sfDir: String,
       tfIn: DataFrame): DataFrame = {
-    val dl = Tables.tokens(spark, sfDir)
-      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val avgdl = dl.agg(avg(col("dl").cast("double")).as("avgdl"))
+    val dls = dl(spark, sfDir)
+    val avgdl = dls.agg(avg(col("dl").cast("double")).as("avgdl"))
     tfIn
       .join(broadcast(df(spark, sfDir)), "term")
       .crossJoin(broadcast(nDocs(spark, sfDir)))
-      .join(dl, "doc_id")
+      .join(dls, "doc_id")
       .crossJoin(broadcast(avgdl))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

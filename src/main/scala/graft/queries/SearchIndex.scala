@@ -42,7 +42,16 @@ object SearchIndex {
     * would be unsound).
     */
   def qSearchWand(spark: SparkSession, sfDir: String): DataFrame = {
+    // The scored postings feed FIVE plan positions (ub, theta,
+    // candidate semi-join, and both sides of the re-scoring join);
+    // Catalyst does not reuse the subtree across aliased copies, so
+    // un-materialized the whole BM25 stats DAG ran five times per
+    // execution (25 document scans counted in the round-6 plan).
+    // Checkpoint eagerly: the relation is the query's term-filtered
+    // postings — |postings(3 terms)| rows, the pruned-retrieval
+    // working set, not the corpus.
     val scored = Search.bm25Scored(spark, sfDir, WandTerms)
+      .localCheckpoint()
     val ub = scored.groupBy("term").agg(max("s").as("ub"))
     // k-th best single-term score on the top-ub term (3-row window input)
     val tstar = ub
