@@ -80,10 +80,14 @@ object Sources {
     */
   def qSinkBucketed(spark: SparkSession, sfDir: String): DataFrame = {
     val joined = bucketedJoin(spark, sfDir)
+    // cents, not round(sum(double)): per-priority gross reaches ~4.3e9
+    // at sf0.1 — inside the BASELINE.md float-sum boundary's danger
+    // margin — and this row gained a DuckDB oracle in round 6
     joined
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        round(sum("l_extendedprice"), 4).as("gross"))
+        (sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .cast("double") / 100.0).as("gross"))
       .orderBy("o_orderpriority")
   }
 

@@ -447,6 +447,101 @@ object Streams {
     * scale the same plan runs against a file/queue source with the
     * memory sink swapped for a keyed upsert sink.
     */
+  // ──────────────── DuckDB batch-equivalence oracles (round 6) ────────────────
+  // A streaming operator's materialized output must equal the
+  // declarative batch answer over the same fed rows — THE streaming
+  // correctness property (exactly-once: no loss, no duplication,
+  // correct watermark drops, final state = cumulative aggregate).
+  // StreamingSpec asserts the same equalities in-engine; these SQL
+  // strings hand the check to the driver's independent DuckDB gate,
+  // upgrading the whole s_* family from oracle=unit to oracle-checked.
+  // Conventions: CAST(ts AS TIMESTAMP) (SURVEY §1.3), BIGINT casts on
+  // integer aggregates, round(…, 4) exactly where the operator rounds,
+  // total ORDER BY on group keys (determinism rule A). Session-window
+  // edge: streaming breaks sessions at gap ≥ 30 min (touching windows
+  // do not overlap) — the SQL mirrors ≥; ts is µs-grained so an
+  // exact-1800.000000s gap is measure-zero (verified absent at all
+  // three SFs).
+
+  val sStreamTumblingSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+      |  event_type, count(*) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
+  val sStreamDedupSql: String =
+    """SELECT event_type, count(*) AS n_unique
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Mirrors the harness cutoff EXACTLY: the early/late split compares
+    * java.sql.Timestamp.getTime MILLISECONDS (floor of the µs value),
+    * so the SQL floors to ms before the 3-hour comparison. Late events
+    * always fall ≥ 2 h below the watermark (window end ≤ max−2 h <
+    * max−10 min), so the drop set is deterministic. */
+  val sStreamLateSql: String =
+    """WITH e AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+      |    AS win_start, epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+      |  FROM events),
+      |m AS (SELECT max(ms) AS mx FROM e)
+      |SELECT win_start, count(*) AS n FROM e, m
+      |WHERE ms >= mx - 10800000
+      |GROUP BY win_start ORDER BY win_start""".stripMargin
+
+  /** Final per-user state after all batches = the cumulative aggregate
+    * (update-mode rows carry strictly increasing n_events, so the
+    * max_by recovery in [[finalStatePerUser]] lands on the totals). */
+  val sStreamStatefulSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  round(sum(value), 4) AS value_sum
+      |FROM events WHERE user_id < 8
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val sStreamJoinSql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS n,
+      |  round(sum(value), 4) AS total
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
+  val sStreamStreamJoinSql: String =
+    """SELECT v.user_id AS user_id, count(*) AS n_pairs
+      |FROM events v JOIN events p
+      |  ON p.user_id = v.user_id
+      |  AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+      |  AND CAST(p.ts AS TIMESTAMP)
+      |      <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+      |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      |GROUP BY v.user_id ORDER BY user_id""".stripMargin
+
+  val sStreamSessionSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |flagged AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+      |    OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+      |    AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Mirrors the 3-way feed split: batches are `grouped(n/3 + 1)` over
+    * the event_id-sorted rows, so an event's batch id is
+    * `rank // (n/3 + 1)` and per-type n_batches follows exactly. */
+  val sStreamForeachSql: String =
+    """WITH o AS (SELECT event_type, value,
+      |    row_number() OVER (ORDER BY event_id) - 1 AS rn,
+      |    count(*) OVER () AS cnt FROM events)
+      |SELECT event_type, count(*) AS n, round(sum(value), 4) AS total,
+      |  CAST(count(DISTINCT rn // (cnt // 3 + 1)) AS BIGINT) AS n_batches
+      |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val sStreamFileSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // s_stream_index's oracle is the batch inverted index itself:
+  // SparkEntry points it at Search.qInvertedIndexSql.
+
   def sStreamIndex(spark: SparkSession, sfDir: String): DataFrame =
     withStreamPartitions(spark) {
     import spark.implicits._

@@ -100,7 +100,8 @@ class SourcesSpec extends SparkSpecBase {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        round(sum("l_extendedprice"), 4).as("gross"))
+        (sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .cast("double") / 100.0).as("gross"))
       .orderBy("o_orderpriority").collect().toSeq
     assert(bucketed == plain)
   }

@@ -37,39 +37,14 @@ object UnitEvidence {
       "PipelinePlusSpec" -> "mm frames: every 4th 16-byte frame, hash-stable"),
     "q_mm_resize" -> Seq(
       "PipelinePlusSpec" -> "mm resize: pooled buckets equal a driver-side reference"),
-    "q_sink_bucketed" -> Seq(
-      "SourcesSpec" -> "bucketed join is Exchange-free and matches the plain join"),
-    "q_sink_partitioned" -> Seq(
-      "SourcesSpec" -> "partitioned sink prunes: scan carries a partition filter"),
-    "q_sink_roundtrip" -> Seq(
-      "SourcesSpec" -> "parquet roundtrip preserves row count and aggregates"),
-    // q_source_csv / q_source_json graduated to DuckDB-oracled rows in
-    // round 6 (their SourcesSpec roundtrip tests remain, as extra
-    // evidence rather than declared unit coverage)
+    // q_source_csv/json (round 6), the three q_sink_* rows and the
+    // eleven s_stream_* rows (round 6) graduated to DuckDB-oracled
+    // rows — the streaming oracles check the materialized output
+    // against the declarative batch answer (streaming/Streams.scala).
+    // Their SourcesSpec/StreamingSpec tests remain as extra in-engine
+    // evidence rather than declared unit coverage.
     "q_text_lang_id" -> Seq(
       "PipelinePlusSpec" -> "lang-id is deterministic, total, and in-domain"),
-    "s_stream_dedup" -> Seq(
-      "StreamingSpec" -> "streaming dedup removes the duplicate second delivery"),
-    "s_stream_file" -> Seq(
-      "StreamingSpec" -> "file-source stream drains the directory and matches batch totals"),
-    "s_stream_foreach" -> Seq(
-      "StreamingSpec" -> "foreachBatch sink: no loss or duplication across batches"),
-    "s_stream_index" -> Seq(
-      "StreamingSpec" -> "streaming index maintenance converges to the batch index"),
-    "s_stream_join" -> Seq(
-      "StreamingSpec" -> "stream-static join matches the batch join aggregates"),
-    "s_stream_late" -> Seq(
-      "StreamingSpec" -> "late-data drop: late replays never exceed on-time counts"),
-    "s_stream_session" -> Seq(
-      "StreamingSpec" -> "streaming session windows match batch sessionization counts"),
-    "s_stream_stateful" -> Seq(
-      "StreamingSpec" -> "stateful running totals equal batch per-user aggregates"),
-    "s_stream_stream_join" -> Seq(
-      "StreamingSpec" -> "stream-stream interval join matches the batch self-join"),
-    "s_stream_tumbling" -> Seq(
-      "StreamingSpec" -> "streaming tumbling window matches the batch formulation"),
-    "s_stream_tws" -> Seq(
-      "StreamingSpec" -> "transformWithState running totals equal batch per-user aggregates"),
     "x_expr_custom" -> Seq(
       "CustomSpec" -> "x_expr_custom hashes match driver-side recomputation"),
   )
