@@ -201,6 +201,21 @@ object Sources {
           .cast("int").as("roundtrip_ok"))
       .orderBy("doc_id")
 
+  /** Oracle for [[qCompactFiles]] (round 6): every output column is
+    * derivable from the ORIGINAL documents table + the harness
+    * constants — files_before is the fixed repartition(32) fan-out
+    * (round-robin over ≥32 rows leaves no empty partition → exactly 32
+    * part files), files_after is the row-based compaction target
+    * ceil(n/50k), and n_rows/chk_chars re-prove row fidelity. The
+    * independent content here is PRESERVATION (count + checksum
+    * surviving both rewrites) and the target-count math. */
+  val qCompactFilesSql: String =
+    """SELECT CAST(32 AS BIGINT) AS files_before,
+      |  CAST((count(*) + 49999) // 50000 AS BIGINT) AS files_after,
+      |  count(*) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS chk_chars
+      |FROM documents ORDER BY n_rows""".stripMargin
+
   val qSourceXmlSql: String =
     """WITH xml AS (SELECT doc_id, lang, text,
       |    '<page><title>doc_' || doc_id || '</title><text lang="' || lang

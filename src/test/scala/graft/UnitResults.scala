@@ -26,8 +26,8 @@ object UnitEvidence {
       "CustomSpec" -> "approx_count_distinct within 5% of exact (q_agg_hll contract)"),
     "q_agg_hll_union" -> Seq(
       "PipelineSketchSpec" -> "hll union: merged estimate within 5% of exact, per scope"),
-    "q_compact_files" -> Seq(
-      "SearchIndexSpec" -> "compaction keeps every row and lands on the target file count"),
+    // q_compact_files graduated to a DuckDB oracle in round 6
+    // (preservation + target-count math re-derived from documents)
     "q_contamination_bloom" -> Seq(
       "PipelineSketchSpec" -> "bloom contamination: superset of exact hits, bounded fp excess",
       "PlanAuditSpec" -> "q_contamination_bloom probes with NO join — the filter is a literal"),
