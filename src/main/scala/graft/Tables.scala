@@ -154,6 +154,36 @@ object Tables {
       |    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
       |  ELSE [text] END""".stripMargin
 
+  /** DuckDB rendering of [[graft.functions.Fnv1a64]] over a byte-value
+    * list expression: fold (xor → ×prime) in HUGEINT, reduced mod 2⁶⁴
+    * each step (a UBIGINT multiply would raise on overflow; the ≤2⁶⁴ ×
+    * ≤2⁴¹ product stays inside signed 128-bit). `list_prepend` seeds the
+    * offset basis so an empty byte list folds to the basis, matching
+    * `Fnv1a64.hash(Array.empty)`. ONE definition for the four
+    * FNV-oracled rows (x_expr_custom, q_mm_decode via its hash input,
+    * q_mm_frames) — SchemaCanarySpec pins the ASCII precondition these
+    * oracles share (see [[asciiBytesSql]]). */
+  def fnv1a64Sql(byteListExpr: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, $byteListExpr),
+       |  (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)
+       |              % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** UTF-8 byte values of an ASCII string column as a HUGEINT list.
+    * `unicode(char)` equals the byte ONLY for ASCII input — the driver
+    * corpus is pure ASCII (SchemaCanarySpec asserts it, failing loud
+    * with a pointer here if a regeneration ever ships non-ASCII text).
+    * The `c <> ''` guard keeps an empty string from feeding
+    * `unicode('')` (string_split('','') yields ['']). */
+  def asciiBytesSql(strExpr: String): String =
+    s"[unicode(c)::HUGEINT for c in string_split($strExpr, '') if c <> '']"
+
+  /** Two's-complement view of an unsigned-64 HUGEINT — what Spark's
+    * LongType holds for the same bit pattern. */
+  def toSignedLongSql(hugeExpr: String): String =
+    s"""CAST(CASE WHEN $hugeExpr >= 9223372036854775808::HUGEINT
+       |  THEN $hugeExpr - 18446744073709551616::HUGEINT
+       |  ELSE $hugeExpr END AS BIGINT)""".stripMargin
+
   /** Register the standard tables as temp views for spark.sql queries.
     * Events is registered with the ts already normalized to µs timestamps.
     */

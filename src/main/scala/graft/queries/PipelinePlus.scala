@@ -553,11 +553,20 @@ object PipelinePlus {
       |  (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS modality
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Decode/feature-extract plumbing for binary payloads (oracle=unit).
-    * The "decoder" is a deterministic stand-in (no codec libs in this
-    * container): FNV-seeded pseudo-features + parsed dimensions. The
-    * Spark-side shape is the real thing: binary in, fixed-width float
-    * features out, one narrow mapPartitions pass, no shuffle.
+  /** Decode/feature-extract plumbing for binary payloads. The "decoder"
+    * is a deterministic stand-in (no codec libs in this container):
+    * FNV-seeded pseudo-features + parsed dimensions. The Spark-side
+    * shape is the real thing: binary in, fixed-width float features
+    * out, one narrow mapPartitions pass, no shuffle. Round 6: graduated
+    * from oracle=unit to a DuckDB oracle — the stand-in is pure
+    * integer+float32 arithmetic, so the oracle re-derives it (HUGEINT
+    * FNV fold + FLOAT division). Formatting caveat: Java "%.6f" rounds
+    * HALF_UP, C printf half-even, and dyadic ties DO occur (q_mm_resize
+    * hit 98.65625 at sf0.001), so the oracle reproduces HALF_UP with
+    * exact integer math instead of printf's rounding:
+    * `floor(f::DOUBLE * 10^k + 0.5)` — the float32 widened to double is
+    * exact, ×10^k needs ≤ 24+20 significant bits and +0.5 ≤ 53, so the
+    * double arithmetic is exact and floor(x+0.5) IS Java's HALF_UP.
     */
   def qMmDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -584,6 +593,25 @@ object PipelinePlus {
       .toDF("doc_id", "features", "width", "height")
       .orderBy("doc_id")
   }
+
+  // byte i of the 64-bit hash = (h // 256^i) % 256; the power list spells
+  // 256^0..256^7 out as literals (HUGEINT exponentiation via power()
+  // would round-trip through DOUBLE).
+  val qMmDecodeSql: String =
+    s"""SELECT doc_id,
+       |  array_to_string([printf('%d.%06d', i // 1000000, i % 1000000)
+       |    for i in [CAST(floor(
+       |        ((CAST((h // p) % 256 AS INT))::FLOAT / 255::FLOAT)::DOUBLE
+       |        * 1000000 + 0.5) AS BIGINT)
+       |      for p in [1::HUGEINT, 256, 65536, 16777216, 4294967296,
+       |                1099511627776, 281474976710656,
+       |                72057594037927936]]], ',') AS features,
+       |  CAST(1 + h % 1024 AS INT) AS width,
+       |  CAST(1 + (h // 4294967296) % 1024 AS INT) AS height
+       |FROM (SELECT doc_id,
+       |    ${graft.Tables.fnv1a64Sql(graft.Tables.asciiBytesSql("text"))} AS h
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
 
   /** Multimodal "resize": bilinear-ish downsample of a decoded pixel
     * array to a fixed 4-bucket grid (mean pool per bucket). The decode
@@ -620,6 +648,27 @@ object PipelinePlus {
       .orderBy("doc_id")
   }
 
+  // Round-6 oracle: mean-pool re-derived over unicode(char) byte values
+  // (ASCII corpus — SchemaCanarySpec pins the precondition). DuckDB list
+  // slices are 1-based inclusive, so 0-based [lo, hi) is bs[lo+1 : hi];
+  // FLOAT/FLOAT division stays FLOAT, matching s.toFloat / (hi - lo).
+  // HALF_UP integer formatting, not printf('%.4f') — see qMmDecode's
+  // scaladoc (printf is half-even; 98.65625 at sf0.001 is a real tie).
+  val qMmResizeSql: String =
+    s"""SELECT doc_id, CAST(n AS INT) AS n_bytes,
+       |  array_to_string([printf('%d.%04d', i // 10000, i % 10000)
+       |    for i in [CAST(floor((
+       |        CASE WHEN hilo[2] <= hilo[1] THEN 0::FLOAT
+       |             ELSE (list_sum(bs[hilo[1] + 1 : hilo[2]]))::FLOAT
+       |                  / (hilo[2] - hilo[1])::FLOAT END)::DOUBLE
+       |        * 10000 + 0.5) AS BIGINT)
+       |      for hilo in [[0, n // 4], [n // 4, 2 * n // 4],
+       |                   [2 * n // 4, 3 * n // 4], [3 * n // 4, n]]]],
+       |    ',') AS pooled
+       |FROM (SELECT doc_id, ${graft.Tables.asciiBytesSql("text")} AS bs,
+       |    length(text) AS n FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   /** Multimodal "frame sampling": treat the payload as a byte stream of
     * 16-byte frames and keep every 4th frame's checksum — the video
     * frame-sample shape (decode → stride-sample → per-frame feature).
@@ -640,4 +689,18 @@ object PipelinePlus {
       .toDF("doc_id", "frame_idx", "frame_hash")
       .orderBy("doc_id", "frame_idx")
   }
+
+  // Round-6 oracle: stride-sampled frame checksums re-derived as FNV
+  // folds over 16-byte list slices; range(0, n // 16, 4) mirrors
+  // `0 until nFrames by 4` (empty when n < 16, dropping the doc exactly
+  // like the Scala flatMap).
+  val qMmFramesSql: String =
+    s"""SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       |  ${graft.Tables.toSignedLongSql("fh")} AS frame_hash
+       |FROM (SELECT doc_id, f,
+       |    ${graft.Tables.fnv1a64Sql("bs[f * 16 + 1 : (f + 1) * 16]")} AS fh
+       |  FROM (SELECT doc_id, ${graft.Tables.asciiBytesSql("text")} AS bs,
+       |      length(text) AS n FROM documents),
+       |    unnest(range(0, n // 16, 4)) AS t(f))
+       |ORDER BY doc_id, frame_idx""".stripMargin
 }

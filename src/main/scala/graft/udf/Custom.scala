@@ -82,13 +82,25 @@ object Custom {
       |  unnest(generate_series(1, len(arr) - 1)) AS t(i)
       |GROUP BY doc_id, bigram ORDER BY doc_id, bigram""".stripMargin
 
-  /** Custom codegen'd Catalyst Expression in a query (oracle=unit; the
-    * hash function is graft-defined so no SQL oracle — ScalaTest checks
-    * it against a reference implementation + interpreted/codegen parity). */
+  /** Custom codegen'd Catalyst Expression in a query. Round 6: graduated
+    * from oracle=unit to a DuckDB oracle — FNV-1a-64 is pure integer
+    * arithmetic, so the oracle re-derives it with a HUGEINT fold
+    * ([[Tables.fnv1a64Sql]]); CustomSpec keeps the interpreted/codegen
+    * parity check as extra in-engine evidence. */
   def xExprCustom(spark: SparkSession, sfDir: String): DataFrame =
     Tables.t(spark, sfDir, "documents")
       .select(col("doc_id"),
         graft.functions.Fnv1a64(col("text")).as("fnv"),
         graft.functions.Fnv1a64(col("lang")).as("fnv_lang"))
       .orderBy("doc_id")
+
+  val xExprCustomSql: String =
+    s"""SELECT doc_id,
+       |  ${Tables.toSignedLongSql("ht")} AS fnv,
+       |  ${Tables.toSignedLongSql("hl")} AS fnv_lang
+       |FROM (SELECT doc_id,
+       |    ${Tables.fnv1a64Sql(Tables.asciiBytesSql("text"))} AS ht,
+       |    ${Tables.fnv1a64Sql(Tables.asciiBytesSql("lang"))} AS hl
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -496,4 +496,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(winLines.nonEmpty && winLines.forall(_.contains("term")),
       s"champion ranking lost its term partition spec:\n$p")
   }
+
+  test("q_mm_decode/resize/frames stay narrow: no shuffle before the sort") {
+    // The multimodal decode path is the 100 TB shape that MUST stay
+    // embarrassingly parallel: scan → mapPartitions → (final orderBy
+    // only). Any hashpartitioning Exchange means the "decoder" started
+    // shuffling payload bytes; only the rangepartitioning Exchange of
+    // the presentation sort is allowed.
+    Seq("q_mm_decode", "q_mm_resize", "q_mm_frames").foreach { q =>
+      val p = plan(q)
+      val hashEx = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(hashEx.isEmpty,
+        s"$q shuffles before the final sort:\n${hashEx.mkString("\n")}\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
 }

@@ -110,6 +110,27 @@ class SchemaCanarySpec extends SparkSpecBase {
     assertKnownTimestamp("lineitem", "l_shipdate")
   }
 
+  test("documents text/lang are ASCII and non-empty (FNV oracle precondition)") {
+    // The round-6 DuckDB oracles for x_expr_custom and q_mm_decode/
+    // resize/frames re-derive UTF-8 byte values as unicode(char)
+    // (Tables.asciiBytesSql) — equal to the byte ONLY for ASCII. The
+    // driver corpus has been pure ASCII every round; if a regeneration
+    // ever ships non-ASCII (or empty) text, this canary names the four
+    // oracles to rework instead of letting them hash-mismatch opaquely.
+    import org.apache.spark.sql.functions._
+    val bad = Tables.t(spark, sf, "documents")
+      .where(length(col("text")) === 0 || length(col("lang")) === 0 ||
+        octet_length(encode(col("text"), "UTF-8")) =!= length(col("text")) ||
+        octet_length(encode(col("lang"), "UTF-8")) =!= length(col("lang")))
+      .count()
+    assert(bad == 0L,
+      s"TESTDATA DRIFT: $bad documents rows have non-ASCII or empty " +
+        "text/lang. The DuckDB oracles for x_expr_custom and " +
+        "q_mm_decode/resize/frames (Tables.asciiBytesSql) assume ASCII " +
+        "bytes — rework them (e.g. drop back to oracle=unit) and " +
+        "update SURVEY §1.2.")
+  }
+
   test("Tables adapts every timestamp to classic TimestampType") {
     import org.apache.spark.sql.types._
     assert(Tables.events(spark, sf).schema("ts").dataType == TimestampType)

@@ -67,12 +67,11 @@ class SourcesSpec extends SparkSpecBase {
     // epoch-ns LONG must decode to exactly the timestamps the real
     // (µs-encoded) table yields, keeping the legacy branch from rotting
     // while it is dead code on the current files.
-    // LIMITATION (round-5 advice): the synthetic file stores ts as a
-    // plain INT64 column, so this exercises the LongType branch of
-    // Tables.events but NOT the TIMESTAMP(NANOS)-annotated read that the
-    // nanosAsLong legacy conf unlocks (Spark's writers cannot emit that
-    // annotation, so the full legacy path is not reproducible here —
-    // only the decode arithmetic downstream of it is pinned).
+    // This file stores ts as a plain INT64 column — the LongType branch
+    // of Tables.events; the TIMESTAMP(NANOS)-annotated read that the
+    // nanosAsLong legacy conf unlocks is covered end-to-end by the next
+    // test, which emits the real annotation via parquet-java (Spark's
+    // own writers cannot).
     val real = Tables.events(spark, sf)
     assert(real.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
@@ -85,6 +84,52 @@ class SourcesSpec extends SparkSpecBase {
     val a = real.select("event_id", "ts").orderBy("event_id").collect().toSeq
     val b = viaLong.select("event_id", "ts").orderBy("event_id").collect().toSeq
     assert(a == b, "ns-long decode diverged from native µs decode")
+  }
+
+  test("Tables.events reads a REAL TIMESTAMP(NANOS)-annotated file") {
+    // Round-5 advice closed: the ≤r4 driver data carried INT64
+    // TIMESTAMP(NANOS,false) — an annotation Spark 4 refuses outright
+    // unless spark.sql.legacy.parquet.nanosAsLong surfaces it as an
+    // epoch-ns LONG (SURVEY §1.3). Spark's writers cannot emit NANOS, so
+    // the previous test could only pin the decode arithmetic; here
+    // parquet-java's example writer emits the genuine annotation,
+    // covering conf-unlock → LongType surface → ns→µs integer division
+    // end to end. The 789 ns remainder pins `div 1000` (double division
+    // or ms rounding would shift the last microsecond).
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+    val schema = Types.buildMessage()
+      .addField(Types.required(INT64).named("event_id"))
+      .addField(Types.required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(
+          false, LogicalTypeAnnotation.TimeUnit.NANOS))
+        .named("ts"))
+      .named("events")
+    val dir = TmpDirs.create("graft_events_nanos_")
+    val out = HadoopOutputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$dir/events.parquet/part-0.parquet"),
+      spark.sparkContext.hadoopConfiguration)
+    val writer = ExampleParquetWriter.builder(out).withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    // epoch-ns values straddling a µs boundary: …000, …789, …999
+    val rows = Seq(
+      1L -> 1700000000000000000L,
+      2L -> 1700000000123456789L,
+      3L -> 1700000000999999999L)
+    try rows.foreach { case (id, ns) =>
+      writer.write(gf.newGroup().append("event_id", id).append("ts", ns))
+    } finally writer.close()
+    val df = Tables.events(spark, dir)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val got = df.select(col("event_id"), expr("unix_micros(ts)"))
+      .orderBy("event_id").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val expected = rows.map { case (id, ns) => (id, ns / 1000L) }
+    assert(got == expected,
+      s"NANOS-annotated read diverged: got $got expected $expected")
   }
 
   test("bucketed join is Exchange-free and matches the plain join") {

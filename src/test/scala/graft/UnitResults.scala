@@ -31,22 +31,18 @@ object UnitEvidence {
     "q_contamination_bloom" -> Seq(
       "PipelineSketchSpec" -> "bloom contamination: superset of exact hits, bounded fp excess",
       "PlanAuditSpec" -> "q_contamination_bloom probes with NO join — the filter is a literal"),
-    "q_mm_decode" -> Seq(
-      "PipelinePlusSpec" -> "mm decode: fixed-width features, deterministic, bounded"),
-    "q_mm_frames" -> Seq(
-      "PipelinePlusSpec" -> "mm frames: every 4th 16-byte frame, hash-stable"),
-    "q_mm_resize" -> Seq(
-      "PipelinePlusSpec" -> "mm resize: pooled buckets equal a driver-side reference"),
     // q_source_csv/json (round 6), the three q_sink_* rows and the
     // eleven s_stream_* rows (round 6) graduated to DuckDB-oracled
     // rows — the streaming oracles check the materialized output
     // against the declarative batch answer (streaming/Streams.scala).
-    // Their SourcesSpec/StreamingSpec tests remain as extra in-engine
-    // evidence rather than declared unit coverage.
+    // q_mm_decode/resize/frames and x_expr_custom graduated too (their
+    // deterministic stand-in decoders / FNV hash are re-derivable in
+    // DuckDB via a HUGEINT fold, Tables.fnv1a64Sql). All their
+    // SourcesSpec/StreamingSpec/PipelinePlusSpec/CustomSpec tests
+    // remain as extra in-engine evidence rather than declared unit
+    // coverage.
     "q_text_lang_id" -> Seq(
       "PipelinePlusSpec" -> "lang-id is deterministic, total, and in-domain"),
-    "x_expr_custom" -> Seq(
-      "CustomSpec" -> "x_expr_custom hashes match driver-side recomputation"),
   )
 }
 
