@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Source/sink breadth beyond the parquet scan (SURVEY.md §2.1b):
-  * partition-pruned parquet sink, CSV and JSON roundtrips. All
-  * oracle=unit (side-effecting writes); each returns a DataFrame whose
-  * rows re-derive from the re-read copy so Verify still dumps evidence.
+  * partition-pruned parquet sink, CSV and JSON roundtrips. Each returns
+  * a DataFrame whose rows re-derive from the re-read copy, so the
+  * side-effecting write is still DuckDB-oracled (since round 6) by
+  * aggregating the roundtripped data against the original tables.
   */
 object Sources {
 

@@ -78,6 +78,28 @@ class PipelinePlusSpec extends SparkSpecBase {
     assert(a.filter(not(col("predicted").isInCollection(langs))).count() == 0)
   }
 
+  test("lang-id classifies a separable synthetic corpus perfectly") {
+    // The driver-corpus test above pins shape/determinism but not the
+    // naive-bayes math. Here the math has a hand-computable answer: two
+    // langs with DISJOINT bigram alphabets, so a doc's own-lang score is
+    // a sum of observed log-probs while every other lang scores the
+    // smoothing floor on all grams — the argmax margin is hundreds of
+    // nats and no float subtlety can flip it. 100% self-classification
+    // is the provable expected output, not a heuristic hope.
+    val s = spark // stable identifier for the implicits import
+    import s.implicits._
+    val dir = TmpDirs.create("graft_langid_")
+    (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "ab" * (20 + (i % 7).toInt), "aa")
+      else (i, "cd" * (20 + (i % 5).toInt), "cc")
+    }.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.PipelinePlus.qTextLangId(spark, dir)
+    assert(out.count() == 40)
+    assert(out.filter(col("predicted") =!= col("actual")).count() == 0,
+      "separable-corpus classification must be exact")
+  }
+
   test("mm metadata: payload bytes == n_chars on an ASCII corpus") {
     val m = queries.PipelinePlus.qMmMeta(spark, sf)
     assert(m.filter(col("payload_bytes") =!= col("n_chars")).count() == 0)

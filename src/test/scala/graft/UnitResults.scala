@@ -42,7 +42,9 @@ object UnitEvidence {
     // remain as extra in-engine evidence rather than declared unit
     // coverage.
     "q_text_lang_id" -> Seq(
-      "PipelinePlusSpec" -> "lang-id is deterministic, total, and in-domain"),
+      "PipelinePlusSpec" -> "lang-id is deterministic, total, and in-domain",
+      "PipelinePlusSpec" ->
+        "lang-id classifies a separable synthetic corpus perfectly"),
   )
 }
 
