@@ -20,10 +20,28 @@ object Golden {
           case b: Array[Byte] => b.map("%02x".format(_)).mkString
           case a: Seq[_] => a.mkString("[", ",", "]")
           case a: Array[_] => a.mkString("[", ",", "]")
+          case t: java.sql.Timestamp => utcTimestampString(t)
           case v => v.toString
         }
       }.mkString("")
     }.mkString("\n")
+  }
+
+  /** `java.sql.Timestamp.toString` renders the instant in the JVM
+    * DEFAULT timezone, so golden hashes would depend on `user.timezone`
+    * even though the engine's parquet output (epoch instants) does not —
+    * measured: every timestamp-bearing golden row flips under
+    * `-Duser.timezone=America/New_York`. Render the instant in UTC
+    * explicitly, replicating Timestamp.toString's exact fractional rule
+    * (trailing-zero-trimmed nanos, minimum one digit) so hashes are
+    * unchanged on UTC-default JVMs and stable on every other. */
+  private def utcTimestampString(t: java.sql.Timestamp): String = {
+    val ldt = t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+    val base = ldt.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    var frac = "%09d".format(ldt.getNano)
+    while (frac.length > 1 && frac.endsWith("0")) frac = frac.dropRight(1)
+    s"$base.$frac"
   }
 
   def hash(df: DataFrame): String = {
