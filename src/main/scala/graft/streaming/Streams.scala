@@ -148,9 +148,12 @@ object Streams {
       stream.addData(early.toSeq)
       q.processAllAvailable()
       // Everything older is now late beyond the watermark → dropped.
-      stream.addData(late.toSeq)
-      q.processAllAvailable()
-      stream.addData(Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
+      // The sentinel rides in the SAME batch: the drop decision for the
+      // late rows uses batch 1's watermark (watermarks only advance at
+      // batch END), so the late-drop semantics are identical while one
+      // whole micro-batch cycle disappears; the post-batch no-data batch
+      // then flushes the surviving windows, as in s_stream_tumbling.
+      stream.addData(late.toSeq :+ Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
       q.processAllAvailable()
     } finally q.stop()
     spark.table("s_stream_late")
