@@ -72,7 +72,15 @@ object PipelineML {
     * within-cluster join is an equi-join on the cluster key.
     */
   def qSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val asg = assign(spark, sfDir)
+    // Both pair-join sides alias the assignment relation; without a
+    // lineage cut Catalyst executes the whole assign DAG (corpus scan ×
+    // k cosines + rank window) TWICE per run. Lazy checkpoint: the pair
+    // join's own action materializes it once, both sides scan the cache.
+    // Measured-neutral at sf0.1 (2k vectors — the stage is launch-bound
+    // locally and the 667k-pair stage dominates), but at corpus scale
+    // assign IS a full scan, and O(n)×(d+2) spills under MEMORY_AND_DISK
+    // rather than re-scanning — the doc-vector-index trade.
+    val asg = assign(spark, sfDir).localCheckpoint(false)
     val a = asg.select(col("cluster"), col("vec_id").as("keep_id"),
       col("v").as("va"))
     val b = asg.select(col("cluster"), col("vec_id").as("drop_id"),
