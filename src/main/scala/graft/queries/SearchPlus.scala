@@ -151,4 +151,133 @@ object SearchPlus {
       |  FROM scores)
       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, s4 AS score
       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // ─────────────── hybrid-retrieval rank fusion (round 6) ───────────────
+
+  /** Fusion depth per list and the RRF smoothing constant (k = 60, the
+    * value from Cormack/Clarke/Buettcher 2009). */
+  private val FuseK = 20
+  private val RrfC = 60
+
+  /** One ranked retrieval list as (doc_id, r): rank 1..[[FuseK]] by the
+    * ROUNDED score — both engines rank identical round(4) doubles, so
+    * ranks are engine-portable — with doc_id as the total-order
+    * tiebreak. The `row_number ≤ K` filter is Spark's WindowGroupLimit
+    * shape (partial per-partition top-K before the single-partition
+    * rank), so the full list is never globally sorted.
+    */
+  private def rankedList(scored: DataFrame, score: String): DataFrame =
+    scored
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc(score), asc("doc_id"))))
+      .filter(col("r") <= FuseK)
+      .select(col("doc_id"), col("r"))
+
+  /** Reciprocal-rank fusion of two retrieval lists for {spark, join} —
+    * the standard hybrid-search combiner (lexical ⊕ vector list, RRF =
+    * Σ 1/(c + rankᵢ)): here the BM25 ranking fused with the VSM tf-idf
+    * cosine ranking, i.e. two scoring functions over the same index, the
+    * shape a user fuses when the second list comes from an ANN index.
+    * Scale: each list is a term-filtered-postings top-K (never a corpus
+    * sort); the fusion input is 2K rows. Determinism: ranks are ints;
+    * each doc sums ≤ 2 identical doubles (IEEE + is commutative, and
+    * ties cannot flip the cut because the ORDER BY is on the round(6)
+    * value both engines computed from the same ints).
+    */
+  def qSearchRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = rankedList(
+      Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
+        .groupBy("doc_id")
+        .agg(countDistinct("term").as("nt"),
+          round(sum("s"), 4).as("score"))
+        .filter(col("nt") === 2),
+      "score")
+    val sem = rankedList(vsmScored(spark, sfDir), "cos")
+    lex.unionByName(sem)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lists"),
+        round(sum(lit(1.0) / (col("r") + RrfC)), 6).as("rrf"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(10)
+  }
+
+  /** q_vsm_cosine's scoring (dp over the two query terms / doc norm,
+    * round(4)) WITHOUT the top-10 cut — the fusion list ranks deeper. */
+  private def vsmScored(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Search.tfidfRaw(spark, sfDir).select("doc_id", "term", "score")
+    val nrm = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("score") * col("score"))).as("nrm"))
+    w.filter(col("term").isin("spark", "join"))
+      .groupBy("doc_id").agg(sum(col("score")).as("dp"))
+      .join(nrm, "doc_id")
+      .select(col("doc_id"),
+        round(col("dp") / (col("nrm") * math.sqrt(2.0)), 4).as("cos"))
+  }
+
+  private val vsmScoredCtes: String =
+    """w AS (SELECT tf.doc_id, tf.term,
+      |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS ws
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |nrm AS (SELECT doc_id, sqrt(sum(ws * ws)) AS nrm FROM w
+      |  GROUP BY doc_id),
+      |dot AS (SELECT doc_id, sum(ws) AS dp FROM w
+      |  WHERE term IN ('spark', 'join') GROUP BY doc_id),
+      |vsms AS (SELECT d.doc_id,
+      |    round(d.dp / (m.nrm * sqrt(2.0)), 4) AS cos
+      |  FROM dot d JOIN nrm m USING (doc_id))""".stripMargin
+
+  val qSearchRrfSql: String =
+    s"""${Search.bm25ScoredCte(Seq("spark", "join"))},
+      |lexs AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
+      |  GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+      |lex AS (SELECT doc_id, row_number()
+      |    OVER (ORDER BY score DESC, doc_id) AS r FROM lexs),
+      |$vsmScoredCtes,
+      |sem AS (SELECT doc_id, row_number()
+      |    OVER (ORDER BY cos DESC, doc_id) AS r FROM vsms),
+      |u AS (SELECT doc_id, r FROM lex WHERE r <= $FuseK
+      |  UNION ALL SELECT doc_id, r FROM sem WHERE r <= $FuseK)
+      |SELECT doc_id, count(*) AS n_lists,
+      |  round(sum(1.0 / (r + $RrfC)), 6) AS rrf
+      |FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  // ─────────────── diversity-capped re-ranking (round 6) ───────────────
+
+  /** Source-diversified top-10 for the BM25 {spark, join} ranking: at
+    * most 2 results per `source` (the federated-results / site-collapse
+    * operator every result page runs), then the global cut. Plan: the
+    * per-source cap is a row_number window PARTITIONED on source (each
+    * partition is one source's matching docs — skew-free, and the
+    * rank ≤ 2 filter is again the WindowGroupLimit shape); the final
+    * top-10 sorts only the capped set (≤ 2·|sources| rows).
+    */
+  def qSearchDiverse(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"), round(sum("s"), 4).as("score"))
+      .filter(col("nt") === 2)
+    val bySrc = Window.partitionBy("source")
+      .orderBy(desc("score"), asc("doc_id"))
+    scored
+      .join(Tables.t(spark, sfDir, "documents").select("doc_id", "source"),
+        "doc_id")
+      .withColumn("src_rank", row_number().over(bySrc))
+      .filter(col("src_rank") <= 2)
+      .select(col("doc_id"), col("source"),
+        col("src_rank").cast("long").as("src_rank"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val qSearchDiverseSql: String =
+    s"""${Search.bm25ScoredCte(Seq("spark", "join"))},
+      |s2 AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
+      |  GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+      |capped AS (SELECT s2.doc_id, d.source, s2.score,
+      |    row_number() OVER (PARTITION BY d.source
+      |      ORDER BY s2.score DESC, s2.doc_id) AS src_rank
+      |  FROM s2 JOIN documents d ON s2.doc_id = d.doc_id)
+      |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank, score
+      |FROM capped WHERE src_rank <= 2
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 }
