@@ -34,7 +34,9 @@ object Probe {
       df.count() // let AQE finalize before printing the executed plan
       println(df.queryExecution.executedPlan.toString
         .linesIterator.filter(l => l.contains("Join") || l.contains("Exchange")
-          || l.contains("Aggregate") || l.contains("Scan parquet") || l.contains("Sort"))
+          || l.contains("Aggregate") || l.contains("Scan parquet") || l.contains("Sort")
+          || l.contains("Window") || l.contains("Limit")
+          || l.contains("TakeOrdered"))
         .mkString("\n"))
     }
     spark.stop()

@@ -162,15 +162,19 @@ object SearchPlus {
   /** One ranked retrieval list as (doc_id, r): rank 1..[[FuseK]] by the
     * ROUNDED score — both engines rank identical round(4) doubles, so
     * ranks are engine-portable — with doc_id as the total-order
-    * tiebreak. The `row_number ≤ K` filter is Spark's WindowGroupLimit
-    * shape (partial per-partition top-K before the single-partition
-    * rank), so the full list is never globally sorted.
+    * tiebreak. Shape: orderBy+limit compiles to TakeOrderedAndProject
+    * (per-partition partial top-K, merge of K-row heaps — the full list
+    * is never globally sorted; plan-verified, since the UNPARTITIONED
+    * `row_number ≤ K` filter does NOT get Spark's WindowGroupLimit
+    * pushdown, unlike q_search_diverse's partitioned cap); the rank
+    * window then touches only the K survivors.
     */
   private def rankedList(scored: DataFrame, score: String): DataFrame =
     scored
+      .orderBy(desc(score), asc("doc_id"))
+      .limit(FuseK)
       .withColumn("r", row_number().over(
         Window.orderBy(desc(score), asc("doc_id"))))
-      .filter(col("r") <= FuseK)
       .select(col("doc_id"), col("r"))
 
   /** Reciprocal-rank fusion of two retrieval lists for {spark, join} —
@@ -178,7 +182,7 @@ object SearchPlus {
     * Σ 1/(c + rankᵢ)): here the BM25 ranking fused with the VSM tf-idf
     * cosine ranking, i.e. two scoring functions over the same index, the
     * shape a user fuses when the second list comes from an ANN index.
-    * Scale: each list is a term-filtered-postings top-K (never a corpus
+    * Scale: each list is a term-filtered-postings TakeOrdered top-K (never a corpus
     * sort); the fusion input is 2K rows. Determinism: ranks are ints;
     * each doc sums ≤ 2 identical doubles (IEEE + is commutative, and
     * ties cannot flip the cut because the ORDER BY is on the round(6)
