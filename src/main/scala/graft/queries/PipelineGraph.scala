@@ -219,6 +219,61 @@ object PipelineGraph {
       |  FROM cl GROUP BY cluster) sz USING (cluster)
       |ORDER BY doc_id""".stripMargin
 
+  /** Cross-source canonical selection (round 6): per near-dup cluster,
+    * keep the member from the PREFERRED source — priority = the numeric
+    * suffix of `source` (lower = more curated), doc_id tiebreak — the
+    * curation rule real pipelines use when the same content arrives from
+    * a vetted dump AND a web crawl (q_dedup_cluster's keep-lowest-id is
+    * the arbitrary-but-stable variant; this one encodes source trust).
+    * Plan: the same label-propagation clusters, one broadcast-sized join
+    * to (doc_id, source), and a per-cluster rank window — each partition
+    * is ONE cluster's members (bounded: duplicates of a doc), so the
+    * window is skew-free at any corpus size and the rk=1 filter takes
+    * the WindowGroupLimit path.
+    */
+  def qDedupPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = PipelinePlus.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= EdgeThreshold)
+      .select(col("d1"), col("d2"))
+    val nodes = PipelinePlus.sampleTerms(spark, sfDir)
+      .select("doc_id").distinct()
+    val m = connectedComponents(nodes, edges)
+      .join(graft.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("prio", expr("cast(substring(source, 4) as int)"))
+    val byCluster = Window.partitionBy("cluster")
+      .orderBy(asc("prio"), asc("doc_id"))
+    m.withColumn("rk", row_number().over(byCluster))
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("csize"),
+        col("doc_id").as("keep_id"), col("source").as("keep_source"))
+      .orderBy("cluster")
+  }
+
+  val qDedupPrioritySql: String =
+    s"""WITH RECURSIVE
+      |$edgesCte,
+      |nodes AS (SELECT DISTINCT doc_id FROM dt),
+      |reach(src, node) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      |cl AS (SELECT node AS doc_id, min(src) AS cluster
+      |  FROM reach GROUP BY node),
+      |m AS (SELECT cl.doc_id, cl.cluster, d.source,
+      |    CAST(substr(d.source, 4) AS INTEGER) AS prio
+      |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY cluster
+      |      ORDER BY prio, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY cluster) AS csize
+      |  FROM m)
+      |SELECT cluster, CAST(csize AS BIGINT) AS csize,
+      |  doc_id AS keep_id, source AS keep_source
+      |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin
+
   /** Triangle counting over the verified near-dup graph: per-node
     * triangle participation, top-20 — the cohesion signal that separates
     * a true duplicate CLIQUE from a chain of pairwise-coincidental

@@ -284,4 +284,58 @@ object SearchPlus {
       |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank, score
       |FROM capped WHERE src_rank <= 2
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  // ─────────────── ranking-quality evaluation (round 6) ───────────────
+
+  /** NDCG@10 of the BM25 {spark, join} ranking — the evaluation loop a
+    * search engine ships next to the ranker. Relevance labels are the
+    * exact integer tf of 'spark' per doc (a deterministic stand-in for
+    * human judgments; every retrieved doc matches both terms so rel ≥ 1
+    * and IDCG > 0 by construction). DCG = Σ rel/log₂(rank+1) over the
+    * retrieved 10; IDCG re-ranks the SAME 10 docs by rel (the
+    * retrieved-set NDCG variant); ndcg = DCG/IDCG. Scale: the list is
+    * the TakeOrdered top-10; rel is one term's postings (a term-filtered
+    * aggregate); the eval itself touches 10 rows. Determinism: integer
+    * rel and ranks; log₂ of small ints agrees across engines at the
+    * round(4) grid (the q_tfidf ln() precedent).
+    */
+  def qEvalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"), round(sum("s"), 4).as("score"))
+      .filter(col("nt") === 2)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("score"), asc("doc_id"))))
+    val rel = Tables.tokens(spark, sfDir)
+      .filter(col("term") === "spark")
+      .groupBy("doc_id").agg(count(lit(1)).as("rel"))
+    ranked.join(rel, "doc_id")
+      .withColumn("ir", row_number().over(
+        Window.orderBy(desc("rel"), asc("doc_id"))))
+      .agg(
+        round(sum(col("rel") / log2(col("r") + 1)), 4).as("dcg"),
+        round(sum(col("rel") / log2(col("ir") + 1)), 4).as("idcg"),
+        round(sum(col("rel") / log2(col("r") + 1)) /
+          sum(col("rel") / log2(col("ir") + 1)), 4).as("ndcg"))
+  }
+
+  val qEvalNdcgSql: String =
+    s"""${Search.bm25ScoredCte(Seq("spark", "join"))},
+      |s2 AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
+      |  GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+      |ranked AS (SELECT doc_id, row_number()
+      |    OVER (ORDER BY score DESC, doc_id) AS r
+      |  FROM s2 ORDER BY score DESC, doc_id LIMIT 10),
+      |rel AS (SELECT doc_id, count(*) AS rel FROM tok
+      |  WHERE term = 'spark' GROUP BY doc_id),
+      |j AS (SELECT ranked.doc_id, ranked.r, rel.rel,
+      |    row_number() OVER (ORDER BY rel.rel DESC, ranked.doc_id) AS ir
+      |  FROM ranked JOIN rel USING (doc_id))
+      |SELECT round(sum(rel / log2(r + 1)), 4) AS dcg,
+      |  round(sum(rel / log2(ir + 1)), 4) AS idcg,
+      |  round(sum(rel / log2(r + 1)) / sum(rel / log2(ir + 1)), 4)
+      |    AS ndcg
+      |FROM j ORDER BY ndcg""".stripMargin
 }
