@@ -94,13 +94,30 @@ object PipelineGraph {
     labels
   }
 
+  // The (doc_id, cluster) relation feeds TWO operators (duplicate
+  // clustering, priority canonical selection) — run the propagation loop
+  // once per (session, sfDir), like the pairs cache it consumes.
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Connected-component labels over the verified near-dup graph (edges =
+    * candidate pairs at ≥ [[EdgeThreshold]] signature agreement, nodes =
+    * the §2.10 shared sample). Memoized per (session, sfDir). */
+  private[graft] def dedupClusters(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}:$sfDir"
+    graft.Tables.memo(clusterCache, key) {
+      val edges = PipelinePlus.minhashPairs(spark, sfDir)
+        .filter(col("est_jaccard") >= EdgeThreshold)
+        .select(col("d1"), col("d2"))
+      val nodes = PipelinePlus.sampleTerms(spark, sfDir)
+        .select("doc_id").distinct()
+      connectedComponents(nodes, edges).persist()
+    }
+  }
+
   def qDedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = PipelinePlus.minhashPairs(spark, sfDir)
-      .filter(col("est_jaccard") >= EdgeThreshold)
-      .select(col("d1"), col("d2"))
-    val nodes = PipelinePlus.sampleTerms(spark, sfDir)
-      .select("doc_id").distinct()
-    val labels = connectedComponents(nodes, edges)
+    val labels = dedupClusters(spark, sfDir)
     val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
     labels
       .join(sizes, "cluster")
@@ -233,12 +250,7 @@ object PipelineGraph {
     */
   def qDedupPriority(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = PipelinePlus.minhashPairs(spark, sfDir)
-      .filter(col("est_jaccard") >= EdgeThreshold)
-      .select(col("d1"), col("d2"))
-    val nodes = PipelinePlus.sampleTerms(spark, sfDir)
-      .select("doc_id").distinct()
-    val m = connectedComponents(nodes, edges)
+    val m = dedupClusters(spark, sfDir)
       .join(graft.Tables.t(spark, sfDir, "documents")
         .select(col("doc_id"), col("source")), "doc_id")
       .withColumn("prio", expr("cast(substring(source, 4) as int)"))
