@@ -321,6 +321,64 @@ object SearchPlus {
           sum(col("rel") / log2(col("ir") + 1)), 4).as("ndcg"))
   }
 
+  /** MAP@10 of the same BM25 ranking under BINARY relevance (tf of
+    * 'spark' ≥ 2) — the second standard ranking-quality metric next to
+    * [[qEvalNdcg]]'s graded NDCG: AP rewards putting relevant docs EARLY,
+    * NDCG rewards graded ordering. AP@10 = Σₖ relₖ·P@k / min(R, 10).
+    * Exact-integer formulation: P@k = cum_k/k is kept rational with the
+    * common denominator lcm(1..10) = 2520, so the numerator
+    * Σ relₖ·cumₖ·(2520 div k) is an integer sum — cross-engine exact —
+    * and ONE final double division lands on round(4). The eval touches
+    * 10 rows; the relevant-set aggregate is one term-filtered pass.
+    */
+  def qEvalMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"), round(sum("s"), 4).as("score"))
+      .filter(col("nt") === 2)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("score"), asc("doc_id"))))
+    val rel = Tables.tokens(spark, sfDir)
+      .filter(col("term") === "spark")
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= 2)
+      .select("doc_id")
+    val nrel = rel.agg(count(lit(1)).as("n_rel"))
+    ranked.join(rel.withColumn("relv", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("relv", coalesce(col("relv"), lit(0L)))
+      .withColumn("cum", sum("relv").over(Window.orderBy("r")))
+      .agg(sum("relv").as("n_rel_ret"),
+        sum(col("relv") * col("cum") * (lit(2520L) / col("r"))
+          .cast("long")).as("apnum"))
+      .crossJoin(broadcast(nrel))
+      .select(col("n_rel"), col("n_rel_ret"),
+        round(col("apnum") /
+          (lit(2520.0) * greatest(least(col("n_rel"), lit(10L)), lit(1L))),
+          4).as("ap10"))
+  }
+
+  val qEvalMapSql: String =
+    s"""${Search.bm25ScoredCte(Seq("spark", "join"))},
+      |s2 AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
+      |  GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+      |ranked AS (SELECT doc_id, row_number()
+      |    OVER (ORDER BY score DESC, doc_id) AS r
+      |  FROM s2 ORDER BY score DESC, doc_id LIMIT 10),
+      |rel AS (SELECT doc_id FROM tok WHERE term = 'spark'
+      |  GROUP BY doc_id HAVING count(*) >= 2),
+      |j AS (SELECT ranked.doc_id, ranked.r,
+      |    CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS relv
+      |  FROM ranked LEFT JOIN rel ON rel.doc_id = ranked.doc_id),
+      |c AS (SELECT r, relv, sum(relv) OVER (ORDER BY r) AS cum FROM j)
+      |SELECT (SELECT count(*) FROM rel) AS n_rel,
+      |  CAST(sum(relv) AS BIGINT) AS n_rel_ret,
+      |  round(sum(relv * cum * (2520 // r)) /
+      |    (2520.0 * greatest(least((SELECT count(*) FROM rel), 10), 1)),
+      |    4) AS ap10
+      |FROM c ORDER BY ap10""".stripMargin
+
   val qEvalNdcgSql: String =
     s"""${Search.bm25ScoredCte(Seq("spark", "join"))},
       |s2 AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
