@@ -250,15 +250,23 @@ object PipelineGraph {
     */
   def qDedupPriority(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = dedupClusters(spark, sfDir)
+    val labels = dedupClusters(spark, sfDir)
+    val m = labels
       .join(graft.Tables.t(spark, sfDir, "documents")
         .select(col("doc_id"), col("source")), "doc_id")
       .withColumn("prio", expr("cast(substring(source, 4) as int)"))
     val byCluster = Window.partitionBy("cluster")
       .orderBy(asc("prio"), asc("doc_id"))
-    m.withColumn("rk", row_number().over(byCluster))
-      .withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
+    // csize via groupBy-join (q_dedup_cluster's shape), NOT a second
+    // count window over the same partition: an all-rows count window
+    // blocks the rk=1 pushdown, while a lone row_number + filter takes
+    // WindowGroupLimit (Partial+Final — each input partition forwards
+    // one row per cluster to the exchange; plan-pinned in
+    // PipelineGraphSpec).
+    val keep = m.withColumn("rk", row_number().over(byCluster))
       .filter(col("rk") === 1)
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    keep.join(sizes, "cluster")
       .select(col("cluster"), col("csize"),
         col("doc_id").as("keep_id"), col("source").as("keep_source"))
       .orderBy("cluster")

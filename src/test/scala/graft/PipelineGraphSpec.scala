@@ -47,6 +47,22 @@ class PipelineGraphSpec extends SparkSpecBase {
     assert(got.sameElements(want))
   }
 
+  test("the cluster relation is memoized: both consumers share one instance") {
+    // q_dedup_cluster and q_dedup_priority must scan the SAME persisted
+    // labels — a second propagation loop is the regression this pins.
+    val a = queries.PipelineGraph.dedupClusters(spark, sf)
+    val b = queries.PipelineGraph.dedupClusters(spark, sf)
+    assert(a eq b)
+    // and the shared relation is actually persisted (storage-backed)
+    assert(a.storageLevel.useMemory || a.storageLevel.useDisk)
+  }
+
+  test("priority keep rows take the WindowGroupLimit path") {
+    val plan = queries.PipelineGraph.qDedupPriority(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("every verified near-dup edge lands inside one cluster") {
     val edges = queries.PipelinePlus.minhashPairs(spark, sf)
       .filter(col("est_jaccard") >= 0.875)
