@@ -323,6 +323,41 @@ object RelationalExtra {
       |  LIMIT 100)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Weighted k-sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws u ∈ (0,1] from its content hash (the 1e6-grid
+    * md5Bucket — engine-portable) and is ranked by the exponential key
+    * ln(1/u)/w with w = n_chars; the 50 SMALLEST keys are an exact
+    * weight-proportional without-replacement sample — the training-mix
+    * sampler for "prefer longer/higher-quality docs" draws. One narrow
+    * pass compiling to TakeOrderedAndProject (per-partition heaps + a
+    * 50-row merge — no global sort, no sequential reservoir state),
+    * distributed-by-construction at any corpus size. ln(1/u) (not
+    * -ln u) keeps u = 1 at +0.0 — a -0.0 could hash differently
+    * cross-engine; the ranked key is scaled ×1e6, rounded to the
+    * round(4) house grid, and doc_id-tiebroken so the order is total.
+    */
+  def qSampleWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .withColumn("u",
+        (graft.Tables.md5Bucket(col("text")) % 1000000L + 1L)
+          .cast("double") / 1000000.0)
+      .withColumn("ekey",
+        round(log(lit(1.0) / col("u")) / col("n_chars") * 1000000.0, 4))
+      .orderBy("ekey", "doc_id")
+      .limit(50)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("u"), 6).as("u"), col("ekey"))
+      .orderBy("ekey", "doc_id")
+
+  val qSampleWeightedSql: String =
+    """WITH s AS (SELECT doc_id, lang, n_chars,
+      |    ((('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000) + 1)
+      |      / 1000000.0 AS u
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars, round(u, 6) AS u,
+      |  round(ln(1.0 / u) / n_chars * 1000000.0, 4) AS ekey
+      |FROM s ORDER BY ekey, doc_id LIMIT 50""".stripMargin
+
   /** Bitmap exact distinct-count: doc_ids bucketed 64-per-word, a
     * bit_or-merged Long bitmap per (lang, bucket), popcounts summed per
     * lang. The OLAP bitmap-index pattern: both aggregates are
