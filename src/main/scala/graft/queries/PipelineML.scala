@@ -241,6 +241,45 @@ object PipelineML {
       |FROM ed, generate_series(1, 8) t(j)
       |ORDER BY vec_id, dim""".stripMargin
 
+  /** Hashing-trick featurization (Weinberger et al. 2009): every token
+    * hashes into one of 64 feature dims (the md5 1e6-grid helper mod
+    * 64 — engine-portable, no vocabulary table to build or ship), and
+    * each doc's sparse count vector is summarized as integer stats:
+    * nnz, squared L2 norm, and the argmax dim (count desc, dim asc
+    * tiebreak via min-struct — no arg_max, whose tie order is
+    * engine-specific). All-integer outputs, so cross-engine exact. Two
+    * partial-aggregable groupBys ((doc, dim) counts, then per-doc
+    * stats) — map-side combine keeps the shuffle at nnz ≤ 64 rows per
+    * doc regardless of doc length; no vocabulary-sized state anywhere,
+    * which is the hashing trick's entire point at corpus scale.
+    */
+  def qFeatureHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tokens(spark, sfDir)
+      .select(col("doc_id"),
+        (graft.Tables.md5Bucket(col("term")) % 64L).as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nnz"),
+        sum(col("cnt") * col("cnt")).as("sq_norm"),
+        min(struct((-col("cnt")).as("nc"), col("dim"))).as("f"))
+      .select(col("doc_id"), col("nnz"), col("sq_norm"),
+        col("f.dim").as("top_dim"), (-col("f.nc")).as("top_cnt"))
+      .orderBy("doc_id")
+
+  val qFeatureHashSql: String =
+    """WITH dt AS (SELECT doc_id,
+      |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))
+      |      ::BIGINT % 64 AS dim
+      |  FROM documents),
+      |c AS (SELECT doc_id, dim, count(*) AS cnt FROM dt
+      |  GROUP BY doc_id, dim),
+      |s AS (SELECT doc_id, count(*) AS nnz,
+      |    CAST(sum(cnt * cnt) AS BIGINT) AS sq_norm,
+      |    min(struct_pack(nc := -cnt, dim := dim)) AS f
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, nnz, sq_norm, f.dim AS top_dim, -f.nc AS top_cnt
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** kNN join: each of the 5 query vectors (vec_id < 5 — broadcast side)
     * joined to its 3 nearest corpus neighbors by cosine. The top-k is
     * two-phase so no window ever sees a corpus-sized partition: phase 1

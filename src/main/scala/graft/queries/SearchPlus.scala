@@ -321,6 +321,65 @@ object SearchPlus {
           sum(col("rel") / log2(col("ir") + 1)), 4).as("ndcg"))
   }
 
+  /** Balanced interleaving (Joachims 2002) of the BM25 and VSM-cosine
+    * top-10 lists — the ONLINE ranker-comparison primitive: the merged
+    * list alternates the two rankers' picks (lexical docs at odd slots
+    * 2r−1, vector docs at even slots 2r), a doc appearing in both lists
+    * keeps its FIRST slot, and the team column attributes each result
+    * so clicks can be credited. Complements q_search_rrf (fusion for
+    * serving) with the A/B-evaluation interleave. Slot parity makes
+    * cross-team ties impossible, so the merge is a min-struct per doc —
+    * no sequential draft state; both lists are the same term-filtered
+    * TakeOrdered top-K shapes as the fusion, so nothing scans the corpus
+    * beyond the postings of the query terms.
+    */
+  def qEvalInterleave(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = rankedList(
+      Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
+        .groupBy("doc_id")
+        .agg(countDistinct("term").as("nt"),
+          round(sum("s"), 4).as("score"))
+        .filter(col("nt") === 2),
+      "score")
+      .filter(col("r") <= 10)
+      .select(col("doc_id"), (col("r") * 2 - 1).as("p"),
+        lit("lex").as("team"), col("r"))
+    val sem = rankedList(vsmScored(spark, sfDir), "cos")
+      .filter(col("r") <= 10)
+      .select(col("doc_id"), (col("r") * 2).as("p"),
+        lit("sem").as("team"), col("r"))
+    lex.unionByName(sem)
+      .groupBy("doc_id")
+      .agg(min(struct(col("p"), col("team"), col("r"))).as("f"))
+      .select(col("doc_id"), col("f.p").as("p"), col("f.team").as("team"),
+        col("f.r").cast("long").as("orig_rank"))
+      .orderBy("p")
+      .limit(10)
+      .withColumn("pos", row_number().over(Window.orderBy("p")).cast("long"))
+      .select("pos", "doc_id", "team", "orig_rank")
+      .orderBy("pos")
+  }
+
+  val qEvalInterleaveSql: String =
+    s"""${Search.bm25ScoredCte(Seq("spark", "join"))},
+      |lexs AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
+      |  GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+      |lex AS (SELECT doc_id, row_number()
+      |    OVER (ORDER BY score DESC, doc_id) AS r FROM lexs),
+      |$vsmScoredCtes,
+      |sem AS (SELECT doc_id, row_number()
+      |    OVER (ORDER BY cos DESC, doc_id) AS r FROM vsms),
+      |u AS (SELECT doc_id, 2 * r - 1 AS p, 'lex' AS team, r FROM lex
+      |    WHERE r <= 10
+      |  UNION ALL SELECT doc_id, 2 * r, 'sem', r FROM sem WHERE r <= 10),
+      |f AS (SELECT doc_id, min(p) AS p FROM u GROUP BY doc_id),
+      |t AS (SELECT f.doc_id, f.p, u.team, u.r AS orig_rank
+      |  FROM f JOIN u ON u.doc_id = f.doc_id AND u.p = f.p
+      |  ORDER BY f.p LIMIT 10)
+      |SELECT row_number() OVER (ORDER BY p) AS pos, doc_id, team,
+      |  orig_rank
+      |FROM t ORDER BY pos""".stripMargin
+
   /** MAP@10 of the same BM25 ranking under BINARY relevance (tf of
     * 'spark' ≥ 2) — the second standard ranking-quality metric next to
     * [[qEvalNdcg]]'s graded NDCG: AP rewards putting relevant docs EARLY,
