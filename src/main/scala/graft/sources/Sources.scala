@@ -17,6 +17,56 @@ object Sources {
   private def tmpDir(prefix: String): String =
     graft.TmpDirs.create(prefix)
 
+  /** Corrupt lines injected into the PERMISSIVE-read harness — shared
+    * with the oracle literal so the two cannot fork. */
+  private[graft] val CorruptLines = 25
+
+  /** PERMISSIVE malformed-record ingestion: events as JSONL plus
+    * [[CorruptLines]] deliberately truncated lines, read back with an
+    * explicit schema + `_corrupt_record` column. A crawl-scale feed
+    * ALWAYS carries malformed rows; DROPMALFORMED silently changes
+    * counts and FAILFAST kills the job for one bad line, so the
+    * error-tolerant contract is PERMISSIVE + a quarantine count. Good
+    * rows must aggregate exactly to the original table (the roundtrip
+    * oracle over the ORIGINAL parquet), and the quarantine row must
+    * count exactly the injected lines — no good row misclassified, no
+    * corrupt line dropped.
+    */
+  def qSourceJsonlCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = tmpDir("graft_jsonc_")
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").json(dir)
+    spark.createDataset((1 to CorruptLines).map(i =>
+        s"""{"event_id": $i, "event_type": "trunc""")).coalesce(1)
+      .write.mode("append").text(dir)
+    // Spark refuses queries whose referenced file-source columns are
+    // ONLY the corrupt column (the quarantine count below); the
+    // documented remedy is to materialize the parse first. The eager
+    // checkpoint is the parsed feed itself — both branches scan it.
+    val all = spark.read
+      .schema(ev.schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .localCheckpoint()
+    val good = all.filter(col("_corrupt_record").isNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+    val bad = all.filter(col("_corrupt_record").isNotNull)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("_corrupt").as("event_type"), col("n"),
+        lit(0.0).as("total"))
+    good.unionByName(bad).orderBy("event_type")
+  }
+
+  val qSourceJsonlCorruptSql: String =
+    s"""SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY event_type
+      |UNION ALL SELECT '_corrupt', $CorruptLines, 0.0
+      |ORDER BY event_type""".stripMargin
+
   /** Hive-style partitioned parquet sink + partition-pruned re-read.
     * The pruned scan must touch only the selected partition directory —
     * the physical plan carries the partition filter, not a data filter
