@@ -38,6 +38,15 @@ class PipelineSpec extends SparkSpecBase {
     assert(c.count() == labels * 64)
   }
 
+  test("feature hashing: dims bounded, norms consistent, every doc featurized") {
+    val out = queries.PipelineML.qFeatureHash(spark, sf).collect()
+    assert(out.length == Tables.t(spark, sf, "documents").count())
+    assert(out.forall(r => r.getLong(1) >= 1L && r.getLong(1) <= 64L)) // nnz
+    assert(out.forall(r => r.getLong(3) >= 0L && r.getLong(3) < 64L))  // top_dim
+    // sq_norm >= top_cnt^2 and top_cnt >= any other dim's count by definition
+    assert(out.forall(r => r.getLong(2) >= r.getLong(4) * r.getLong(4)))
+  }
+
   test("lang distribution percentages sum to ~100 per corpus") {
     val dist = queries.Pipeline.qTextLangDist(spark, sf)
     val total = dist.agg(sum("n")).head.getLong(0)

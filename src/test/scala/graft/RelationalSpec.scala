@@ -47,6 +47,18 @@ class RelationalSpec extends SparkSpecBase {
     assert(over.count() == 0)
   }
 
+  test("weighted sample: keys non-negative, 50 rows, longer-doc bias real") {
+    val out = queries.RelationalExtra.qSampleWeighted(spark, sf).collect()
+    assert(out.length == 50)
+    assert(out.forall(_.getDouble(4) >= 0.0))
+    val sampleMean = out.map(_.getLong(2)).sum.toDouble / out.length
+    val corpusMean = Tables.t(spark, sf, "documents")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    // exponential keys ~ ln(1/u)/w: smaller for larger w, so the 50
+    // smallest keys must over-represent long docs vs a uniform draw
+    assert(sampleMean > corpusMean)
+  }
+
   test("rollup row count = detail + subtotal + grand-total rows") {
     val r = queries.Relational.qAggRollup(spark, sf)
     val detail = Tables.t(spark, sf, "nation")

@@ -42,6 +42,17 @@ class SearchSpec extends SparkSpecBase {
     }
   }
 
+  test("balanced interleave: unique docs/positions, each team in draft order") {
+    val out = queries.SearchPlus.qEvalInterleave(spark, sf).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L))          // pos 1..10
+    assert(out.map(_.getLong(1)).distinct.length == 10)          // doc unique
+    for (team <- Seq("lex", "sem")) {
+      val ranks = out.filter(_.getString(2) == team).map(_.getLong(3)).toSeq
+      assert(ranks == ranks.sorted)                              // draft order
+    }
+  }
+
   test("phrase hits all contain the phrase as a substring") {
     val phrase = queries.Search.qSearchPhrase(spark, sf).select("doc_id")
     val docs = Tables.t(spark, sf, "documents")

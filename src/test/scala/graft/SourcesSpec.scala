@@ -132,6 +132,15 @@ class SourcesSpec extends SparkSpecBase {
       s"NANOS-annotated read diverged: got $got expected $expected")
   }
 
+  test("PERMISSIVE quarantine: exactly the injected corrupt lines, no good row lost") {
+    val out = graft.sources.Sources.qSourceJsonlCorrupt(spark, sf).collect()
+    val corrupt = out.filter(_.getString(0) == "_corrupt")
+    assert(corrupt.length == 1 && corrupt.head.getLong(1) == 25L)
+    val goodRows = out.filter(_.getString(0) != "_corrupt").map(_.getLong(1)).sum
+    val orig = Tables.events(spark, sf).count()
+    assert(goodRows == orig)
+  }
+
   test("bucketed join is Exchange-free and matches the plain join") {
     val joined = sources.Sources.bucketedJoin(spark, sf)
     val physical = joined.queryExecution.executedPlan.toString
