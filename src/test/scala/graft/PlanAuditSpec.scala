@@ -497,6 +497,26 @@ class PlanAuditSpec extends SparkSpecBase {
       s"champion ranking lost its term partition spec:\n$p")
   }
 
+  test("q_sample_weighted is one TakeOrdered pass — no Exchange, no global Sort") {
+    // The weighted sampler's entire point is per-partition heaps + a
+    // 50-row merge; an Exchange or a full Sort means the corpus was
+    // globally sorted to draw 50 rows.
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), s"lost the top-k plan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"weighted sample grew a shuffle:\n$p")
+  }
+
+  test("q_feature_hash aggregates partially — hash agg only, no window, no join") {
+    // Two partial-aggregable groupBys: the shuffle must carry ≤ 64 rows
+    // per doc (the hashed dims), never raw tokens; argmax is min-struct
+    // inside the agg, not a rank window.
+    val p = plan("q_feature_hash")
+    assert(p.contains("HashAggregate"), s"lost hash aggregation:\n$p")
+    assert(!p.contains("Window"), s"feature hashing grew a window:\n$p")
+    assert(!p.contains("Join"), s"feature hashing grew a join:\n$p")
+  }
+
   test("q_mm_decode/resize/frames stay narrow: no shuffle before the sort") {
     // The multimodal decode path is the 100 TB shape that MUST stay
     // embarrassingly parallel: scan → mapPartitions → (final orderBy
