@@ -131,6 +131,21 @@ class SchemaCanarySpec extends SparkSpecBase {
         "update SURVEY §1.2.")
   }
 
+  test("documents n_chars is positive and equals length(text)") {
+    // q_sample_weighted divides by n_chars (a zero would make its key
+    // NaN/inf with engine-specific sort placement) and the quality/
+    // doc-stats family reads it as THE document length; pin the
+    // generator contract so a regeneration that breaks it fails here.
+    import org.apache.spark.sql.functions._
+    val bad = Tables.t(spark, sf, "documents")
+      .filter(col("n_chars") <= 0 || col("n_chars") =!= length(col("text")))
+      .count()
+    assert(bad == 0L,
+      s"TESTDATA DRIFT: $bad documents rows violate n_chars == " +
+        "length(text) > 0 — q_sample_weighted's exponential key and the " +
+        "doc-stats family assume it; re-check SURVEY §1.2.")
+  }
+
   test("Tables adapts every timestamp to classic TimestampType") {
     import org.apache.spark.sql.types._
     assert(Tables.events(spark, sf).schema("ts").dataType == TimestampType)
