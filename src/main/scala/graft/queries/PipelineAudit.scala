@@ -308,4 +308,58 @@ object PipelineAudit {
       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
       |  FROM cand) WHERE rn <= 10
       |ORDER BY query_id, cos DESC, cid""".stripMargin
+
+  // ──────── inter-rater agreement: Cohen's kappa (round 6, late) ────────
+
+  /** Cohen's kappa between two rule-based quality raters — the agreement
+    * audit a pipeline runs before swapping one curation filter for a
+    * cheaper one (chance-corrected: 95% raw agreement means nothing if
+    * both raters pass 95% of docs). Rater A: n_chars ≥ 300 (the stored
+    * length metadata); rater B: whitespace token count ≥ 55 (recomputed
+    * from text — the two thresholds sit on the same underlying scale, so
+    * the off-diagonal is small but non-empty at every SF, which is
+    * exactly the regime kappa exists for). Exact arithmetic end to end:
+    * the 2×2 confusion matrix is integer sums, and kappa uses the
+    * rational identity κ = 2(n11·n00 − n10·n01) /
+    * ((n11+n10)(n10+n00) + (n11+n01)(n01+n00)) — algebraically equal to
+    * (p_o−p_e)/(1−p_e) but with ONE double division at the end (the
+    * q_eval_map integer-numerator precedent). Scale: one narrow pass,
+    * one partial-aggregable global sum — a pure map stage at 100 TB.
+    */
+  def qEvalKappa(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select((col("n_chars") >= 300).cast("long").as("a"),
+        (size(split(col("text"), " ")) >= 55).cast("long").as("b"))
+      .agg(sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        round((col("n11") + col("n00")) /
+          (col("n11") + col("n10") + col("n01") + col("n00"))
+            .cast("double"), 4).as("po"),
+        round(lit(2.0) *
+          (col("n11") * col("n00") - col("n10") * col("n01")) /
+          ((col("n11") + col("n10")) * (col("n10") + col("n00")) +
+           (col("n11") + col("n01")) * (col("n01") + col("n00")))
+            .cast("double"), 4).as("kappa"))
+
+  val qEvalKappaSql: String =
+    """WITH f AS (SELECT
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END
+      |      AS b
+      |  FROM documents),
+      |c AS (SELECT CAST(sum(a * b) AS BIGINT) AS n11,
+      |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+      |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+      |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |  FROM f)
+      |SELECT n11, n10, n01, n00,
+      |  round((n11 + n00) / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 4)
+      |    AS po,
+      |  round(2.0 * (n11 * n00 - n10 * n01) /
+      |    CAST((n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00)
+      |      AS DOUBLE), 4) AS kappa
+      |FROM c ORDER BY kappa""".stripMargin
 }

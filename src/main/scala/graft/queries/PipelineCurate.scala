@@ -385,4 +385,65 @@ object PipelineCurate {
       |  CAST((sum(pass_len * pass_rep) * 1000000) // count(*) AS BIGINT)
       |    AS keep_ppm
       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ───────────── n-gram novelty scoring (round 6, late) ─────────────
+
+  /** Per-source n-gram novelty — the curation metric that separates
+    * sources contributing NEW text from sources that restate the corpus
+    * (the complement of the [[qDecontamNgram]]/dedup view: instead of
+    * dropping repeats, attribute each 3-gram to its first document and
+    * score sources by how much they introduce). Shingles travel as their
+    * 60-bit md5 fingerprint (the [[graft.Tables.md5Bucket]] winnowing
+    * convention — identical in both engines; a long key shuffles ~3×
+    * less than the shingle text and collision odds are ~2⁻⁶⁰ per pair).
+    * First-seen = min(doc_id) per distinct fingerprint (the generation
+    * order the synthetic corpus is ids in); a doc's novelty is the ppm
+    * share of its distinct fingerprints it introduced; sources report
+    * doc count, shingle sums, and the mean per-doc novelty ppm.
+    * Determinism: first-seen is an exact integer min; per-doc ppm is
+    * integer `div`; the source mean averages ≤ N exact ints (one
+    * division onto round(4)). Scale: shingling is narrow; the
+    * first-seen groupBy and the join back are ONE shuffle each on the
+    * same long key (co-partitioned hash join, partial-agg min) — no
+    * self-join, no corpus-sized window; source rollup is a bounded-key
+    * aggregate.
+    */
+  def qNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(transform(
+          Tables.shingles3Arr(col("arr"), col("text")),
+          s => Tables.md5Bucket(s)))).as("sh"))
+    val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novel_ppm", expr("n_novel * 1000000 div n_sh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_sh").as("n_shingles"),
+        sum("n_novel").as("n_novel"),
+        round(avg("novel_ppm"), 4).as("avg_novel_ppm"))
+      .orderBy("source")
+  }
+
+  val qNgramNoveltySql: String =
+    s"""WITH d AS (SELECT doc_id, source, text,
+      |    string_split(text, ' ') AS arr FROM documents),
+      |shl AS (SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(${graft.Tables.shingles3Sql},
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS sh
+      |  FROM d),
+      |fs AS (SELECT sh, min(doc_id) AS first_doc FROM shl GROUP BY sh),
+      |pd AS (SELECT doc_id, source, count(*) AS n_sh,
+      |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+      |  FROM shl JOIN fs USING (sh) GROUP BY doc_id, source)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+      |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+      |  round(avg(n_novel * 1000000 // n_sh), 4) AS avg_novel_ppm
+      |FROM pd GROUP BY source ORDER BY source""".stripMargin
 }

@@ -326,4 +326,136 @@ object PipelineML {
       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY cos DESC, vec_id) AS rk FROM scored)
       |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
+  // ─────────── classifier-quality eval: ROC-AUC (round 6, late) ───────────
+
+  /** ROC-AUC of a one-vs-rest embedding classifier — the eval a curation
+    * pipeline runs on its quality scorer before trusting it to filter
+    * 100 TB. Scorer: cosine to the label-1 centroid (the [[qKmeansIter]]
+    * assignment kernel reused as a nearest-class-mean classifier);
+    * ground truth: label == 1. AUC via the rank-sum (Mann-Whitney)
+    * identity with EXACT tie handling: scores are rounded to 4 decimals,
+    * tied scores share their average rank, and the whole statistic is
+    * kept in integers — per distinct score s: g = |group|, pg =
+    * positives, below = Σ g of lower scores; then 2·Σ_pos avgrank =
+    * Σ pg·(2·below + g + 1) and AUC = (S2 − P(P+1)) / (2PN) with ONE
+    * final double division landing on round(4) (the q_eval_map
+    * rational-arithmetic precedent). Scale: the centroid is a 64-row
+    * broadcast (partial-aggregable posexplode avg); scoring is one
+    * narrow codegen'd pass; the rank window runs over DISTINCT ROUNDED
+    * scores — a ≤20k-row bounded domain at any corpus size, never a
+    * corpus-sized single-partition sort.
+    */
+  def qEvalAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // label-1 centroid, per-position avg rounded to 4 (the
+    // q_sim_centroids cross-engine determinism precedent), re-gathered
+    // into position order
+    val cent = emb.filter(col("label") === 1)
+      .select(posexplode(col("v")))
+      .groupBy("pos").agg(round(avg("col"), 4).as("c"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(transform(col("pc"), x => x.getField("c")).as("cv"))
+    val scored = emb.crossJoin(broadcast(cent))
+      .select(col("label"),
+        round(VectorOps.cosine(col("v"), col("cv")), 4).as("score"))
+    val grp = scored.groupBy("score")
+      .agg(count(lit(1)).as("g"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("pg"))
+    val below = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grp.withColumn("below", coalesce(sum("g").over(below), lit(0L)))
+      .agg(sum("pg").as("p"), (sum("g") - sum("pg")).as("n"),
+        sum(col("pg") * (lit(2L) * col("below") + col("g") + 1L)).as("s2"))
+      .select(col("p").as("n_pos"), col("n").as("n_neg"),
+        round((col("s2") - col("p") * (col("p") + 1L)) /
+          (lit(2.0) * col("p") * col("n")), 4).as("auc"))
+  }
+
+  val qEvalAucSql: String =
+    """WITH ed AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |cent AS (SELECT i AS pos, round(avg(v[i]), 4) AS c
+      |  FROM ed, unnest(generate_series(1, len(v))) AS t(i)
+      |  WHERE label = 1 GROUP BY i),
+      |cv AS (SELECT list(c ORDER BY pos) AS cv FROM cent),
+      |scored AS (SELECT label,
+      |    round(list_cosine_similarity(e.v, cv.cv), 4) AS score
+      |  FROM ed e CROSS JOIN cv),
+      |grp AS (SELECT score, count(*) AS g,
+      |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pg
+      |  FROM scored GROUP BY score),
+      |rk AS (SELECT *, coalesce(sum(g) OVER (ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM grp)
+      |SELECT CAST(sum(pg) AS BIGINT) AS n_pos,
+      |  CAST(sum(g) - sum(pg) AS BIGINT) AS n_neg,
+      |  round((sum(pg * (2 * below + g + 1)) - sum(pg) * (sum(pg) + 1)) /
+      |    (2.0 * sum(pg) * (sum(g) - sum(pg))), 4) AS auc
+      |FROM rk ORDER BY auc""".stripMargin
+
+  // ───────── int8 scalar quantization + reconstruction audit ─────────
+
+  /** Int8 scalar quantization of the embedding table — the compression
+    * step an ANN index applies before [[qSimPq]]-style search — with the
+    * reconstruction-error audit that decides whether 4× smaller vectors
+    * are safe: per-dimension [min, max] ranges (the affine SQ8 codebook),
+    * codes = floor((v−mn)/(mx−mn)·255 + 0.5) (explicit HALF_UP — the
+    * q_mm_resize lesson: printf/round half-even diverges on dyadic
+    * ties), reconstruction v̂ = mn + code·(mx−mn)/255, and per-label
+    * n_vecs / MSE (×10⁶) / max-abs-error (×10³). Determinism: mn/mx are
+    * exact order-independent doubles, the code is exact integer floor
+    * arithmetic on identically-computed doubles, max-abs is order-
+    * independent, and the one accumulation-ordered value (avg of squared
+    * errors) follows the q_sim_centroids round(4) precedent. Scale: one
+    * posexplode pass, a 64-key partial-aggregable stats shuffle
+    * broadcast back, and a 10-key label rollup — no corpus-sized state.
+    */
+  def qEmbedQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    val pe = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double"))))
+      .select(col("vec_id"), col("label"), col("pos"), col("col").as("x"))
+    val stats = pe.groupBy("pos")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+    pe.join(broadcast(stats), "pos")
+      .withColumn("code", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn"))
+          * 255.0 + 0.5).cast("long")))
+      .withColumn("vhat",
+        col("mn") + col("code") * (col("mx") - col("mn")) / 255.0)
+      .groupBy("label")
+      // n_vecs via the pos-0 marker (each vector has exactly one) — a
+      // count-distinct would force an extra (label, vec_id) shuffle level
+      .agg(sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_vecs"),
+        count(lit(1)).as("n_vals"),
+        round(avg((col("x") - col("vhat")) * (col("x") - col("vhat")))
+          * 1e6, 4).as("mse_e6"),
+        round(max(abs(col("x") - col("vhat"))) * 1e3, 4).as("maxerr_e3"))
+      .orderBy("label")
+  }
+
+  val qEmbedQuantSql: String =
+    """WITH pe AS (SELECT vec_id, label, i AS pos,
+      |    CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS t(i)),
+      |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM pe GROUP BY pos),
+      |qt AS (SELECT vec_id, label, x, pos, mn, mx,
+      |    CASE WHEN mx = mn THEN 0
+      |      ELSE CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT)
+      |    END AS code
+      |  FROM pe JOIN st USING (pos)),
+      |re AS (SELECT vec_id, label, x, pos,
+      |    mn + code * (mx - mn) / 255.0 AS vhat FROM qt)
+      |SELECT label,
+      |  CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_vecs,
+      |  count(*) AS n_vals,
+      |  round(avg((x - vhat) * (x - vhat)) * 1e6, 4) AS mse_e6,
+      |  round(max(abs(x - vhat)) * 1e3, 4) AS maxerr_e3
+      |FROM re GROUP BY label ORDER BY label""".stripMargin
 }

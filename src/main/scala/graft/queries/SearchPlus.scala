@@ -455,4 +455,77 @@ object SearchPlus {
       |  round(sum(rel / log2(r + 1)) / sum(rel / log2(ir + 1)), 4)
       |    AS ndcg
       |FROM j ORDER BY ndcg""".stripMargin
+
+  // ─────────────── rank-biased overlap (round 6, late wave) ───────────────
+
+  private val RboDepth = 10
+  private val RboP = 0.9
+
+  /** Truncated rank-biased overlap @10 (Webber et al. 2010) between the
+    * BM25 and VSM-cosine top-10 lists — the third leg of the ranker-
+    * comparison kit next to [[qEvalInterleave]] (online) and
+    * [[qEvalNdcg]]/[[qEvalMap]] (labeled): RBO compares two rankings
+    * WITHOUT relevance labels, top-weighted so rank-1 disagreement costs
+    * more than rank-10. Reported as the depth-normalized prefix sum
+    * rbo = Σ_{d≤10} p^{d−1}·(X_d/d) / Σ_{d≤10} p^{d−1} with p = 0.9,
+    * where X_d = |A_1..d ∩ B_1..d| — a weighted average of prefix
+    * agreements, 1.0 iff the lists agree at every depth. Scale: both
+    * lists are the same term-filtered TakeOrdered top-K shapes as the
+    * RRF fusion; a doc in both lists enters the intersection at depth
+    * max(r_a, r_b), so X_d needs only the ≤10 common docs joined to a
+    * 10-row depth spine — nothing after list extraction touches the
+    * corpus. Determinism: X_d and d are exact ints; the 10 p^{d−1}
+    * doubles are identical constants in both engines and are summed in
+    * the same ascending-d order (one tiny ordered aggregate).
+    */
+  def qRankRbo(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = rankedList(
+      Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
+        .groupBy("doc_id")
+        .agg(countDistinct("term").as("nt"),
+          round(sum("s"), 4).as("score"))
+        .filter(col("nt") === 2),
+      "score")
+      .filter(col("r") <= RboDepth)
+      .select(col("doc_id"), col("r").as("ra"))
+    val sem = rankedList(vsmScored(spark, sfDir), "cos")
+      .filter(col("r") <= RboDepth)
+      .select(col("doc_id"), col("r").as("rb"))
+    // a pair's intersection entry depth = max(ra, rb); ≤10 rows survive
+    val pairs = lex.join(sem, "doc_id")
+      .select(greatest(col("ra"), col("rb")).as("entry"))
+    val spine = spark.range(1, RboDepth + 1).select(col("id").as("d"))
+    spine.join(pairs, col("entry") <= col("d"), "left")
+      .groupBy("d")
+      .agg(count(col("entry")).as("xd"))
+      .select(col("d"), col("xd"),
+        (pow(lit(RboP), col("d") - 1) * col("xd") / col("d")).as("term"),
+        pow(lit(RboP), col("d") - 1).as("wt"))
+      .sort("d")
+      .agg(max(when(col("d") === RboDepth, col("xd"))).as("overlap_at_10"),
+        round(sum("term") / sum("wt"), 4).as("rbo"))
+  }
+
+  val qRankRboSql: String =
+    s"""${Search.bm25ScoredCte(Seq("spark", "join"))},
+      |lexs AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
+      |  GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+      |lex AS (SELECT doc_id, row_number()
+      |    OVER (ORDER BY score DESC, doc_id) AS ra FROM lexs
+      |  ORDER BY score DESC, doc_id LIMIT $RboDepth),
+      |$vsmScoredCtes,
+      |sem AS (SELECT doc_id, row_number()
+      |    OVER (ORDER BY cos DESC, doc_id) AS rb FROM vsms
+      |  ORDER BY cos DESC, doc_id LIMIT $RboDepth),
+      |pairs AS (SELECT greatest(ra, rb) AS entry
+      |  FROM lex JOIN sem USING (doc_id)),
+      |xs AS (SELECT d, count(entry) AS xd,
+      |    pow($RboP, d - 1) * count(entry) / d AS term,
+      |    pow($RboP, d - 1) AS wt
+      |  FROM generate_series(1, $RboDepth) AS t(d)
+      |  LEFT JOIN pairs ON entry <= d GROUP BY d ORDER BY d)
+      |SELECT CAST(max(CASE WHEN d = $RboDepth THEN xd END) AS BIGINT)
+      |    AS overlap_at_10,
+      |  round(sum(term) / sum(wt), 4) AS rbo
+      |FROM xs ORDER BY rbo""".stripMargin
 }

@@ -142,4 +142,26 @@ class PipelineAuditSpec extends SparkSpecBase {
     assert(r.map(_.getLong(2)).sum ==
       Tables.docTerms(spark, sf).count())
   }
+
+  test("eval kappa: cells partition the corpus, κ from the rational identity") {
+    val r = queries.PipelineAudit.qEvalKappa(spark, sf).head
+    val (n11, n10, n01, n00) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val t = n11 + n10 + n01 + n00
+    assert(t == Tables.t(spark, sf, "documents").count())
+    // both off-diagonal AND both diagonal cells populated — the regime
+    // kappa is meaningful in (a degenerate matrix would make the row a
+    // tautology, not an agreement audit)
+    assert(n11 > 0 && n00 > 0 && n10 + n01 > 0)
+    val po = (n11 + n00).toDouble / t
+    val denom = ((n11 + n10) * (n10 + n00) +
+      (n11 + n01) * (n01 + n00)).toDouble
+    val kappa = 2.0 * (n11 * n00 - n10 * n01) / denom
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(4) - r4(po)) < 1e-9)
+    assert(math.abs(r.getDouble(5) - r4(kappa)) < 1e-9)
+    // the raters correlate far above chance but are not identical
+    assert(r.getDouble(5) > 0.5 && r.getDouble(5) < 1.0)
+  }
 }

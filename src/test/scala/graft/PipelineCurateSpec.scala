@@ -126,4 +126,24 @@ class PipelineCurateSpec extends SparkSpecBase {
     val expected = ev.count() - ev.select("user_id").distinct().count()
     assert(nGaps == expected)
   }
+
+  test("ngram novelty: every distinct shingle is novel exactly once") {
+    val rows = queries.PipelineCurate.qNgramNovelty(spark, sf).collect()
+    val docs = Tables.t(spark, sf, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    // each distinct corpus fingerprint has exactly one first-seen doc,
+    // so the novel counts across sources sum to the distinct count
+    val distinctShingles = docs
+      .withColumn("arr", split(col("text"), " "))
+      .select(explode(Tables.shingles3Arr(col("arr"), col("text")))
+        .as("sh"))
+      .select(Tables.md5Bucket(col("sh")))
+      .distinct().count()
+    assert(rows.map(_.getLong(3)).sum == distinctShingles)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2)) // novel ≤ shingles
+      val ppm = r.getDouble(4)
+      assert(ppm >= 0 && ppm <= 1000000.0)
+    }
+  }
 }

@@ -62,4 +62,35 @@ class PipelineSpec extends SparkSpecBase {
     val docs = Tables.t(spark, sf, "documents").count()
     assert(allBigrams == tokens - docs)
   }
+
+  test("eval AUC: counts partition the table, AUC separates label 1") {
+    val r = queries.PipelineML.qEvalAuc(spark, sf).head
+    val total = Tables.t(spark, sf, "embeddings").count()
+    val nPos = Tables.t(spark, sf, "embeddings")
+      .filter(col("label") === 1).count()
+    assert(r.getLong(0) == nPos && r.getLong(0) + r.getLong(1) == total)
+    val auc = r.getDouble(2)
+    // a centroid scorer must beat chance on its own class, and the
+    // rank-sum identity caps AUC at exactly 1
+    assert(auc > 0.5 && auc <= 1.0, s"auc=$auc")
+  }
+
+  test("embed quant: reconstruction error bounded by half a code step") {
+    val rows = queries.PipelineML.qEmbedQuant(spark, sf).collect()
+    val total = Tables.t(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)        // vecs partition
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1) * 64))
+    // widest per-dim range bounds the worst reconstruction error:
+    // |v - vhat| ≤ (mx - mn) / 255 / 2 for every value
+    val widest = Tables.t(spark, sf, "embeddings")
+      .select(posexplode(col("embedding")))
+      .groupBy("pos")
+      .agg((max(col("col").cast("double")) -
+        min(col("col").cast("double"))).as("rng"))
+      .agg(max("rng")).head.getDouble(0)
+    val bound = widest / 255.0 / 2.0 * 1e3 + 1e-9
+    assert(rows.forall(_.getDouble(4) <= bound),
+      s"maxerr_e3 above half-step bound $bound")
+    assert(rows.forall(r => r.getDouble(3) >= 0 && r.getDouble(4) >= 0))
+  }
 }

@@ -507,6 +507,34 @@ class PlanAuditSpec extends SparkSpecBase {
       s"weighted sample grew a shuffle:\n$p")
   }
 
+  test("q_embed_quant broadcasts the 64-row dim stats — no sort-merge join") {
+    // the per-dim [mn, mx] codebook is bounded at the dimensionality; a
+    // sort-merge join here would shuffle the exploded corpus on pos
+    val p = plan("q_embed_quant")
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dim-stats join fell back to sort-merge:\n$p")
+    assert(!p.contains("Window"), s"quantization grew a window:\n$p")
+  }
+
+  test("q_eval_auc windows only the score-grouped relation, never the corpus") {
+    // the rank-sum window must sit ABOVE the distinct-score aggregate —
+    // a bounded ≤20k-row domain — not over per-vector rows
+    val p = plan("q_eval_auc")
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("score"), s"window lost its score order:\n$p")
+    assert(p.contains("HashAggregate(keys=[score"),
+      s"no distinct-score aggregate under the AUC window:\n$p")
+  }
+
+  test("q_ngram_novelty joins on the shingle key — no cartesian, no window") {
+    val p = plan("q_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty grew an all-pairs shape:\n$p")
+    assert(!p.contains("Window"), s"novelty grew a window:\n$p")
+  }
+
   test("q_feature_hash aggregates partially — hash agg only, no window, no join") {
     // Two partial-aggregable groupBys: the shuffle must carry ≤ 64 rows
     // per doc (the hashed dims), never raw tokens; argmax is min-struct

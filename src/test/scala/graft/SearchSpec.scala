@@ -60,4 +60,18 @@ class SearchSpec extends SparkSpecBase {
       .filter(col("text").contains("hash join")).count()
     assert(verified == phrase.count() && verified > 0)
   }
+
+  test("rank RBO: bounded by [0,1], consistent with the prefix overlap") {
+    val r = queries.SearchPlus.qRankRbo(spark, sf).head
+    val overlap10 = r.getLong(0)
+    val rbo = r.getDouble(1)
+    assert(overlap10 >= 0 && overlap10 <= 10)
+    assert(rbo >= 0.0 && rbo <= 1.0, s"rbo=$rbo")
+    // prefix agreements X_d/d are monotonically bounded by X_10/10 + …
+    // ≥ check the two extremes: identical lists ⇒ 1.0; disjoint ⇒ 0.
+    // Here the lists share overlap10 docs, so rbo = 0 iff overlap = 0
+    // and rbo = 1 requires full agreement at EVERY depth.
+    assert((rbo == 0.0) == (overlap10 == 0))
+    if (overlap10 < 10) assert(rbo < 1.0)
+  }
 }
