@@ -362,4 +362,121 @@ object PipelineAudit {
       |    CAST((n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00)
       |      AS DOUBLE), 4) AS kappa
       |FROM c ORDER BY kappa""".stripMargin
+
+  // ───────── MinHash estimator-quality audit (round 6, late) ─────────
+
+  /** MinHash estimate vs EXACT token-set Jaccard over the LSH candidate
+    * stream, rolled up by estimate level — the sketch-accuracy audit
+    * that decides whether K=8 signatures can gate a 100 TB dedup pass
+    * (the [[qAnnRecall]] discipline applied to the dedup funnel: measure
+    * the approximation against the exact metric it replaces BEFORE
+    * trusting it). Estimates are multiples of 1/K (binary-exact); exact
+    * Jaccard travels as integer ppm (inter·10⁶ div union — the
+    * q_ngram_novelty convention), so the per-level avg error is a sum of
+    * exact ints with ONE final division onto round(4). Scale: candidates
+    * come from the shared memoized pair stream (O(Σ bucket²), never
+    * all-pairs); each doc's term set is gathered once and the pair join
+    * is on doc id alone (the q_dedup_near map-gather shape); the rollup
+    * key space is ≤ K+1 levels.
+    */
+  def qMinhashErr(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = PipelinePlus.sampleTerms(spark, sfDir)
+      .groupBy("doc_id").agg(collect_set("term").as("ts"))
+    PipelinePlus.minhashPairs(spark, sfDir)
+      .join(sets.select(col("doc_id").as("d1"), col("ts").as("t1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("ts").as("t2")), "d2")
+      .select(col("est_jaccard"),
+        size(array_intersect(col("t1"), col("t2"))).cast("long").as("inter"),
+        (size(col("t1")) + size(col("t2"))).cast("long").as("szs"))
+      .select(col("est_jaccard"),
+        expr("inter * 1000000 div (szs - inter)").as("jac_ppm"),
+        (round(col("est_jaccard") * 1000000).cast("long")).as("est_ppm"))
+      .groupBy(round(col("est_jaccard"), 4).as("est_jaccard"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("jac_ppm"), 4).as("avg_exact_ppm"),
+        round(avg(abs(col("est_ppm") - col("jac_ppm"))), 4)
+          .as("avg_abserr_ppm"),
+        max(abs(col("est_ppm") - col("jac_ppm"))).as("max_abserr_ppm"))
+      .orderBy("est_jaccard")
+  }
+
+  val qMinhashErrSql: String =
+    s"""WITH ${PipelinePlus.lshCandCte},
+      |est AS (SELECT d1, d2, avg(CASE WHEN s1.mh = s2.mh
+      |      THEN 1.0 ELSE 0.0 END) AS est_jaccard
+      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
+      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
+      |  GROUP BY d1, d2),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+      |iv AS (SELECT c.d1, c.d2, count(*) AS inter
+      |  FROM cand c JOIN dt a ON a.doc_id = c.d1
+      |    JOIN dt b ON b.doc_id = c.d2 AND b.term = a.term
+      |  GROUP BY c.d1, c.d2),
+      |p AS (SELECT e.est_jaccard,
+      |    iv.inter * 1000000 // (s1.sz + s2.sz - iv.inter) AS jac_ppm,
+      |    CAST(round(e.est_jaccard * 1000000) AS BIGINT) AS est_ppm
+      |  FROM est e JOIN iv ON iv.d1 = e.d1 AND iv.d2 = e.d2
+      |    JOIN sz s1 ON s1.doc_id = e.d1 JOIN sz s2 ON s2.doc_id = e.d2)
+      |SELECT round(est_jaccard, 4) AS est_jaccard, count(*) AS n_pairs,
+      |  round(avg(jac_ppm), 4) AS avg_exact_ppm,
+      |  round(avg(abs(est_ppm - jac_ppm)), 4) AS avg_abserr_ppm,
+      |  CAST(max(abs(est_ppm - jac_ppm)) AS BIGINT) AS max_abserr_ppm
+      |FROM p GROUP BY 1 ORDER BY est_jaccard""".stripMargin
+
+  // ───────── two-sample Kolmogorov-Smirnov drift test ─────────
+
+  /** Exact two-sample KS statistic between the `value` distributions of
+    * click vs purchase events — the distribution-drift test next to
+    * [[qDriftPsi]]'s binned PSI: KS needs no binning choice and reports
+    * WHERE the distributions diverge most. Values land on the round(2)
+    * grid first (a bounded domain — the q_eval_auc distinct-rounded-
+    * scores discipline: the ECDF window runs over grid points, never a
+    * corpus-sized single-partition sort), then D = max |F₁ − F₂| is
+    * computed in EXACT integer cross-multiplied form: per grid point,
+    * |i·m − j·n| with i, j the cumulative counts and n, m the sample
+    * sizes — the max is over exact BIGINTs, the argmax value ships with
+    * the min-value tiebreak, and ONE final division lands D on
+    * round(6). Scale: one narrow pass, one bounded-key aggregate, one
+    * bounded-domain window.
+    */
+  def qStatsKs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(round(col("value"), 2).as("v"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
+    val grid = ev.groupBy("v")
+      .agg(sum("a").as("c1"), sum("b").as("c2"))
+    val ord = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    val gaps = grid
+      .withColumn("i", sum("c1").over(ord))
+      .withColumn("j", sum("c2").over(ord))
+      .withColumn("n", sum("c1").over(all))
+      .withColumn("m", sum("c2").over(all))
+      .withColumn("gap", abs(col("i") * col("m") - col("j") * col("n")))
+    gaps
+      .orderBy(desc("gap"), asc("v"))
+      .limit(1)
+      .select(col("n").as("n_click"), col("m").as("n_purchase"),
+        col("v").as("ks_at"),
+        round(col("gap") / (col("n") * col("m")).cast("double"), 6)
+          .as("ks"))
+  }
+
+  val qStatsKsSql: String =
+    """WITH ev AS (SELECT round(value, 2) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |grid AS (SELECT v, sum(a) AS c1, sum(b) AS c2 FROM ev GROUP BY v),
+      |g AS (SELECT v,
+      |    sum(c1) OVER (ORDER BY v) AS i, sum(c2) OVER (ORDER BY v) AS j,
+      |    sum(c1) OVER () AS n, sum(c2) OVER () AS m
+      |  FROM grid)
+      |SELECT CAST(n AS BIGINT) AS n_click, CAST(m AS BIGINT) AS n_purchase,
+      |  v AS ks_at, round(abs(i * m - j * n) / CAST(n * m AS DOUBLE), 6)
+      |    AS ks
+      |FROM g ORDER BY abs(i * m - j * n) DESC, v LIMIT 1""".stripMargin
 }

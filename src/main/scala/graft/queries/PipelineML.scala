@@ -346,21 +346,42 @@ object PipelineML {
     * scores — a ≤20k-row bounded domain at any corpus size, never a
     * corpus-sized single-partition sort.
     */
-  def qEvalAuc(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (label, score): every vector scored by round(4) cosine to the
+    * label-1 class centroid — the one-vs-rest nearest-class-mean
+    * classifier [[qEvalAuc]] evaluates and [[qEvalCalibration]] bins.
+    * The centroid is a 64-row broadcast (partial-aggregable posexplode
+    * avg, per-position round(4) — the q_sim_centroids determinism
+    * precedent); scoring is one narrow codegen'd pass. */
+  private def centScored(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.t(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    // label-1 centroid, per-position avg rounded to 4 (the
-    // q_sim_centroids cross-engine determinism precedent), re-gathered
-    // into position order
     val cent = emb.filter(col("label") === 1)
       .select(posexplode(col("v")))
       .groupBy("pos").agg(round(avg("col"), 4).as("c"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(transform(col("pc"), x => x.getField("c")).as("cv"))
-    val scored = emb.crossJoin(broadcast(cent))
+    emb.crossJoin(broadcast(cent))
       .select(col("label"),
         round(VectorOps.cosine(col("v"), col("cv")), 4).as("score"))
+  }
+
+  /** DuckDB mirror of [[centScored]] — CTE prologue ending in
+    * `scored(label, score)`. */
+  private val centScoredCte: String =
+    """ed AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |cent AS (SELECT i AS pos, round(avg(v[i]), 4) AS c
+      |  FROM ed, unnest(generate_series(1, len(v))) AS t(i)
+      |  WHERE label = 1 GROUP BY i),
+      |cv AS (SELECT list(c ORDER BY pos) AS cv FROM cent),
+      |scored AS (SELECT label,
+      |    round(list_cosine_similarity(e.v, cv.cv), 4) AS score
+      |  FROM ed e CROSS JOIN cv)""".stripMargin
+
+  def qEvalAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = centScored(spark, sfDir)
     val grp = scored.groupBy("score")
       .agg(count(lit(1)).as("g"),
         sum(when(col("label") === 1, 1L).otherwise(0L)).as("pg"))
@@ -375,16 +396,7 @@ object PipelineML {
   }
 
   val qEvalAucSql: String =
-    """WITH ed AS (SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
-      |cent AS (SELECT i AS pos, round(avg(v[i]), 4) AS c
-      |  FROM ed, unnest(generate_series(1, len(v))) AS t(i)
-      |  WHERE label = 1 GROUP BY i),
-      |cv AS (SELECT list(c ORDER BY pos) AS cv FROM cent),
-      |scored AS (SELECT label,
-      |    round(list_cosine_similarity(e.v, cv.cv), 4) AS score
-      |  FROM ed e CROSS JOIN cv),
+    s"""WITH $centScoredCte,
       |grp AS (SELECT score, count(*) AS g,
       |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pg
       |  FROM scored GROUP BY score),
@@ -458,4 +470,106 @@ object PipelineML {
       |  round(avg((x - vhat) * (x - vhat)) * 1e6, 4) AS mse_e6,
       |  round(max(abs(x - vhat)) * 1e3, 4) AS maxerr_e3
       |FROM re GROUP BY label ORDER BY label""".stripMargin
+
+  // ───────── classifier calibration: 10-bin reliability / ECE ─────────
+
+  /** Reliability diagram + expected calibration error of the
+    * [[centScored]] one-vs-rest classifier — the audit that decides
+    * whether a quality scorer's CONFIDENCE can gate documents (an AUC of
+    * 0.9 says nothing about whether "score 0.8" means 80%). Scores
+    * (cosine ∈ [−1, 1]) map to 10 equal-width bins via exact integer
+    * arithmetic on the round(4) grid: e4 = round(score·10⁴) is an exact
+    * int, bin = least((e4 + 10⁴)·10 div (2·10⁴), 9). Per bin: n, mean
+    * confidence as (score+1)/2, positive rate — both kept rational
+    * (integer sums, one division) — and the |conf − acc| gap; the ECE
+    * column is the n-weighted gap sum over the ≤10 bins (a broadcast
+    * window over a bounded domain). Scale: one narrow scoring pass, one
+    * 10-key partial-aggregable shuffle.
+    */
+  def qEvalCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = centScored(spark, sfDir)
+      .withColumn("e4", round(col("score") * 10000).cast("long"))
+      .withColumn("bin",
+        least(expr("(e4 + 10000) * 10 div 20000"), lit(9L)))
+    val bins = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum("e4").as("se4"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("pos"))
+      .withColumn("conf",
+        round((col("se4") / (col("n") * 10000.0) + 1.0) / 2.0, 4))
+      .withColumn("acc", round(col("pos") / col("n").cast("double"), 4))
+      .withColumn("gap", round(abs(
+        (col("se4") / (col("n") * 10000.0) + 1.0) / 2.0 -
+          col("pos") / col("n").cast("double")), 4))
+    val all = Window.partitionBy()
+    bins
+      .withColumn("ece", round(
+        sum(col("n") * abs(
+          (col("se4") / (col("n") * 10000.0) + 1.0) / 2.0 -
+            col("pos") / col("n").cast("double"))).over(all) /
+          sum("n").over(all), 4))
+      .select("bin", "n", "conf", "acc", "gap", "ece")
+      .orderBy("bin")
+  }
+
+  val qEvalCalibrationSql: String =
+    s"""WITH $centScoredCte,
+      |b AS (SELECT label, CAST(round(score * 10000) AS BIGINT) AS e4
+      |  FROM scored),
+      |bn AS (SELECT least((e4 + 10000) * 10 // 20000, 9) AS bin,
+      |    count(*) AS n, sum(e4) AS se4,
+      |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pos
+      |  FROM b GROUP BY 1)
+      |SELECT bin, n,
+      |  round((se4 / (n * 10000.0) + 1.0) / 2.0, 4) AS conf,
+      |  round(pos / CAST(n AS DOUBLE), 4) AS acc,
+      |  round(abs((se4 / (n * 10000.0) + 1.0) / 2.0
+      |    - pos / CAST(n AS DOUBLE)), 4) AS gap,
+      |  round(sum(n * abs((se4 / (n * 10000.0) + 1.0) / 2.0
+      |      - pos / CAST(n AS DOUBLE))) OVER ()
+      |    / sum(n) OVER (), 4) AS ece
+      |FROM bn ORDER BY bin""".stripMargin
+
+  // ───────── clustering-quality eval: purity vs labels ─────────
+
+  /** Per-cluster label purity of the [[qKmeansIter]] nearest-seed
+    * assignment against the embedding labels — the external-validity
+    * check a pipeline runs before trusting cluster ids for
+    * [[qSemdedup]]-style semantic dedup or stratified sampling. Majority
+    * label per cluster with the min-label tiebreak (engine-portable:
+    * counts are exact ints); purity = top_n/n is one exact-rational
+    * division onto round(4). Scale: the assignment pass is the shared
+    * broadcast-k shape; the (cluster, label) aggregate is a bounded
+    * k×|labels| key space — partial-aggregable, tiny exchange.
+    */
+  def qClusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val lbl = Tables.t(spark, sfDir, "embeddings").select("vec_id", "label")
+    val cl = assign(spark, sfDir).select("vec_id", "cluster")
+      .join(lbl, "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("nl"))
+    val byCl = Window.partitionBy("cluster")
+      .orderBy(desc("nl"), asc("label"))
+    cl.withColumn("rk", row_number().over(byCl))
+      .withColumn("n", sum("nl").over(Window.partitionBy("cluster")))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("n").as("n_vecs"),
+        col("label").cast("long").as("top_label"), col("nl").as("top_n"),
+        round(col("nl") / col("n").cast("double"), 4).as("purity"))
+      .orderBy("cluster")
+  }
+
+  val qClusterPuritySql: String =
+    s"""WITH $assignSql,
+      |cl AS (SELECT a.cluster, e.label, count(*) AS nl
+      |  FROM asg a JOIN embeddings e USING (vec_id)
+      |  GROUP BY a.cluster, e.label),
+      |r AS (SELECT cluster, label, nl,
+      |    row_number() OVER (PARTITION BY cluster
+      |      ORDER BY nl DESC, label) AS rk,
+      |    sum(nl) OVER (PARTITION BY cluster) AS n
+      |  FROM cl)
+      |SELECT cluster, CAST(n AS BIGINT) AS n_vecs,
+      |  CAST(label AS BIGINT) AS top_label, nl AS top_n,
+      |  round(nl / CAST(n AS DOUBLE), 4) AS purity
+      |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin
 }

@@ -192,4 +192,61 @@ object PipelineText {
       |    / (SELECT total FROM tot), 4) AS cum_share
       |FROM tf WHERE tf >= 5
       |ORDER BY rank LIMIT 100""".stripMargin
+
+  // ───────── tokenizer fertility by language (round 6, late) ─────────
+
+  /** Tokenizer fertility per language — tokens-per-word and
+    * chars-per-token under the q_token_count tokenizer family (estimated
+    * BPE = ceil(chars/4), regex word tokens, whitespace words): the
+    * metric that decides whether one tokenizer is acceptable across a
+    * multilingual corpus before a 100 TB tokenization run (high-fertility
+    * languages inflate training cost and context usage). Per-doc ratios
+    * travel as exact integer ppm (the q_ngram_novelty `div` convention),
+    * so the per-language means are averages of exact ints with one
+    * division onto round(4). Scale: one narrow pass, one bounded-key
+    * (|langs|) partial-aggregable shuffle — a pure map stage at any
+    * corpus size.
+    */
+  def qTokFertility(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long")
+          .as("re"),
+        ceil(length(col("text")).cast("double") / 4).cast("long")
+          .as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .select(col("lang"),
+        col("ws"), col("bpe"),
+        expr("bpe * 1000000 div ws").as("fert_ppm"),
+        expr("re * 1000000 div ws").as("word_ppm"),
+        expr("chars * 1000000 div bpe").as("cpt_ppm"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("n_words"),
+        sum("bpe").as("n_tokens"),
+        round(avg("fert_ppm"), 4).as("avg_fert_ppm"),
+        round(avg("word_ppm"), 4).as("avg_word_ppm"),
+        round(avg("cpt_ppm"), 4).as("avg_cpt_ppm"))
+      .orderBy("lang")
+
+  val qTokFertilitySql: String =
+    """WITH d AS (SELECT lang,
+      |    len(string_split(text, ' ')) AS ws,
+      |    len(regexp_extract_all(text, '[a-z0-9]+')) AS re,
+      |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe,
+      |    length(text) AS chars
+      |  FROM documents),
+      |p AS (SELECT lang, ws, bpe,
+      |    bpe * 1000000 // ws AS fert_ppm,
+      |    re * 1000000 // ws AS word_ppm,
+      |    chars * 1000000 // bpe AS cpt_ppm
+      |  FROM d)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(ws) AS BIGINT) AS n_words,
+      |  CAST(sum(bpe) AS BIGINT) AS n_tokens,
+      |  round(avg(fert_ppm), 4) AS avg_fert_ppm,
+      |  round(avg(word_ppm), 4) AS avg_word_ppm,
+      |  round(avg(cpt_ppm), 4) AS avg_cpt_ppm
+      |FROM p GROUP BY lang ORDER BY lang""".stripMargin
 }

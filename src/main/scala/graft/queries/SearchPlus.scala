@@ -528,4 +528,72 @@ object SearchPlus {
       |    AS overlap_at_10,
       |  round(sum(term) / sum(wt), 4) AS rbo
       |FROM xs ORDER BY rbo""".stripMargin
+
+  // ───────── multi-query ranking eval: MRR@10 (round 6, late) ─────────
+
+  private val MrrQueries = Seq("spark", "join", "merge", "data")
+
+  /** MRR@10 over a 4-query workload — the first eval here that averages
+    * ACROSS queries ([[qEvalNdcg]]/[[qEvalMap]] grade one query): each
+    * term is its own single-term BM25 ranking, relevance is tf ≥ 2 of
+    * that term (the q_eval_map convention), and the query's score is the
+    * reciprocal of its FIRST relevant rank in the top 10 (0 if none).
+    * Scale: one bm25Scored pass covers all queries (postings of 4 terms,
+    * never the corpus); the per-query top-10 is a rank window
+    * PARTITIONED on term (the WindowGroupLimit shape — each partition is
+    * one term's postings); the eval then touches ≤ 40 rows. Determinism:
+    * ranks and relevance are exact ints; rr = 1/k is one division; mrr
+    * averages 4 such doubles (fixed tiny set, round(4) grid).
+    */
+  def qEvalMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTerm = Window.partitionBy("term")
+      .orderBy(desc("score"), asc("doc_id"))
+    val ranked = Search.bm25Scored(spark, sfDir, MrrQueries)
+      .select(col("term"), col("doc_id"), round(col("s"), 4).as("score"))
+      .withColumn("r", row_number().over(byTerm))
+      .filter(col("r") <= 10)
+    val rel = graft.Tables.tokens(spark, sfDir)
+      .filter(col("term").isin(MrrQueries: _*))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= 2)
+      .select("term", "doc_id")
+    val firstRel = ranked.join(rel, Seq("term", "doc_id"))
+      .groupBy("term").agg(min("r").as("first_rel_rank"))
+    import spark.implicits._
+    val spine = MrrQueries.toDF("term")
+    spine.join(firstRel, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("first_rel_rank"), lit(0)).cast("long")
+          .as("first_rel_rank"),
+        round(coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)), 4)
+          .as("rr"))
+      .withColumn("mrr", round(avg(
+        when(col("first_rel_rank") > 0,
+          lit(1.0) / col("first_rel_rank")).otherwise(lit(0.0)))
+        .over(Window.partitionBy()), 4))
+      .orderBy("term")
+  }
+
+  val qEvalMrrSql: String = {
+    val in = MrrQueries.map(t => s"'$t'").mkString(", ")
+    s"""${Search.bm25ScoredCte(MrrQueries)},
+      |ranked AS (SELECT term, doc_id, round(s, 4) AS score,
+      |    row_number() OVER (PARTITION BY term
+      |      ORDER BY round(s, 4) DESC, doc_id) AS r
+      |  FROM scored),
+      |rel AS (SELECT term, doc_id FROM tok WHERE term IN ($in)
+      |  GROUP BY term, doc_id HAVING count(*) >= 2),
+      |fr AS (SELECT term, min(r) AS first_rel_rank
+      |  FROM ranked JOIN rel USING (term, doc_id)
+      |  WHERE r <= 10 GROUP BY term),
+      |sp AS (SELECT unnest([$in]) AS term),
+      |rows_ AS (SELECT sp.term,
+      |    CAST(coalesce(first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+      |    round(coalesce(1.0 / first_rel_rank, 0.0), 4) AS rr,
+      |    coalesce(1.0 / first_rel_rank, 0.0) AS rr_raw
+      |  FROM sp LEFT JOIN fr ON fr.term = sp.term)
+      |SELECT term, first_rel_rank, rr,
+      |  round(avg(rr_raw) OVER (), 4) AS mrr
+      |FROM rows_ ORDER BY term""".stripMargin
+  }
 }

@@ -164,4 +164,49 @@ class PipelineAuditSpec extends SparkSpecBase {
     // the raters correlate far above chance but are not identical
     assert(r.getDouble(5) > 0.5 && r.getDouble(5) < 1.0)
   }
+
+  test("minhash error audit: covers every candidate pair, est on the 1/8 grid") {
+    val rows = queries.PipelineAudit.qMinhashErr(spark, sf).collect()
+    val nPairs = queries.PipelinePlus.minhashPairsUncached(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nPairs, "audit dropped pairs")
+    rows.foreach { r =>
+      val est = r.getDouble(0)
+      assert((est * 8).isWhole && est >= 0.25 && est <= 1.0,
+        s"est=$est off the K=8 grid (banding guarantees ≥ one 2-row band)")
+      // ppm values live in [0, 1e6]; the error can't exceed the range
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1e6)
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1e6)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1e6.toLong)
+      assert(r.getDouble(3) <= r.getLong(4).toDouble, "avg err > max err")
+    }
+    // the estimator must be INFORMATIVE: perfect-signature pairs carry a
+    // higher mean exact Jaccard than the lowest-signature level
+    if (rows.length > 1) {
+      val byEst = rows.sortBy(_.getDouble(0))
+      assert(byEst.last.getDouble(2) > byEst.head.getDouble(2),
+        "exact Jaccard does not increase with the signature estimate")
+    }
+  }
+
+  test("KS statistic matches a brute-force ECDF sweep") {
+    val r = queries.PipelineAudit.qStatsKs(spark, sf).head
+    val (n, m, ks) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+    val ev = Tables.t(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").collect()
+    val a = ev.filter(_.getString(0) == "click").map(_.getDouble(1)).sorted
+    val b = ev.filter(_.getString(0) == "purchase").map(_.getDouble(1)).sorted
+    assert(a.length == n && b.length == m)
+    val grid = (a ++ b).distinct.sorted
+    val brute = grid.map { v =>
+      val i = a.count(_ <= v).toLong
+      val j = b.count(_ <= v).toLong
+      math.abs(i * m - j * n)
+    }.max
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(ks - r6(brute.toDouble / (n * m))) < 1e-9,
+      s"ks=$ks vs brute ${brute.toDouble / (n * m)}")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
 }

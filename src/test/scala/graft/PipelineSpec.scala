@@ -93,4 +93,39 @@ class PipelineSpec extends SparkSpecBase {
       s"maxerr_e3 above half-step bound $bound")
     assert(rows.forall(r => r.getDouble(3) >= 0 && r.getDouble(4) >= 0))
   }
+
+  test("eval calibration: bins partition the table, ece = weighted gap mean") {
+    val rows = queries.PipelineML.qEvalCalibration(spark, sf).collect()
+    val total = Tables.t(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.forall { r =>
+      val (bin, conf, acc, gap) =
+        (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      bin >= 0 && bin <= 9 &&
+        conf >= 0.0 && conf <= 1.0 && acc >= 0.0 && acc <= 1.0 &&
+        // gap is |conf − acc| re-rounded; the two inputs are themselves
+        // round(4) projections of the same exact rationals
+        math.abs(gap - math.abs(conf - acc)) < 2e-4
+    })
+    val ece = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == ece), "ece must be constant")
+    val recomputed = rows.map(r => r.getLong(1) * r.getDouble(4)).sum /
+      rows.map(_.getLong(1)).sum
+    assert(math.abs(ece - recomputed) < 2e-4, s"ece=$ece vs $recomputed")
+    assert(ece >= 0.0 && ece <= 1.0)
+  }
+
+  test("cluster purity: clusters partition the table, majority is majority") {
+    val rows = queries.PipelineML.qClusterPurity(spark, sf).collect()
+    val total = Tables.t(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (n, topN, purity) = (r.getLong(1), r.getLong(3), r.getDouble(4))
+      assert(topN >= 1 && topN <= n)
+      // majority of a 10-label space is at least n/10 rounded down
+      assert(topN * 10 >= n, s"top_n=$topN can't be the majority of $n")
+      assert(math.abs(purity - topN.toDouble / n) < 1e-4)
+      assert(purity > 0.0 && purity <= 1.0)
+    }
+  }
 }

@@ -57,4 +57,20 @@ class PipelineTextSpec extends SparkSpecBase {
     assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
     assert(shares.last <= 1.0001)
   }
+
+  test("tokenizer fertility: languages partition the corpus, ratios bounded") {
+    val rows = queries.PipelineText.qTokFertility(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    rows.foreach { r =>
+      val fert = r.getDouble(4)
+      val cpt = r.getDouble(6)
+      // ≥ 1e6: a 4-char-per-token estimate can't shrink below one token
+      // per word on a space-separated corpus (every word ≥ 1 char)
+      assert(fert >= 1e6 * 0.5 && fert <= 4e6, s"fert_ppm=$fert")
+      // chars/token ≤ 4 exactly (bpe = ceil(chars/4)); ≥ 3.5 because
+      // every doc here is ≥ 100 chars so the ceil slack is ≤ 1/25
+      assert(cpt <= 4e6 && cpt > 3.5e6, s"cpt_ppm=$cpt")
+      assert(r.getDouble(5) > 0, "regex tokens vanished")
+    }
+  }
 }

@@ -560,4 +560,49 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(!p.contains("Join"), s"$q grew a join:\n$p")
     }
   }
+
+  test("q_stats_ks windows the bounded value grid, never the event stream") {
+    // the ECDF cumsum must sit ABOVE the distinct-rounded-value
+    // aggregate (a ≤|grid|-row domain), not over per-event rows
+    val p = plan("q_stats_ks")
+    assert(p.contains("HashAggregate(keys=[v"),
+      s"no distinct-value aggregate under the ECDF window:\n$p")
+    assert(!p.contains("Join"), s"KS grew a join:\n$p")
+    assert(p.contains("TakeOrdered"),
+      s"argmax row should be a TakeOrdered top-1, not a global sort:\n$p")
+  }
+
+  test("q_minhash_err joins candidates on doc id only — no all-pairs shape") {
+    val p = plan("q_minhash_err")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"audit grew an all-pairs shape:\n$p")
+    assert(!p.contains("Window"), s"audit grew a window:\n$p")
+  }
+
+  test("q_eval_calibration windows only the ≤10-bin aggregate") {
+    val p = plan("q_eval_calibration")
+    assert(p.contains("HashAggregate(keys=[bin"),
+      s"no per-bin aggregate under the ECE window:\n$p")
+    // scoring is the broadcast-centroid pass; the only SMJ-able relation
+    // is 10 rows, so none may appear
+    assert(!p.contains("SortMergeJoin"), s"calibration sort-merged:\n$p")
+  }
+
+  test("q_eval_mrr ranks within term partitions — no corpus-wide rank window") {
+    val p = plan("q_eval_mrr")
+    val rankLine = p.linesIterator
+      .find(l => l.contains("row_number()") && l.contains("Window"))
+      .getOrElse("")
+    assert(rankLine.contains("term"),
+      s"rank window not partitioned on term:\n$rankLine\n$p")
+    assert(!p.contains("CartesianProduct"), s"mrr grew a cartesian:\n$p")
+  }
+
+  test("q_tok_fertility is one aggregate pass — no window, no join") {
+    val p = plan("q_tok_fertility")
+    assert(p.contains("HashAggregate"), s"lost hash aggregation:\n$p")
+    assert(!p.contains("Window"), s"fertility grew a window:\n$p")
+    assert(!p.contains("Join"), s"fertility grew a join:\n$p")
+  }
 }

@@ -74,4 +74,24 @@ class SearchSpec extends SparkSpecBase {
     assert((rbo == 0.0) == (overlap10 == 0))
     if (overlap10 < 10) assert(rbo < 1.0)
   }
+
+  test("eval MRR: one row per query, rr = 1/first relevant rank, mrr = mean") {
+    val rows = queries.SearchPlus.qEvalMrr(spark, sf).collect()
+    assert(rows.length == 4)
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rrs = rows.map { r =>
+      val k = r.getLong(1)
+      assert(k >= 0 && k <= 10, s"first_rel_rank=$k out of top-10 range")
+      val rr = if (k > 0) 1.0 / k else 0.0
+      assert(math.abs(r.getDouble(2) - r4(rr)) < 1e-9)
+      rr
+    }
+    val mrr = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) == mrr), "mrr must be constant")
+    assert(math.abs(mrr - r4(rrs.sum / rrs.length)) < 1e-9)
+    // the corpus words are common enough that at least one query must
+    // find a relevant doc in its top 10 — otherwise the metric is vacuous
+    assert(rrs.sum > 0.0)
+  }
 }
