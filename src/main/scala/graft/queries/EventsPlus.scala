@@ -425,4 +425,99 @@ object EventsPlus {
       |  (dau.dau * 1000000) // wau.wau AS stickiness_ppm
       |FROM days d JOIN dau USING (dayn) JOIN wau USING (dayn)
       |ORDER BY d.dayn""".stripMargin
+
+  // ───────── hour-of-day seasonality profile (round 6, late) ─────────
+
+  /** Hour-of-day activity profile per event type — the seasonality
+    * audit behind capacity planning and anomaly baselines (is traffic
+    * diurnal, and how concentrated): per type, total events, the peak
+    * hour (argmax count, min-hour tiebreak — exact ints), its ppm share,
+    * and how many of the 24 hours are active. Everything is integer
+    * arithmetic on a ≤|types|×24 aggregate; the argmax is a min-struct
+    * over 24 rows per type, not a window. Scale: one narrow pass, one
+    * bounded-key partial-aggregable shuffle.
+    */
+  def qEvtSeasonality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(sum("cnt").as("n"),
+        max(struct(col("cnt"), (-col("h")).as("nh"))).as("pk"),
+        count(lit(1)).as("n_active_hours"))
+      .select(col("event_type"), col("n"),
+        (-col("pk.nh")).cast("long").as("peak_hour"),
+        col("pk.cnt").as("peak_cnt"),
+        expr("pk.cnt * 1000000 div n").as("peak_share_ppm"),
+        col("n_active_hours"))
+      .orderBy("event_type")
+
+  val qEvtSeasonalitySql: String =
+    """WITH hh AS (SELECT event_type, hour(ts) AS h, count(*) AS cnt
+      |  FROM events GROUP BY event_type, hour(ts)),
+      |ag AS (SELECT event_type, sum(cnt) AS n, count(*) AS n_active_hours
+      |  FROM hh GROUP BY event_type),
+      |pk AS (SELECT event_type, h, cnt, row_number()
+      |    OVER (PARTITION BY event_type ORDER BY cnt DESC, h) AS rk
+      |  FROM hh)
+      |SELECT ag.event_type, CAST(ag.n AS BIGINT) AS n,
+      |  CAST(pk.h AS BIGINT) AS peak_hour,
+      |  CAST(pk.cnt AS BIGINT) AS peak_cnt,
+      |  pk.cnt * 1000000 // ag.n AS peak_share_ppm,
+      |  ag.n_active_hours
+      |FROM ag JOIN pk USING (event_type) WHERE pk.rk = 1
+      |ORDER BY ag.event_type""".stripMargin
+
+  // ───────── winsorized robust stats (round 6, late) ─────────
+
+  /** Winsorization audit per event type: p01/p99 bounds (round(4) — the
+    * q_agg_percentile percentile↔percentile_cont parity), the count
+    * clipped at each tail, and the post-clip mean — the robust-stats
+    * prep that decides outlier handling before a value column feeds
+    * normalization at 100 TB. The clipped mean is kept EXACT: clamped
+    * values land on the 1e-4 grid by construction (raw values are
+    * 2-decimal, bounds are round(4)), so each ships as
+    * round(clamp·10⁴) — an exact BIGINT — and one final division onto
+    * round(4). Scale: the bounds are a |types|-row broadcast; clipping
+    * is a narrow second pass; both aggregates are partial-aggregable.
+    */
+  def qWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("event_type", "value")
+    val bounds = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.01)"), 4).as("lo"),
+        round(expr("percentile(value, 0.99)"), 4).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("clamp", greatest(col("lo"), least(col("hi"), col("value"))))
+      .withColumn("ce4", round(col("clamp") * 10000).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        min("lo").as("lo"), min("hi").as("hi"),
+        sum("ce4").as("sce4"))
+      .select(col("event_type"), col("n"), col("n_lo"), col("n_hi"),
+        col("lo"), col("hi"),
+        round(col("sce4") / (col("n") * 10000.0), 4).as("clipped_mean"))
+      .orderBy("event_type")
+  }
+
+  val qWinsorizeSql: String =
+    """WITH b AS (SELECT event_type,
+      |    round(percentile_cont(0.01) WITHIN GROUP (ORDER BY value), 4)
+      |      AS lo,
+      |    round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 4)
+      |      AS hi
+      |  FROM events GROUP BY event_type),
+      |c AS (SELECT e.event_type, e.value, b.lo, b.hi,
+      |    CAST(round(greatest(b.lo, least(b.hi, e.value)) * 10000)
+      |      AS BIGINT) AS ce4
+      |  FROM events e JOIN b USING (event_type))
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_lo,
+      |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hi,
+      |  min(lo) AS lo, min(hi) AS hi,
+      |  round(sum(ce4) / (count(*) * 10000.0), 4) AS clipped_mean
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -165,4 +165,39 @@ object Pipeline {
       |FROM (SELECT string_split(text, ' ') AS arr FROM documents) d,
       |  unnest(generate_series(1, len(arr) - 1)) AS t(i)
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  // ───────── exact-duplicate family histogram (round 6, late) ─────────
+
+  /** Size distribution of exact-duplicate families — the corpus-health
+    * view behind [[qDedupExact]]: not WHICH docs to keep but how much of
+    * the corpus is duplicated at what multiplicity (the number a dedup
+    * pass reports before anyone approves deleting 100 TB × share of
+    * data). Two partial-aggregable integer aggregates: md5 → family
+    * size, size → family count; doc shares ship as exact ppm. The
+    * second groupBy's key space is ≤ max-multiplicity — tiny at any
+    * corpus size.
+    */
+  def qDupFamilies(spark: SparkSession, sfDir: String): DataFrame = {
+    val fam = Tables.t(spark, sfDir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("fam_size"))
+    fam.groupBy("fam_size")
+      .agg(count(lit(1)).as("n_families"))
+      .withColumn("n_docs", col("fam_size") * col("n_families"))
+      .withColumn("doc_share_ppm",
+        expr("n_docs * 1000000 div sum(n_docs) over ()"))
+      .select("fam_size", "n_families", "n_docs", "doc_share_ppm")
+      .orderBy("fam_size")
+  }
+
+  val qDupFamiliesSql: String =
+    """WITH fam AS (SELECT md5(text) AS h, count(*) AS fam_size
+      |  FROM documents GROUP BY md5(text)),
+      |hist AS (SELECT fam_size, count(*) AS n_families,
+      |    fam_size * count(*) AS n_docs
+      |  FROM fam GROUP BY fam_size)
+      |SELECT fam_size, n_families, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_docs * 1000000 // sum(n_docs) OVER () AS BIGINT)
+      |    AS doc_share_ppm
+      |FROM hist ORDER BY fam_size""".stripMargin
 }

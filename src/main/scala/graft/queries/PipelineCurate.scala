@@ -446,4 +446,51 @@ object PipelineCurate {
       |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
       |  round(avg(n_novel * 1000000 // n_sh), 4) AS avg_novel_ppm
       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
+  // ───────── source-mix divergence audit (round 6, late) ─────────
+
+  /** Per-source KL divergence of the language distribution against the
+    * corpus mix — the audit behind [[qMixSample]]-style re-weighting: a
+    * source whose language profile diverges from the target mix is
+    * exactly the one a mixing pass must up/down-weight, and KL is the
+    * number that ranks them. KL(P_src ‖ P_corpus) = Σ_l p·ln(p/q) with
+    * p, q exact count ratios — every ln argument is a ratio of exact
+    * BIGINTs ((c_sl·N)/(n_s·c_l)), the sum spans ≤ |langs| terms, and
+    * one round(4) lands it (the q_ngram_lm ln-of-rationals precedent).
+    * KL ≥ 0 with equality iff the source matches the mix. Scale: two
+    * bounded-key aggregates (|src|×|langs|, |langs|) and a broadcast
+    * join — a pure map-side shape at any corpus size.
+    */
+  def qSourceMixKl(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.t(spark, sfDir, "documents").select("source", "lang")
+    val sl = d.groupBy("source", "lang").agg(count(lit(1)).as("csl"))
+    val l = d.groupBy("lang").agg(count(lit(1)).as("cl"))
+    val n = d.agg(count(lit(1)).as("nn"))
+    sl.join(broadcast(l), "lang")
+      .crossJoin(broadcast(n))
+      .withColumn("ns",
+        sum("csl").over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(max("ns").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(sum((col("csl") / col("ns").cast("double")) *
+          log((col("csl") * col("nn")) /
+            (col("ns") * col("cl")).cast("double"))), 4).as("kl"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("kl"))
+      .orderBy("source")
+  }
+
+  val qSourceMixKlSql: String =
+    """WITH sl AS (SELECT source, lang, count(*) AS csl
+      |  FROM documents GROUP BY source, lang),
+      |l AS (SELECT lang, count(*) AS cl FROM documents GROUP BY lang),
+      |n AS (SELECT count(*) AS nn FROM documents),
+      |w AS (SELECT sl.source, sl.lang, sl.csl, l.cl, n.nn,
+      |    sum(sl.csl) OVER (PARTITION BY sl.source) AS ns
+      |  FROM sl JOIN l USING (lang) CROSS JOIN n)
+      |SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+      |  count(*) AS n_langs,
+      |  round(sum((csl / CAST(ns AS DOUBLE)) *
+      |    ln((csl * nn) / CAST(ns * cl AS DOUBLE))), 4) AS kl
+      |FROM w GROUP BY source ORDER BY source""".stripMargin
 }

@@ -249,4 +249,48 @@ object PipelineText {
       |  round(avg(word_ppm), 4) AS avg_word_ppm,
       |  round(avg(cpt_ppm), 4) AS avg_cpt_ppm
       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ───────── cross-language vocabulary overlap (round 6, late) ─────────
+
+  /** Pairwise vocabulary Jaccard between language slices — the audit
+    * that decides whether one tokenizer/vocab can serve a multilingual
+    * corpus (high overlap → shared vocab; low → per-language budget).
+    * Each language's vocabulary is the distinct-term set of its docs;
+    * pairs join on TERM (the vocabulary relation — bounded by |vocab|,
+    * never the corpus: the per-lang distinct aggregate is the only pass
+    * that sees documents, and it's partial-aggregable). Jaccard is a
+    * ratio of exact ints, one division onto round(4); l1 < l2 keys the
+    * |langs|² bounded output.
+    */
+  def qVocabOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val lv = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val sz = lv.groupBy("lang").agg(count(lit(1)).as("sz"))
+    val inter = lv.toDF("l1", "term")
+      .join(lv.toDF("l2", "t2"),
+        col("term") === col("t2") && col("l1") < col("l2"))
+      .groupBy("l1", "l2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sz.toDF("l1", "s1")), "l1")
+      .join(broadcast(sz.toDF("l2", "s2")), "l2")
+      .select(col("l1"), col("l2"), col("s1"), col("s2"), col("inter"),
+        round(col("inter") /
+          (col("s1") + col("s2") - col("inter")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy("l1", "l2")
+  }
+
+  val qVocabOverlapSql: String =
+    """WITH lv AS (SELECT DISTINCT lang,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |sz AS (SELECT lang, count(*) AS sz FROM lv GROUP BY lang),
+      |iv AS (SELECT a.lang AS l1, b.lang AS l2, count(*) AS inter
+      |  FROM lv a JOIN lv b ON a.term = b.term AND a.lang < b.lang
+      |  GROUP BY a.lang, b.lang)
+      |SELECT l1, l2, s1.sz AS s1, s2.sz AS s2, inter,
+      |  round(inter / CAST(s1.sz + s2.sz - inter AS DOUBLE), 4)
+      |    AS jaccard
+      |FROM iv JOIN sz s1 ON s1.lang = l1 JOIN sz s2 ON s2.lang = l2
+      |ORDER BY l1, l2""".stripMargin
 }

@@ -68,6 +68,8 @@ object Search {
   // Shared oracle CTEs (DuckDB side of the same pipeline).
   private val tokSql =
     "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+  /** [[tokSql]] for sibling query objects (q_topic_lodds). */
+  private[queries] val tokSqlPublic: String = tokSql
   private[queries] val tfidfCte: String =
     s"""WITH tok AS ($tokSql),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok

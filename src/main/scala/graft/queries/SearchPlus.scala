@@ -596,4 +596,65 @@ object SearchPlus {
       |  round(avg(rr_raw) OVER (), 4) AS mrr
       |FROM rows_ ORDER BY term""".stripMargin
   }
+
+  // ───────── per-source distinctive terms: log-odds (round 6, late) ─────────
+
+  /** Top-3 distinctive terms per source by smoothed log-odds ratio — the
+    * "what is this source actually about" audit (Monroe et al. 2008
+    * shape with +1 smoothing): lodds = ln((c_st+1)/(n_s−c_st+1)) −
+    * ln((c_rest+1)/(n_rest−c_rest+1)), i.e. the term's in-source odds
+    * against its odds everywhere else. Complements [[qKeywords]]' TF-IDF
+    * (which favors rarity) with a contrastive statistic. Scale: ONE
+    * corpus pass builds the (source, term) count relation; everything
+    * after — the marginal windows, the log-odds, the per-source rank —
+    * runs over the |sources|×|vocab| bounded relation, never documents.
+    * Determinism: every ln argument is a ratio of exact BIGINTs; ranks
+    * compare the round(4) value with the term tiebreak.
+    */
+  def qTopicLodds(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = graft.Tables.tokens(spark, sfDir)
+      .join(graft.Tables.t(spark, sfDir, "documents")
+        .select("doc_id", "source"), "doc_id")
+      .groupBy("source", "term").agg(count(lit(1)).as("cst"))
+    val wT = Window.partitionBy("term")
+    val wS = Window.partitionBy("source")
+    val scored = st
+      .withColumn("ct", sum("cst").over(wT))
+      .withColumn("ns", sum("cst").over(wS))
+      .withColumn("nn", sum("cst").over(Window.partitionBy()))
+      .withColumn("crest", col("ct") - col("cst"))
+      .withColumn("nrest", col("nn") - col("ns"))
+      .withColumn("lodds", round(
+        log((col("cst") + 1) / (col("ns") - col("cst") + 1).cast("double")) -
+          log((col("crest") + 1) /
+            (col("nrest") - col("crest") + 1).cast("double")), 4))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("lodds"), asc("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("term"), col("cst"), col("lodds"))
+      .orderBy("source", "rk")
+  }
+
+  val qTopicLoddsSql: String =
+    s"""WITH tok AS (${Search.tokSqlPublic}),
+      |st AS (SELECT d.source, t.term, count(*) AS cst
+      |  FROM tok t JOIN documents d USING (doc_id)
+      |  GROUP BY d.source, t.term),
+      |m AS (SELECT source, term, cst,
+      |    sum(cst) OVER (PARTITION BY term) AS ct,
+      |    sum(cst) OVER (PARTITION BY source) AS ns,
+      |    sum(cst) OVER () AS nn
+      |  FROM st),
+      |sc AS (SELECT source, term, cst,
+      |    round(ln((cst + 1) / CAST(ns - cst + 1 AS DOUBLE)) -
+      |      ln((ct - cst + 1) /
+      |        CAST((nn - ns) - (ct - cst) + 1 AS DOUBLE)), 4) AS lodds
+      |  FROM m)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, term,
+      |  CAST(cst AS BIGINT) AS cst, lodds
+      |FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY lodds DESC, term) AS rk FROM sc)
+      |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
 }

@@ -209,4 +209,36 @@ class PipelineAuditSpec extends SparkSpecBase {
       s"ks=$ks vs brute ${brute.toDouble / (n * m)}")
     assert(ks >= 0.0 && ks <= 1.0)
   }
+
+  test("seasonality: peaks are maxima, shares bounded, hours partition") {
+    val rows = queries.EventsPlus.qEvtSeasonality(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (n, h, pk, share, act) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(h >= 0 && h <= 23 && act >= 1 && act <= 24)
+      // the peak's share is at least the uniform share over active hours
+      assert(pk * act >= n, s"peak $pk × $act hours < $n events")
+      assert(share == pk * 1000000L / n)
+    }
+  }
+
+  test("winsorize: bounds ordered, clip counts ≈ 1% tails, mean within bounds") {
+    val rows = queries.EventsPlus.qEvtSeasonality(spark, sf).collect()
+    val w = queries.EventsPlus.qWinsorize(spark, sf).collect()
+    assert(w.map(_.getLong(1)).sum ==
+      Tables.events(spark, sf).count())
+    w.foreach { r =>
+      val (n, nLo, nHi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (lo, hi, mean) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(lo <= hi)
+      // percentile(0.01)/(0.99) bound the tail counts strictly by
+      // definition of the interpolated quantile
+      assert(nLo <= n / 100 + 1 && nHi <= n / 100 + 1,
+        s"clipped more than the 1% tails: $nLo/$nHi of $n")
+      assert(mean >= lo - 1e-4 && mean <= hi + 1e-4)
+    }
+    assert(rows.nonEmpty)
+  }
 }

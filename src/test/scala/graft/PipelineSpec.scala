@@ -128,4 +128,18 @@ class PipelineSpec extends SparkSpecBase {
       assert(purity > 0.0 && purity <= 1.0)
     }
   }
+
+  test("dup families: histogram partitions the corpus, shares ≤ 1e6") {
+    val rows = queries.Pipeline.qDupFamilies(spark, sf).collect()
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total, "n_docs must partition")
+    // families × size = docs per row; unique docs are the size-1 row
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+    // consistency with q_dedup_exact: families = kept (deduped) docs
+    val kept = queries.Pipeline.qDedupExact(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == kept)
+  }
 }

@@ -73,4 +73,33 @@ class PipelineTextSpec extends SparkSpecBase {
       assert(r.getDouble(5) > 0, "regex tokens vanished")
     }
   }
+
+  test("vocab overlap: symmetric pair grid, jaccard consistent with sizes") {
+    val rows = queries.PipelineText.qVocabOverlap(spark, sf).collect()
+    val nLangs = Tables.t(spark, sf, "documents")
+      .select("lang").distinct().count()
+    assert(rows.length == nLangs * (nLangs - 1) / 2, "missing lang pairs")
+    rows.foreach { r =>
+      val (s1, s2, inter, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(inter <= math.min(s1, s2))
+      assert(math.abs(j - inter.toDouble / (s1 + s2 - inter)) < 1e-4)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getString(0) < r.getString(1), "pair not ordered l1 < l2")
+    }
+  }
+
+  test("source-mix KL: non-negative, zero iff the source matches the mix") {
+    val rows = queries.PipelineCurate.qSourceMixKl(spark, sf).collect()
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      // Gibbs: KL ≥ 0 over the exact count ratios (round(4) can shave
+      // at most 5e-5 below zero)
+      assert(r.getDouble(3) >= -1e-4, s"KL < 0 for ${r.getString(0)}")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 5)
+    }
+    // at least one source diverges on this synthetic mix
+    assert(rows.exists(_.getDouble(3) > 0.0))
+  }
 }

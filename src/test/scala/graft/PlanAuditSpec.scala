@@ -605,4 +605,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"fertility grew a window:\n$p")
     assert(!p.contains("Join"), s"fertility grew a join:\n$p")
   }
+
+  test("q_evt_seasonality and q_dup_families are two-level aggregates only") {
+    Seq("q_evt_seasonality", "q_dup_families").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q lost hash aggregation:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
+  }
+
+  test("q_winsorize broadcasts the per-type bounds — no sort-merge join") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"bounds not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"bounds join fell back to sort-merge:\n$p")
+    assert(!p.contains("Window"), s"winsorize grew a window:\n$p")
+  }
+
+  test("q_topic_lodds windows only the source×vocab aggregate") {
+    // the corpus-sized relation must be reduced by the (source, term)
+    // aggregate BEFORE any window touches it
+    val p = plan("q_topic_lodds")
+    assert(p.contains("HashAggregate(keys=[source"),
+      s"no source×term aggregate under the marginal windows:\n$p")
+    assert(!p.contains("CartesianProduct"), s"lodds grew a cartesian:\n$p")
+  }
+
+  test("q_vocab_overlap joins vocabularies, never documents") {
+    // both join sides must be the lang×term DISTINCT aggregate — the
+    // |vocab|-bounded relation — so an aggregate sits under each side
+    val p = plan("q_vocab_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap grew an all-pairs shape:\n$p")
+    assert(p.contains("HashAggregate(keys=[lang"),
+      s"no per-lang distinct aggregate below the pair join:\n$p")
+  }
 }

@@ -94,4 +94,18 @@ class SearchSpec extends SparkSpecBase {
     // find a relevant doc in its top 10 — otherwise the metric is vacuous
     assert(rrs.sum > 0.0)
   }
+
+  test("topic log-odds: 3 ranked terms per source, in-source count positive") {
+    val rows = queries.SearchPlus.qTopicLodds(spark, sf).collect()
+    val nSources = Tables.t(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length == nSources * 3)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+      // ranked by the rounded statistic, descending
+      val ls = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(ls.zip(ls.tail).forall { case (a, b) => a >= b })
+    }
+    assert(rows.forall(_.getLong(3) >= 1), "top term absent from source")
+  }
 }
