@@ -468,6 +468,119 @@ object EventsPlus {
       |FROM ag JOIN pk USING (event_type) WHERE pk.rk = 1
       |ORDER BY ag.event_type""".stripMargin
 
+  // ───────── activity-concentration Gini (round 6, late) ─────────
+
+  /** Gini coefficient of per-user event concentration — the 80/20 audit
+    * behind rate-limiting, skew budgeting, and the [[qRfm]] power-user
+    * view: how unequally activity distributes across users. Computed
+    * ENTIRELY from the activity HISTOGRAM h(k) = users with exactly k
+    * events (a bounded domain — distinct activity levels, the q_stats_ks
+    * grid discipline — never a corpus-sized user sort): users in bucket
+    * k occupy Lorenz ranks cum+1..cum+h, so Σᵢ i·xᵢ = Σ_k k·(h·cum +
+    * h(h+1)/2) — exact BIGINTs via one window over the histogram — and
+    * G = 2T/(nS) − (n+1)/n with one double expression from exact ints
+    * onto round(4). Scale: two partial-aggregable integer aggregates +
+    * one bounded-domain window.
+    */
+  def qGiniUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("h"))
+    val ord = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum", coalesce(sum("h").over(ord), lit(0L)))
+      .agg(sum("h").as("n_users"),
+        sum(col("k") * col("h")).as("n_events"),
+        max("k").as("max_k"),
+        sum(col("k") * (col("h") * col("cum") +
+          expr("h * (h + 1) div 2"))).as("t"))
+      .select(col("n_users"), col("n_events"), col("max_k"),
+        round(lit(2.0) * col("t") /
+          (col("n_users") * col("n_events")).cast("double") -
+          (col("n_users") + 1) / col("n_users").cast("double"), 4)
+          .as("gini"))
+  }
+
+  val qGiniUsersSql: String =
+    """WITH uk AS (SELECT user_id, count(*) AS k FROM events
+      |  GROUP BY user_id),
+      |hist AS (SELECT k, count(*) AS h FROM uk GROUP BY k),
+      |w AS (SELECT k, h, coalesce(sum(h) OVER (ORDER BY k
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM hist),
+      |a AS (SELECT CAST(sum(h) AS BIGINT) AS n_users,
+      |    CAST(sum(k * h) AS BIGINT) AS n_events,
+      |    CAST(max(k) AS BIGINT) AS max_k,
+      |    CAST(sum(k * (h * cum + h * (h + 1) // 2)) AS BIGINT) AS t
+      |  FROM w)
+      |SELECT n_users, n_events, max_k,
+      |  round(2.0 * t / CAST(n_users * n_events AS DOUBLE)
+      |    - (n_users + 1) / CAST(n_users AS DOUBLE), 4) AS gini
+      |FROM a ORDER BY gini""".stripMargin
+
+  // ───────── growth accounting: daily lifecycle (round 6, late) ─────────
+
+  /** Daily growth accounting — each active day's users classified as
+    * new (first-ever day), retained (active the previous day), or
+    * resurrected (returning after a gap), plus churned = yesterday's
+    * actives who did not return — the standard DAU decomposition
+    * (new + retained + resurrected = active; churned closes the
+    * balance). Per-user day streams are classified with one lag window
+    * partitioned on user_id (the [[qEvtSession]] shuffle key — high
+    * cardinality, skew-free); the churn balance is a lag over the
+    * bounded per-day aggregate. All counts exact ints.
+    */
+  def qEvtLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id").orderBy("d")
+    val daily = ud
+      .withColumn("prev", lag("d", 1).over(byUser))
+      .withColumn("status",
+        when(col("prev").isNull, "new")
+          .when(datediff(col("d"), col("prev")) === 1, "retained")
+          .otherwise("resurrected"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    daily
+      .withColumn("n_churned",
+        coalesce(lag("n_active", 1).over(Window.orderBy("d")), lit(0L)) -
+          col("n_retained"))
+      .select(col("d").cast("date").as("day"), col("n_active"),
+        col("n_new"), col("n_retained"), col("n_resurrected"),
+        col("n_churned"))
+      .orderBy("day")
+  }
+
+  val qEvtLifecycleSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      |  FROM events),
+      |st AS (SELECT d, user_id,
+      |    lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev
+      |  FROM ud),
+      |daily AS (SELECT d, count(*) AS n_active,
+      |    sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+      |    sum(CASE WHEN date_diff('day', prev, d) = 1 THEN 1 ELSE 0 END)
+      |      AS n_retained,
+      |    sum(CASE WHEN prev IS NOT NULL
+      |      AND date_diff('day', prev, d) > 1 THEN 1 ELSE 0 END)
+      |      AS n_resurrected
+      |  FROM st GROUP BY d)
+      |SELECT CAST(d AS DATE) AS day,
+      |  n_active, CAST(n_new AS BIGINT) AS n_new,
+      |  CAST(n_retained AS BIGINT) AS n_retained,
+      |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+      |  CAST(coalesce(lag(n_active) OVER (ORDER BY d), 0) - n_retained
+      |    AS BIGINT) AS n_churned
+      |FROM daily ORDER BY day""".stripMargin
+
   // ───────── winsorized robust stats (round 6, late) ─────────
 
   /** Winsorization audit per event type: p01/p99 bounds (round(4) — the

@@ -423,6 +423,60 @@ object PipelineAudit {
       |  CAST(max(abs(est_ppm - jac_ppm)) AS BIGINT) AS max_abserr_ppm
       |FROM p GROUP BY 1 ORDER BY est_jaccard""".stripMargin
 
+  // ───────── chi-square independence: lang × source ─────────
+
+  /** Chi-square test of independence between `lang` and `source` (with
+    * Cramér's V effect size) — the audit that decides whether language
+    * can be stratified independently of source in a
+    * [[PipelineCurate]]-style mixing pass, and the third leg of the
+    * drift kit next to [[qDriftPsi]] (binned divergence) and
+    * [[qStatsKs]] (continuous ECDF). Per cell, the term is
+    * (O·N − r·c)²/(N·r·c): every factor an exact BIGINT product, one
+    * double division per cell, summed over the |langs|×|sources|
+    * BOUNDED grid (≤100 doubles) onto round(4). Scale: one
+    * partial-aggregable (lang, source) count pass; the margins are
+    * windows over the bounded grid, never the corpus.
+    */
+  def qStatsChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val cell = Tables.t(spark, sfDir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val g = cell
+      .withColumn("r", sum("o").over(Window.partitionBy("lang")))
+      .withColumn("c", sum("o").over(Window.partitionBy("source")))
+      .withColumn("nn", sum("o").over(Window.partitionBy()))
+    g.agg(max("nn").as("n"),
+        countDistinct("lang").as("nl"),
+        countDistinct("source").as("ns"),
+        round(sum(
+          pow(col("o") * col("nn") - col("r") * col("c"), 2) /
+            (col("nn") * col("r") * col("c")).cast("double")), 4)
+          .as("chi2"))
+      .select(col("n"),
+        ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+        col("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n") * least(col("nl") - 1, col("ns") - 1)).cast("double")),
+          4).as("cramers_v"))
+  }
+
+  val qStatsChi2Sql: String =
+    """WITH cell AS (SELECT lang, source, count(*) AS o
+      |  FROM documents GROUP BY lang, source),
+      |g AS (SELECT o,
+      |    sum(o) OVER (PARTITION BY lang) AS r,
+      |    sum(o) OVER (PARTITION BY source) AS c,
+      |    sum(o) OVER () AS nn, lang, source
+      |  FROM cell),
+      |a AS (SELECT CAST(max(nn) AS BIGINT) AS n,
+      |    count(DISTINCT lang) AS nl, count(DISTINCT source) AS ns,
+      |    round(sum(pow(o * nn - r * c, 2) /
+      |      CAST(nn * r * c AS DOUBLE)), 4) AS chi2
+      |  FROM g)
+      |SELECT n, (nl - 1) * (ns - 1) AS dof, chi2,
+      |  round(sqrt(chi2 / CAST(n * least(nl - 1, ns - 1) AS DOUBLE)), 4)
+      |    AS cramers_v
+      |FROM a ORDER BY chi2""".stripMargin
+
   // ───────── two-sample Kolmogorov-Smirnov drift test ─────────
 
   /** Exact two-sample KS statistic between the `value` distributions of

@@ -558,6 +558,50 @@ object PipelineML {
       .orderBy("cluster")
   }
 
+  // ───────── threshold classification metrics: P/R/F1 ─────────
+
+  /** Precision / recall / F1 of the [[centScored]] classifier at the
+    * natural τ = 0 cosine threshold — the operating-point metrics next
+    * to [[qEvalAuc]]'s threshold-free ranking view and
+    * [[qEvalCalibration]]'s confidence audit (a filter pipeline commits
+    * to ONE threshold; these are the numbers that threshold ships with).
+    * The 2×2 confusion counts are exact integer sums in one
+    * partial-aggregable pass; precision/recall/F1 are exact rationals
+    * (F1 via 2TP/(2TP+FP+FN) — no intermediate rounding) with one
+    * division each onto round(4). Scale: a pure map stage + global sum.
+    */
+  def qEvalF1(spark: SparkSession, sfDir: String): DataFrame =
+    centScored(spark, sfDir)
+      .select((col("score") >= 0).cast("long").as("p"),
+        (col("label") === 1).cast("long").as("y"))
+      .agg(sum(col("p") * col("y")).as("tp"),
+        sum(col("p") * (lit(1L) - col("y"))).as("fp"),
+        sum((lit(1L) - col("p")) * col("y")).as("fn"),
+        sum((lit(1L) - col("p")) * (lit(1L) - col("y"))).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp") / (col("tp") + col("fp")).cast("double"), 4)
+          .as("precision"),
+        round(col("tp") / (col("tp") + col("fn")).cast("double"), 4)
+          .as("recall"),
+        round(lit(2L) * col("tp") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 4)
+          .as("f1"))
+
+  val qEvalF1Sql: String =
+    s"""WITH $centScoredCte,
+      |c AS (SELECT CASE WHEN score >= 0 THEN 1 ELSE 0 END AS p,
+      |    CASE WHEN label = 1 THEN 1 ELSE 0 END AS y FROM scored),
+      |m AS (SELECT CAST(sum(p * y) AS BIGINT) AS tp,
+      |    CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+      |    CAST(sum((1 - p) * y) AS BIGINT) AS fn,
+      |    CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn
+      |  FROM c)
+      |SELECT tp, fp, fn, tn,
+      |  round(tp / CAST(tp + fp AS DOUBLE), 4) AS precision,
+      |  round(tp / CAST(tp + fn AS DOUBLE), 4) AS recall,
+      |  round(2 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 4) AS f1
+      |FROM m ORDER BY f1""".stripMargin
+
   val qClusterPuritySql: String =
     s"""WITH $assignSql,
       |cl AS (SELECT a.cluster, e.label, count(*) AS nl

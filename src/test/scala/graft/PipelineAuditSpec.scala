@@ -241,4 +241,57 @@ class PipelineAuditSpec extends SparkSpecBase {
     }
     assert(rows.nonEmpty)
   }
+
+  test("chi-square matches a brute-force contingency recompute") {
+    val r = queries.PipelineAudit.qStatsChi2(spark, sf).head
+    val (n, dof, chi2, v) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val cells = Tables.t(spark, sf, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o")).collect()
+      .map(c => (c.getString(0), c.getString(1), c.getLong(2)))
+    val rowT = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val colT = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nn = cells.map(_._3).sum
+    assert(n == nn)
+    assert(dof == (rowT.size - 1).toLong * (colT.size - 1))
+    val brute = cells.map { case (l, s, o) =>
+      val (rt, ct) = (rowT(l), colT(s))
+      math.pow((o * nn - rt * ct).toDouble, 2) / (nn.toDouble * rt * ct)
+    }.sum
+    assert(math.abs(chi2 - brute) < 1e-3, s"chi2=$chi2 vs $brute")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("Gini from the histogram equals Gini from the sorted user list") {
+    val r = queries.EventsPlus.qGiniUsers(spark, sf).head
+    val (nU, nE, maxK, gini) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val ks = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("k")).collect()
+      .map(_.getLong(1)).sorted
+    assert(ks.length == nU && ks.sum == nE && ks.max == maxK)
+    val t = ks.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val brute = 2.0 * t / (nU.toDouble * nE) - (nU + 1).toDouble / nU
+    assert(math.abs(gini - brute) < 1e-4, s"gini=$gini vs $brute")
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
+  test("lifecycle: statuses partition actives, churn closes the balance") {
+    val rows = queries.EventsPlus.qEvtLifecycle(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"statuses don't partition actives on ${r.get(0)}")
+      assert(r.getLong(5) >= 0, s"negative churn on ${r.get(0)}")
+    }
+    // day 1 is all-new; total new across days = distinct users
+    assert(rows.head.getLong(1) == rows.head.getLong(2))
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == users)
+    // balance: Σ churned = Σ actives(d-1) - Σ retained over the lagged days
+    val act = rows.map(_.getLong(1))
+    assert(rows.map(_.getLong(5)).sum ==
+      act.dropRight(1).sum - rows.map(_.getLong(3)).sum)
+  }
 }

@@ -142,4 +142,26 @@ class PipelineSpec extends SparkSpecBase {
     val kept = queries.Pipeline.qDedupExact(spark, sf).count()
     assert(rows.map(_.getLong(1)).sum == kept)
   }
+
+  test("eval F1: confusion partitions the table, F1 is the harmonic mean") {
+    val r = queries.PipelineML.qEvalF1(spark, sf).head
+    val (tp, fp, fn, tn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(tp + fp + fn + tn ==
+      Tables.t(spark, sf, "embeddings").count())
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (p, rec) = (tp.toDouble / (tp + fp), tp.toDouble / (tp + fn))
+    assert(math.abs(r.getDouble(4) - r4(p)) < 1e-9)
+    assert(math.abs(r.getDouble(5) - r4(rec)) < 1e-9)
+    assert(math.abs(r.getDouble(6) - r4(2.0 * tp / (2 * tp + fp + fn)))
+      < 1e-9)
+    // F1 lies between precision and recall (harmonic-mean bound)
+    val f1 = r.getDouble(6)
+    assert(f1 <= math.max(p, rec) + 1e-4 && f1 >= 0.0 && f1 <= 1.0)
+    // the same classifier's confusion must agree with q_eval_auc's label
+    // partition
+    val auc = queries.PipelineML.qEvalAuc(spark, sf).head
+    assert(tp + fn == auc.getLong(0) && fp + tn == auc.getLong(1))
+  }
 }

@@ -632,6 +632,27 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"lodds grew a cartesian:\n$p")
   }
 
+  test("q_gini_users and q_stats_chi2 window only bounded aggregates") {
+    // Gini's Lorenz cumsum runs over the activity histogram (distinct
+    // k), chi2's margins over the lang×source grid — both must sit
+    // ABOVE a HashAggregate, never over raw rows
+    Seq("q_gini_users" -> "keys=[k", "q_stats_chi2" -> "keys=[lang")
+      .foreach { case (q, key) =>
+        val p = plan(q)
+        assert(p.contains(s"HashAggregate($key"),
+          s"$q lost its bounded-domain aggregate:\n$p")
+        assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      }
+  }
+
+  test("q_evt_lifecycle lags within user partitions — no corpus-wide window") {
+    val p = plan("q_evt_lifecycle")
+    val lagLine = p.linesIterator
+      .find(l => l.contains("lag(") && l.contains("user_id")).getOrElse("")
+    assert(lagLine.nonEmpty, s"per-user lag window missing:\n$p")
+    assert(!p.contains("Join"), s"lifecycle grew a join:\n$p")
+  }
+
   test("q_vocab_overlap joins vocabularies, never documents") {
     // both join sides must be the lang×term DISTINCT aggregate — the
     // |vocab|-bounded relation — so an aggregate sits under each side
