@@ -633,4 +633,61 @@ object EventsPlus {
       |  min(lo) AS lo, min(hi) AS hi,
       |  round(sum(ce4) / (count(*) * 10000.0), 4) AS clipped_mean
       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ───────── CUSUM changepoint on the daily rate ─────────
+
+  /** Single changepoint detection on the daily event rate — the max-|CUSUM|
+    * estimator (the classic offline AMOC shape): with daily counts c_d,
+    * the cumulative deviation from the global mean S_d = Σ_{i≤d}(c_i − N/D)
+    * peaks at the day the rate shifts. Computed EXACTLY in scaled integers:
+    * S_d·D = D·cum_d − N·idx_d (BIGINT products — no float accumulation),
+    * the argmax is over exact ints with the earliest-day tiebreak, and the
+    * normalized statistic max|S|/N plus the before/after daily means take
+    * one division each at the end. The window runs over the BOUNDED
+    * per-day aggregate (the [[qGiniUsers]] histogram discipline), never
+    * the event stream. Scale: one partial-aggregable count pass + a
+    * |days|-row window.
+    */
+  def qEvtChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy("d")
+    val all = Window.partitionBy()
+    daily
+      .withColumn("idx", row_number().over(ord))
+      .withColumn("cum", sum("c").over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dd", count(lit(1)).over(all))
+      .withColumn("n", sum("c").over(all))
+      .withColumn("sxd", col("dd") * col("cum") - col("n") * col("idx"))
+      .orderBy(abs(col("sxd")).desc, col("d").asc)
+      .limit(1)
+      .select(col("dd").as("n_days"), col("n").as("n_events"),
+        col("d").cast("date").as("cp_day"),
+        round(abs(col("sxd")) / (col("dd") * col("n")).cast("double"), 6)
+          .as("cusum_norm"),
+        round(col("cum") / col("idx").cast("double"), 4).as("mean_before"),
+        round((col("n") - col("cum")) /
+          nullif(col("dd") - col("idx"), lit(0)).cast("double"), 4)
+          .as("mean_after"))
+  }
+
+  val qEvtChangepointSql: String =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS c
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT d, c,
+      |    row_number() OVER (ORDER BY d) AS idx,
+      |    sum(c) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    count(*) OVER () AS dd, sum(c) OVER () AS n
+      |  FROM daily),
+      |s AS (SELECT *, dd * cum - n * idx AS sxd FROM w)
+      |SELECT CAST(dd AS BIGINT) AS n_days, CAST(n AS BIGINT) AS n_events,
+      |  CAST(d AS DATE) AS cp_day,
+      |  round(abs(sxd) / CAST(dd * n AS DOUBLE), 6) AS cusum_norm,
+      |  round(cum / CAST(idx AS DOUBLE), 4) AS mean_before,
+      |  round((n - cum) / CAST(nullif(dd - idx, 0) AS DOUBLE), 4)
+      |    AS mean_after
+      |FROM s ORDER BY abs(sxd) DESC, d LIMIT 1""".stripMargin
 }

