@@ -673,6 +673,161 @@ object EventsPlus {
           .as("mean_after"))
   }
 
+  // ───────── two-proportion A/B z-test ─────────
+
+  /** Two-proportion z-test on per-user "heavy buyer" conversion between
+    * the deterministic `user_id % 2` split — the experiment-readout
+    * shape (assignment by id parity stands in for the hash-bucket
+    * assignment a real A/B system uses; Spark's murmur3 `hash()` has no
+    * DuckDB twin, id parity is engine-exact). Conversion = ≥14 purchase
+    * events (the per-user median purchase count, SF-invariant since
+    * events/user is constant across SFs — every user purchases at least
+    * once, so "any purchase" is degenerate). The pooled-variance z uses
+    * exact integer counts with ONE sqrt at the end, nullif-guarded for
+    * the zero-variance edge; rates ship as integer ppm. Scale: one
+    * partial-aggregable per-user pass on the user_id shuffle key, then
+    * a 2-key aggregate.
+    */
+  def qAbtestZtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val arms = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14L).cast("long").as("conv"))
+      .withColumn("arm", col("user_id") % 2)
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+    val w = arms.agg(
+      sum(when(col("arm") === 0, col("n"))).as("n_a"),
+      sum(when(col("arm") === 0, col("x"))).as("x_a"),
+      sum(when(col("arm") === 1, col("n"))).as("n_b"),
+      sum(when(col("arm") === 1, col("x"))).as("x_b"))
+    w.select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+      expr("x_a * 1000000 div n_a").as("rate_a_ppm"),
+      expr("x_b * 1000000 div n_b").as("rate_b_ppm"),
+      round((col("x_a") / col("n_a").cast("double") -
+        col("x_b") / col("n_b").cast("double")) /
+        nullif(sqrt(((col("x_a") + col("x_b")) /
+          (col("n_a") + col("n_b")).cast("double")) *
+          (lit(1.0) - (col("x_a") + col("x_b")) /
+            (col("n_a") + col("n_b")).cast("double")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0)),
+        4).as("z"))
+  }
+
+  val qAbtestZtestSql: String =
+    """WITH u AS (SELECT user_id,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END) >= 14 THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY user_id),
+      |arms AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(conv) AS x
+      |  FROM u GROUP BY 1),
+      |w AS (SELECT
+      |    CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x_b
+      |  FROM arms)
+      |SELECT n_a, n_b, x_a, x_b,
+      |  CAST(x_a * 1000000 // n_a AS BIGINT) AS rate_a_ppm,
+      |  CAST(x_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+      |  round((x_a / CAST(n_a AS DOUBLE) - x_b / CAST(n_b AS DOUBLE)) /
+      |    nullif(sqrt(((x_a + x_b) / CAST(n_a + n_b AS DOUBLE)) *
+      |      (1.0 - (x_a + x_b) / CAST(n_a + n_b AS DOUBLE)) *
+      |      (1.0 / n_a + 1.0 / n_b)), 0.0), 4) AS z
+      |FROM w ORDER BY z""".stripMargin
+
+  // ───────── moving-average forecast backtest ─────────
+
+  /** 7-day simple-moving-average forecast backtest over the daily event
+    * rate — each day past the warm-up is predicted from the PRECEDING
+    * 7 days and scored against the actual: the capacity-planning sanity
+    * loop. The per-day absolute percentage error is EXACT — with S the
+    * preceding-7 sum, ape_ppm = |7c − S|·10⁶ div (7c), all BIGINTs
+    * (forecast = S/7 never materializes as a rounded intermediate).
+    * The window runs over the bounded per-day aggregate (the
+    * [[qEvtChangepoint]] discipline). Scale: one count pass + a
+    * |days|-row window.
+    */
+  def qEvtForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy("d")
+    daily
+      .withColumn("idx", row_number().over(ord))
+      .withColumn("s7", sum("c").over(ord.rowsBetween(-7, -1)))
+      .filter(col("idx") > 7)
+      .select(col("d").cast("date").as("day"), col("c").as("actual"),
+        round(col("s7") / lit(7.0), 4).as("forecast"),
+        expr("abs(7 * c - s7) * 1000000 div (7 * c)").as("ape_ppm"))
+      .orderBy("day")
+  }
+
+  val qEvtForecastSql: String =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS c
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT d, c,
+      |    row_number() OVER (ORDER BY d) AS idx,
+      |    sum(c) OVER (ORDER BY d
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7
+      |  FROM daily)
+      |SELECT CAST(d AS DATE) AS day, CAST(c AS BIGINT) AS actual,
+      |  round(s7 / 7.0, 4) AS forecast,
+      |  CAST(abs(7 * c - s7) * 1000000 // (7 * c) AS BIGINT) AS ape_ppm
+      |FROM w WHERE idx > 7 ORDER BY day""".stripMargin
+
+  // ───────── rolling volatility bands (outlier days) ─────────
+
+  /** Bollinger-style rolling bands on the daily event rate: each day
+    * past the 14-day warm-up is flagged when it falls outside the
+    * trailing mean ± 2σ. The FLAG is decided in exact integer
+    * arithmetic — |x − S/k| > 2σ ⇔ (k−1)(kx − S)² > 4k(kQ − S²) with
+    * S, Q the trailing sum and sum-of-squares (BIGINTs; no
+    * float-comparison boundary can flip engines) — while the displayed
+    * mean/σ take one division/sqrt onto round(4). Windows run over the
+    * bounded per-day aggregate. Scale: one count pass + a |days|-row
+    * window.
+    */
+  def qEvtBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val ord = Window.orderBy("d")
+    val k = 14
+    daily
+      .withColumn("idx", row_number().over(ord))
+      .withColumn("s", sum("c").over(ord.rowsBetween(-k, -1)))
+      .withColumn("q", sum(col("c") * col("c"))
+        .over(ord.rowsBetween(-k, -1)))
+      .filter(col("idx") > k)
+      .select(col("d").cast("date").as("day"), col("c").as("actual"),
+        round(col("s") / lit(k.toDouble), 4).as("mean14"),
+        round(sqrt((lit(k) * col("q") - col("s") * col("s")) /
+          lit(k.toDouble * (k - 1))), 4).as("sd14"),
+        (lit(k - 1) * (lit(k) * col("c") - col("s")) *
+          (lit(k) * col("c") - col("s")) >
+          lit(4L * k) * (lit(k) * col("q") - col("s") * col("s")))
+          .cast("int").as("outlier"))
+      .orderBy("day")
+  }
+
+  val qEvtBandsSql: String =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS c
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT d, c,
+      |    row_number() OVER (ORDER BY d) AS idx,
+      |    sum(c) OVER (ORDER BY d
+      |      ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS s,
+      |    sum(c * c) OVER (ORDER BY d
+      |      ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS q
+      |  FROM daily)
+      |SELECT CAST(d AS DATE) AS day, CAST(c AS BIGINT) AS actual,
+      |  round(s / 14.0, 4) AS mean14,
+      |  round(sqrt((14 * q - s * s) / (14.0 * 13)), 4) AS sd14,
+      |  CAST(13 * (14 * c - s) * (14 * c - s) > 56 * (14 * q - s * s)
+      |    AS INTEGER) AS outlier
+      |FROM w WHERE idx > 14 ORDER BY day""".stripMargin
+
   val qEvtChangepointSql: String =
     """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS c
       |  FROM events GROUP BY 1),

@@ -501,6 +501,41 @@ object RelationalExtra {
       |JOIN cb c2 ON b2 = c2.brand CROSS JOIN n
       |ORDER BY lift_ppm DESC, b1, b2 LIMIT 20""".stripMargin
 
+  // ───────── log-log price elasticity per brand ─────────
+
+  /** Price elasticity of demand per brand — the slope of ln(quantity)
+    * on ln(unit price) across a brand's line items (the constant-
+    * elasticity log-log regression; slope ≈ %Δqty per %Δprice). The
+    * brand dimension broadcasts onto the fact scan (|part| rows), the
+    * regression runs through the codegen'd `regr_slope`/`regr_r2`
+    * partial aggregates — one fact pass, no window, no sort — and both
+    * ln() arguments are strictly positive by the quantity/price
+    * domains. round(4) on the two regression doubles. Scale:
+    * broadcast-join + partial-aggregable regression, the same shape at
+    * any corpus size.
+    */
+  def qElasticity(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .join(broadcast(t(spark, sfDir, "part")
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), log(col("l_quantity")).as("lq"),
+        log(col("l_extendedprice") / col("l_quantity")).as("lp"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        round(expr("regr_slope(lq, lp)"), 4).as("elasticity"),
+        round(expr("regr_r2(lq, lp)"), 4).as("r2"))
+      .orderBy("p_brand")
+
+  val qElasticitySql: String =
+    """WITH f AS (SELECT p_brand, ln(l_quantity) AS lq,
+      |    ln(l_extendedprice / l_quantity) AS lp
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT p_brand, count(*) AS n,
+      |  round(regr_slope(lq, lp), 4) AS elasticity,
+      |  round(regr_r2(lq, lp), 4) AS r2
+      |FROM f GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ───────── Spearman rank correlation (bounded entity relation) ─────────
 
   /** Spearman rank correlation between per-supplier shipped quantity and

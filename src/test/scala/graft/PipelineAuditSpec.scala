@@ -362,4 +362,66 @@ class PipelineAuditSpec extends SparkSpecBase {
     val (mb, ma) = (r.getDouble(4), r.getDouble(5))
     assert(mb > 0 && ma > 0 && math.abs(mb - ma) >= 0.0)
   }
+
+  test("A/B z-test matches the naive two-proportion recompute") {
+    val r = queries.EventsPlus.qAbtestZtest(spark, sf).head
+    val (nA, nB, xA, xB) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val perUser = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("p")).collect()
+      .map(x => (x.getLong(0), x.getLong(1) >= 14))
+    assert(nA == perUser.count(_._1 % 2 == 0))
+    assert(nB == perUser.count(_._1 % 2 == 1))
+    assert(xA == perUser.count(u => u._1 % 2 == 0 && u._2))
+    assert(xB == perUser.count(u => u._1 % 2 == 1 && u._2))
+    assert(r.getLong(4) == xA * 1000000L / nA)
+    assert(r.getLong(5) == xB * 1000000L / nB)
+    val (pA, pB) = (xA.toDouble / nA, xB.toDouble / nB)
+    val pool = (xA + xB).toDouble / (nA + nB)
+    val se = math.sqrt(pool * (1 - pool) * (1.0 / nA + 1.0 / nB))
+    if (se > 0)
+      assert(math.abs(r.getDouble(6) - (pA - pB) / se) < 1e-3)
+  }
+
+  test("forecast backtest: SMA window and exact APE identities hold") {
+    val rows = queries.EventsPlus.qEvtForecast(spark, sf).collect()
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c")).orderBy("d").collect()
+      .map(_.getLong(1))
+    assert(rows.length == daily.length - 7)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val idx = i + 7 // 0-based day index of the forecasted day
+      val s7 = daily.slice(idx - 7, idx).sum
+      assert(r.getLong(1) == daily(idx))
+      assert(math.abs(r.getDouble(2) - s7 / 7.0) < 1e-4)
+      assert(r.getLong(3) ==
+        math.abs(7 * daily(idx) - s7) * 1000000L / (7 * daily(idx)))
+    }
+  }
+
+  test("volatility bands: integer flag agrees with the 2-sigma rule") {
+    val rows = queries.EventsPlus.qEvtBands(spark, sf).collect()
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c")).orderBy("d").collect()
+      .map(_.getLong(1))
+    assert(rows.length == daily.length - 14)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val idx = i + 14
+      val win = daily.slice(idx - 14, idx)
+      val (s, q) = (win.sum, win.map(x => x * x).sum)
+      val c = daily(idx)
+      assert(r.getLong(1) == c)
+      assert(math.abs(r.getDouble(2) - s / 14.0) < 1e-4)
+      val sd = math.sqrt((14.0 * q - s.toDouble * s) / (14.0 * 13))
+      assert(math.abs(r.getDouble(3) - sd) < 1e-3)
+      val exact = 13L * (14 * c - s) * (14 * c - s) > 56L * (14 * q - s * s)
+      assert(r.getInt(4) == (if (exact) 1 else 0))
+      // the exact-integer flag and the float 2-sigma rule agree here
+      assert(exact == (math.abs(c - s / 14.0) > 2 * sd))
+    }
+  }
 }

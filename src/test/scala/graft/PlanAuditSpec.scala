@@ -686,6 +686,29 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"hapax grew a join:\n$p")
   }
 
+  test("forecast/bands/ztest stay on bounded aggregates — no join, no sort of the corpus") {
+    Seq("q_evt_forecast", "q_evt_bands").foreach { q =>
+      val p = plan(q).toLowerCase
+      assert(p.contains("hashaggregate(keys=[_groupingexpression"),
+        s"$q lost its per-day aggregate:\n$p")
+      assert(!p.contains("join"), s"$q grew a join:\n$p")
+    }
+    val z = plan("q_abtest_ztest")
+    assert(z.contains("HashAggregate(keys=[user_id"),
+      s"ztest lost the per-user aggregate:\n$z")
+    assert(!z.contains("Join"), s"ztest grew a join:\n$z")
+  }
+
+  test("q_elasticity broadcasts the part dim and partial-aggregates") {
+    val p = plan("q_elasticity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part dim not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact got sort-merged:\n$p")
+    assert(p.contains("HashAggregate(keys=[p_brand") &&
+      p.contains("partial_regr_slope"),
+      s"brand regression not partial-aggregated:\n$p")
+  }
+
   test("q_vocab_overlap joins vocabularies, never documents") {
     // both join sides must be the lang×term DISTINCT aggregate — the
     // |vocab|-bounded relation — so an aggregate sits under each side

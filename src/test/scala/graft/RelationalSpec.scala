@@ -98,4 +98,29 @@ class RelationalSpec extends SparkSpecBase {
     // coupled to quantity, so no strength assumption beyond validity)
     assert(sp >= -1.0 && sp <= 1.0 && pe >= -1.0 && pe <= 1.0)
   }
+
+  test("elasticity matches a closed-form log-log OLS recompute") {
+    val rows = queries.RelationalExtra.qElasticity(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.t(spark, sf, "lineitem").count())
+    val raw = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .map(r => (r.getString(0), math.log(r.getDouble(1)),
+        math.log(r.getDouble(2) / r.getDouble(1))))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val pts = raw(r.getString(0))
+      assert(r.getLong(1) == pts.length)
+      val (my, mx) = (pts.map(_._2).sum / pts.length,
+        pts.map(_._3).sum / pts.length)
+      val sxy = pts.map(p => (p._3 - mx) * (p._2 - my)).sum
+      val sxx = pts.map(p => (p._3 - mx) * (p._3 - mx)).sum
+      assert(math.abs(r.getDouble(2) - sxy / sxx) < 1e-3,
+        s"slope drifts for ${r.getString(0)}")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
 }
