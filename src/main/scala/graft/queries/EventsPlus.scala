@@ -673,6 +673,89 @@ object EventsPlus {
           .as("mean_after"))
   }
 
+  // ───────── weekly cohort LTV curves ─────────
+
+  /** Cumulative revenue ("LTV") per weekly signup cohort over weeks
+    * since first activity — the cohort economics view next to
+    * [[qEvtLifecycle]]'s daily accounting and q_evt_retention's count
+    * matrix: for each (cohort week, week number), cohort size and the
+    * cohort's cumulative purchase revenue so far. Per-user first-day
+    * is one partial-aggregable min on the user_id shuffle key; the
+    * join back to events is user_id-co-located (same key, no extra
+    * shuffle); the cumulative window runs over the BOUNDED
+    * |cohorts|×|weeks| grid. Revenue sums land on round(2) before the
+    * cumsum (2-decimal money over thousands of rows — exact in
+    * doubles), cohort sizes are exact ints.
+    */
+  def qCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val sized = first.groupBy("cw").agg(count(lit(1)).as("n_users"))
+    val weekly = ev.join(first, "user_id")
+      .groupBy(col("cw"),
+        (datediff(date_trunc("week", col("ts")), col("cw")) / 7)
+          .cast("int").as("week_no"))
+      .agg(round(sum(when(col("event_type") === "purchase",
+        col("value")).otherwise(0.0)), 2).as("rev"))
+    val cum = Window.partitionBy("cw").orderBy("week_no")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    weekly.join(sized, "cw")
+      .select(col("cw").cast("date").as("cohort_week"), col("week_no"),
+        col("n_users"),
+        round(sum("rev").over(cum), 2).as("cum_revenue"))
+      .orderBy("cohort_week", "week_no")
+  }
+
+  val qCohortLtvSql: String =
+    """WITH first AS (SELECT user_id,
+      |    date_trunc('week', min(ts)) AS cw
+      |  FROM events GROUP BY user_id),
+      |sized AS (SELECT cw, count(*) AS n_users FROM first GROUP BY cw),
+      |weekly AS (SELECT f.cw,
+      |    CAST(date_diff('day', f.cw, date_trunc('week', e.ts)) // 7
+      |      AS INTEGER) AS week_no,
+      |    round(sum(CASE WHEN e.event_type = 'purchase' THEN e.value
+      |      ELSE 0 END), 2) AS rev
+      |  FROM events e JOIN first f ON e.user_id = f.user_id
+      |  GROUP BY 1, 2)
+      |SELECT CAST(w.cw AS DATE) AS cohort_week, w.week_no, s.n_users,
+      |  round(sum(w.rev) OVER (PARTITION BY w.cw ORDER BY w.week_no
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+      |    AS cum_revenue
+      |FROM weekly w JOIN sized s ON w.cw = s.cw
+      |ORDER BY cohort_week, week_no""".stripMargin
+
+  // ───────── weekday × hour activity heatmap ─────────
+
+  /** Weekday × hour-of-day activity heatmap — the ops-calendar view
+    * behind load shaping and anomaly triage: per (weekday, hour) cell,
+    * event count and share of total as integer ppm. Weekday uses the
+    * Monday=0 convention (`weekday()` ↔ DuckDB `isodow − 1` — the
+    * Sunday-anchored `dayofweek` variants disagree across engines).
+    * One partial-aggregable pass onto the ≤168-cell grid; the total is
+    * a window over that grid. Scale: trivially partition-parallel.
+    */
+  def qEvtHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.events(spark, sfDir)
+      .groupBy(expr("weekday(ts)").as("wd"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    g.withColumn("total", sum("n").over(Window.partitionBy()))
+      .select(col("wd"), col("hr"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+      .orderBy("wd", "hr")
+  }
+
+  val qEvtHeatmapSql: String =
+    """WITH g AS (SELECT isodow(ts) - 1 AS wd, hour(ts) AS hr,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT wd, hr, n, sum(n) OVER () AS total FROM g)
+      |SELECT CAST(wd AS INTEGER) AS wd, CAST(hr AS INTEGER) AS hr,
+      |  CAST(n AS BIGINT) AS n,
+      |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+      |FROM w ORDER BY wd, hr""".stripMargin
+
   // ───────── two-proportion A/B z-test ─────────
 
   /** Two-proportion z-test on per-user "heavy buyer" conversion between

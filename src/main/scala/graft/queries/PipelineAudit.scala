@@ -477,6 +477,66 @@ object PipelineAudit {
       |    AS cramers_v
       |FROM a ORDER BY chi2""".stripMargin
 
+  // ───────── mutual information: lang × source ─────────
+
+  /** Mutual information (and the sqrt-normalized NMI) between `lang`
+    * and `source` — the information-theoretic companion to
+    * [[qStatsChi2]] on the same bounded grid: how many nats knowing
+    * the source tells you about the language (the signal a
+    * stratified-mixing pass exploits; NMI≈0 ⇒ the axes can be sampled
+    * independently). Every ln argument is a ratio of exact BIGINTs
+    * (o·N/(r·c) — the [[PipelineCurate]] KL ln-of-rationals
+    * discipline), entropies likewise from exact marginal counts; sums
+    * run over the ≤100-cell grid onto round(4). Scale: one
+    * partial-aggregable (lang, source) pass; margins are windows over
+    * the bounded grid.
+    */
+  def qStatsMi(spark: SparkSession, sfDir: String): DataFrame = {
+    val cell = Tables.t(spark, sfDir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val g = cell
+      .withColumn("r", sum("o").over(Window.partitionBy("lang")))
+      .withColumn("c", sum("o").over(Window.partitionBy("source")))
+      .withColumn("nn", sum("o").over(Window.partitionBy()))
+    val hl = sum((col("o") / col("nn").cast("double")) *
+      log(col("nn").cast("double") / col("r"))) // grid-summed H(lang)
+    g.agg(max("nn").as("n"),
+        round(sum((col("o") / col("nn").cast("double")) *
+          log((col("o") * col("nn")).cast("double") /
+            (col("r") * col("c")))), 4).as("mi_nats"),
+        round(sum((col("o") / col("nn").cast("double")) *
+          log(col("nn").cast("double") / col("r"))), 4).as("h_lang"),
+        round(sum((col("o") / col("nn").cast("double")) *
+          log(col("nn").cast("double") / col("c"))), 4).as("h_source"),
+        round(sum((col("o") / col("nn").cast("double")) *
+          log((col("o") * col("nn")).cast("double") /
+            (col("r") * col("c")))) /
+          sqrt(hl * sum((col("o") / col("nn").cast("double")) *
+            log(col("nn").cast("double") / col("c")))), 4).as("nmi"))
+  }
+
+  val qStatsMiSql: String =
+    """WITH cell AS (SELECT lang, source, count(*) AS o
+      |  FROM documents GROUP BY lang, source),
+      |g AS (SELECT o,
+      |    sum(o) OVER (PARTITION BY lang) AS r,
+      |    sum(o) OVER (PARTITION BY source) AS c,
+      |    sum(o) OVER () AS nn
+      |  FROM cell)
+      |SELECT CAST(max(nn) AS BIGINT) AS n,
+      |  round(sum((o / CAST(nn AS DOUBLE)) *
+      |    ln(CAST(o * nn AS DOUBLE) / (r * c))), 4) AS mi_nats,
+      |  round(sum((o / CAST(nn AS DOUBLE)) *
+      |    ln(CAST(nn AS DOUBLE) / r)), 4) AS h_lang,
+      |  round(sum((o / CAST(nn AS DOUBLE)) *
+      |    ln(CAST(nn AS DOUBLE) / c)), 4) AS h_source,
+      |  round(sum((o / CAST(nn AS DOUBLE)) *
+      |    ln(CAST(o * nn AS DOUBLE) / (r * c))) /
+      |    sqrt(sum((o / CAST(nn AS DOUBLE)) * ln(CAST(nn AS DOUBLE) / r)) *
+      |      sum((o / CAST(nn AS DOUBLE)) * ln(CAST(nn AS DOUBLE) / c))),
+      |    4) AS nmi
+      |FROM g ORDER BY mi_nats""".stripMargin
+
   // ───────── two-sample Kolmogorov-Smirnov drift test ─────────
 
   /** Exact two-sample KS statistic between the `value` distributions of

@@ -294,6 +294,120 @@ object PipelineText {
       |FROM iv JOIN sz s1 ON s1.lang = l1 JOIN sz s2 ON s2.lang = l2
       |ORDER BY l1, l2""".stripMargin
 
+  // ───────── pairwise Jensen-Shannon divergence between sources ─────────
+
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the symmetric, ln2-bounded companion to
+    * [[qVocabOverlap]]'s set-Jaccard and q_source_mix_kl's
+    * corpus-anchored KL: which source PAIRS are interchangeable in a
+    * mixing pass and which carry distinct distributions. Built on the
+    * bounded |sources|×|vocab| grid (zero-filled so one-sided terms
+    * contribute their exact p·ln2 mass; both-zero cells drop); every
+    * ln argument is a ratio of exact BIGINT products
+    * (2·c₁N₂/(c₁N₂ + c₂N₁) — the KL ln-of-rationals discipline), and
+    * the zero side is CASE-guarded to exact 0 (no 0·ln0 NaN). The
+    * pair join runs grid×grid on term — O(|vocab|·|sources|²), corpus
+    * documents touched once. Scale: one explode pass, then
+    * bounded-relation joins only.
+    */
+  def qTextJsd(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = Tables.t(spark, sfDir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val totals = st.groupBy("source").agg(sum("c").as("n"))
+    val grid = totals.select("source", "n")
+      .crossJoin(st.select("term").distinct())
+      .join(st, Seq("source", "term"), "left")
+      .select(col("source"), col("term"), col("n"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col("source").as("s1"), col("term"),
+      col("n").as("n1"), col("c").as("c1"))
+    val b = grid.select(col("source").as("s2"), col("term"),
+      col("n").as("n2"), col("c").as("c2"))
+    a.join(b, Seq("term")).filter(col("s1") < col("s2"))
+      .filter(col("c1") + col("c2") > 0)
+      .groupBy("s1", "s2")
+      .agg(round(sum(
+        when(col("c1") > 0, (col("c1") / col("n1").cast("double")) *
+          log((lit(2L) * col("c1") * col("n2")).cast("double") /
+            (col("c1") * col("n2") + col("c2") * col("n1"))))
+          .otherwise(0.0) / 2 +
+        when(col("c2") > 0, (col("c2") / col("n2").cast("double")) *
+          log((lit(2L) * col("c2") * col("n1")).cast("double") /
+            (col("c1") * col("n2") + col("c2") * col("n1"))))
+          .otherwise(0.0) / 2), 4).as("jsd_nats"),
+        sum(when(col("c1") > 0 && col("c2") > 0, 1L).otherwise(0L))
+          .as("shared_terms"))
+      .orderBy("s1", "s2")
+  }
+
+  val qTextJsdSql: String =
+    """WITH st AS (SELECT source, term, count(*) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents) GROUP BY source, term),
+      |totals AS (SELECT source, sum(c) AS n FROM st GROUP BY source),
+      |grid AS (SELECT t.source, v.term, t.n, coalesce(st.c, 0) AS c
+      |  FROM totals t CROSS JOIN (SELECT DISTINCT term FROM st) v
+      |  LEFT JOIN st ON st.source = t.source AND st.term = v.term)
+      |SELECT a.source AS s1, b.source AS s2,
+      |  round(sum(
+      |    CASE WHEN a.c > 0 THEN (a.c / CAST(a.n AS DOUBLE)) *
+      |      ln(CAST(2 * a.c * b.n AS DOUBLE) /
+      |        (a.c * b.n + b.c * a.n)) ELSE 0 END / 2 +
+      |    CASE WHEN b.c > 0 THEN (b.c / CAST(b.n AS DOUBLE)) *
+      |      ln(CAST(2 * b.c * a.n AS DOUBLE) /
+      |        (a.c * b.n + b.c * a.n)) ELSE 0 END / 2), 4) AS jsd_nats,
+      |  CAST(sum(CASE WHEN a.c > 0 AND b.c > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS shared_terms
+      |FROM grid a JOIN grid b ON a.term = b.term AND a.source < b.source
+      |WHERE a.c + b.c > 0
+      |GROUP BY a.source, b.source ORDER BY s1, s2""".stripMargin
+
+  // ───────── term burstiness (variance-to-mean of per-doc tf) ─────────
+
+  /** Burstiness of the 50 highest-df terms — the variance-to-mean ratio
+    * (index of dispersion) of per-document term frequency over the
+    * documents CONTAINING the term: content words burst (VMR ≫ 1),
+    * function words spread evenly (VMR ≈ 1) — the classic signal
+    * separating topical vocabulary from glue, and a template-spam tell
+    * when a "content" term shows no burst. Computed from the bounded
+    * (doc_id, term) tf relation: per term, df and the exact integer
+    * Σtf / Σtf² give mean and variance in closed form ((df·Q − S²)/
+    * (df·(df−1)) sample variance) — one division pair onto round(4).
+    * Deterministic top-50 by (df desc, term). Scale: one explode pass
+    * + a |vocab|-key aggregate + a 50-row limit.
+    */
+  def qTextBurstiness(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("s"),
+        sum(col("tf") * col("tf")).as("q"))
+      .filter(col("df") >= 2)
+      .select(col("term"), col("df"),
+        round(col("s") / col("df").cast("double"), 4).as("mean_tf"),
+        round(((col("df") * col("q") - col("s") * col("s")) /
+          (col("df") * (col("df") - 1L)).cast("double")) /
+          (col("s") / col("df").cast("double")), 4).as("vmr"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(50)
+
+  val qTextBurstinessSql: String =
+    """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM dt
+      |  GROUP BY doc_id, term),
+      |a AS (SELECT term, count(*) AS df, sum(tf) AS s,
+      |    sum(tf * tf) AS q
+      |  FROM tf GROUP BY term)
+      |SELECT term, CAST(df AS BIGINT) AS df,
+      |  round(s / CAST(df AS DOUBLE), 4) AS mean_tf,
+      |  round(((df * q - s * s) / CAST(df * (df - 1) AS DOUBLE)) /
+      |    (s / CAST(df AS DOUBLE)), 4) AS vmr
+      |FROM a WHERE df >= 2
+      |ORDER BY df DESC, term LIMIT 50""".stripMargin
+
   // ───────── hapax / lexical-richness audit per source ─────────
 
   /** Lexical-richness profile per source — token volume, vocabulary

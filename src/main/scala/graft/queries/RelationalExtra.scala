@@ -501,6 +501,45 @@ object RelationalExtra {
       |JOIN cb c2 ON b2 = c2.brand CROSS JOIN n
       |ORDER BY lift_ppm DESC, b1, b2 LIMIT 20""".stripMargin
 
+  // ───────── supplier concentration (HHI) per brand ─────────
+
+  /** Herfindahl–Hirschman concentration of supply per brand — Σ of
+    * squared supplier shares of shipped quantity, the single-source-risk
+    * audit (HHI → 1: one supplier owns the brand; → 1/n: evenly
+    * spread). l_quantity is integral by the data contract, so shares
+    * are ratios of exact BIGINTs and HHI = Σq_s²/Q² takes ONE double
+    * division per brand; the top-supplier share ships as integer ppm.
+    * The fact table aggregates to the bounded |brand|×|supplier|
+    * relation first; every window runs over that relation. Scale: one
+    * partial-aggregable fact pass + bounded-grid windows.
+    */
+  def qHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val bs = t(spark, sfDir, "lineitem")
+      .join(broadcast(t(spark, sfDir, "part")
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    bs.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("q").as("total_qty"),
+        round(sum(col("q") * col("q")) /
+          (sum("q") * sum("q")).cast("double"), 6).as("hhi"),
+        expr("max(q) * 1000000 div sum(q)").as("top_share_ppm"))
+      .orderBy("p_brand")
+  }
+
+  val qHhiSql: String =
+    """WITH bs AS (SELECT p_brand, l_suppkey,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, l_suppkey)
+      |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(sum(q) AS BIGINT) AS total_qty,
+      |  round(sum(q * q) / CAST(sum(q) * sum(q) AS DOUBLE), 6) AS hhi,
+      |  CAST(max(q) * 1000000 // sum(q) AS BIGINT) AS top_share_ppm
+      |FROM bs GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ───────── log-log price elasticity per brand ─────────
 
   /** Price elasticity of demand per brand — the slope of ln(quantity)

@@ -363,6 +363,66 @@ class PipelineAuditSpec extends SparkSpecBase {
     assert(mb > 0 && ma > 0 && math.abs(mb - ma) >= 0.0)
   }
 
+  test("cohort LTV: cumulative, complete, and totals to purchase revenue") {
+    val rows = queries.EventsPlus.qCohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // cum_revenue is non-decreasing within each cohort
+    rows.groupBy(_.getDate(0)).foreach { case (_, rs) =>
+      val byWeek = rs.sortBy(_.getInt(1))
+      byWeek.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1).getDouble(3) >= w(0).getDouble(3) - 1e-9)
+      }
+      assert(byWeek.head.getInt(1) == 0) // every cohort starts at week 0
+    }
+    // cohort sizes partition the user base
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.groupBy(_.getDate(0)).values
+      .map(_.head.getLong(2)).sum == users)
+    // final cumulative revenue across cohorts = total purchase revenue
+    val last = rows.groupBy(_.getDate(0)).values
+      .map(_.maxBy(_.getInt(1)).getDouble(3)).sum
+    val total = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum("value")).head.getDouble(0)
+    assert(math.abs(last - total) < 0.5, s"ltv=$last vs rev=$total")
+  }
+
+  test("heatmap covers the calendar grid and shares total to ~1e6 ppm") {
+    val rows = queries.EventsPlus.qEvtHeatmap(spark, sf).collect()
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 6))
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 23))
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach(r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / total))
+    val ppm = rows.map(_.getLong(3)).sum
+    assert(ppm > 1000000L - rows.length && ppm <= 1000000L)
+  }
+
+  test("mutual information matches brute force and information bounds") {
+    val r = queries.PipelineAudit.qStatsMi(spark, sf).head
+    val (n, mi, hl, hs, nmi) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val cells = Tables.t(spark, sf, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o")).collect()
+      .map(c => (c.getString(0), c.getString(1), c.getLong(2)))
+    val rT = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cT = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nn = cells.map(_._3).sum
+    assert(n == nn)
+    val bruteMi = cells.map { case (l, s, o) =>
+      o.toDouble / nn * math.log(o.toDouble * nn / (rT(l) * cT(s)))
+    }.sum
+    def h(t: Map[String, Long]) =
+      t.values.map(v => v.toDouble / nn * math.log(nn.toDouble / v)).sum
+    assert(math.abs(mi - bruteMi) < 1e-3, s"mi=$mi vs $bruteMi")
+    assert(math.abs(hl - h(rT)) < 1e-3 && math.abs(hs - h(cT)) < 1e-3)
+    // 0 ≤ MI ≤ min(H); NMI in [0, 1]
+    assert(mi >= -1e-4 && mi <= math.min(hl, hs) + 1e-4)
+    assert(nmi >= -1e-4 && nmi <= 1.0 + 1e-4)
+  }
+
   test("A/B z-test matches the naive two-proportion recompute") {
     val r = queries.EventsPlus.qAbtestZtest(spark, sf).head
     val (nA, nB, xA, xB) =

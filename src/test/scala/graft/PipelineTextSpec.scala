@@ -103,6 +103,60 @@ class PipelineTextSpec extends SparkSpecBase {
     assert(rows.exists(_.getDouble(3) > 0.0))
   }
 
+  test("JSD matches brute force, is bounded by ln 2, covers all pairs") {
+    val rows = queries.PipelineText.qTextJsd(spark, sf).collect()
+    val counts = Tables.t(spark, sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val sources = counts.keys.map(_._1).toSeq.distinct.sorted
+    val vocab = counts.keys.map(_._2).toSeq.distinct
+    assert(rows.length == sources.length * (sources.length - 1) / 2)
+    val totals = sources.map(s =>
+      s -> counts.filter(_._1._1 == s).values.sum).toMap
+    rows.foreach { r =>
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      assert(s1 < s2)
+      val (n1, n2) = (totals(s1).toDouble, totals(s2).toDouble)
+      val brute = vocab.map { t =>
+        val p = counts.getOrElse((s1, t), 0L) / n1
+        val q = counts.getOrElse((s2, t), 0L) / n2
+        val m = (p + q) / 2
+        (if (p > 0) p * math.log(p / m) else 0.0) / 2 +
+          (if (q > 0) q * math.log(q / m) else 0.0) / 2
+      }.sum
+      assert(math.abs(r.getDouble(2) - brute) < 1e-3,
+        s"jsd drifts for ($s1,$s2)")
+      assert(r.getDouble(2) >= -1e-9 &&
+        r.getDouble(2) <= math.log(2.0) + 1e-4)
+      assert(r.getLong(3) <= vocab.length)
+    }
+  }
+
+  test("burstiness matches a naive per-term VMR recompute") {
+    val rows = queries.PipelineText.qTextBurstiness(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // deterministic (df desc, term) order
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys == keys.sorted)
+    val tfs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val v = tfs(r.getString(0))
+      val df = v.length.toLong
+      assert(r.getLong(1) == df && df >= 2)
+      val mean = v.sum.toDouble / df
+      val variance = v.map(x => (x - mean) * (x - mean)).sum / (df - 1)
+      assert(math.abs(r.getDouble(2) - mean) < 1e-3)
+      assert(math.abs(r.getDouble(3) - variance / mean) < 1e-3,
+        s"vmr drifts for ${r.getString(0)}")
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("hapax profile matches a naive per-source recount") {
     val rows = queries.PipelineText.qTextHapax(spark, sf).collect()
     val docs = Tables.t(spark, sf, "documents")

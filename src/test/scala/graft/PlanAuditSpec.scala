@@ -699,6 +699,51 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!z.contains("Join"), s"ztest grew a join:\n$z")
   }
 
+  test("heatmap/MI/burstiness window or limit only bounded relations") {
+    Seq("q_evt_heatmap" -> "hashaggregate(keys=[_groupingexpression",
+      "q_stats_mi" -> "hashaggregate(keys=[lang",
+      "q_text_burstiness" -> "hashaggregate(keys=[doc_id")
+      .foreach { case (q, key) =>
+        val p = plan(q).toLowerCase
+        assert(p.contains(key), s"$q lost its bounded aggregate:\n$p")
+        assert(!p.contains("join"), s"$q grew a join:\n$p")
+      }
+    // burstiness' top-50 is a TakeOrdered over the vocab aggregate,
+    // never a global sort of the corpus
+    val b = plan("q_text_burstiness")
+    assert(b.contains("TakeOrderedAndProject"),
+      s"top-50 lost its TakeOrdered:\n$b")
+  }
+
+  test("q_hhi and q_text_jsd aggregate the corpus before any pair work") {
+    val h = plan("q_hhi")
+    assert(h.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$h")
+    assert(h.contains("HashAggregate(keys=[p_brand") &&
+      h.contains("l_suppkey"),
+      s"(brand, supplier) pre-aggregate missing:\n$h")
+    val j = plan("q_text_jsd")
+    assert(j.contains("HashAggregate(keys=[source") && j.contains("term"),
+      s"(source, term) aggregate missing — pair join would touch docs:\n$j")
+    // the pair join must be keyed on term (per-key groups bounded by
+    // |sources| — a shuffle join here is the SCALE-correct choice, the
+    // grid is |vocab|×|sources| and need not fit one executor); what
+    // must never appear is an unkeyed pair expansion of the grid
+    val pairJoin = j.linesIterator
+      .filter(l => l.contains("MergeJoin") || l.contains("HashJoin"))
+      .filter(l => l.contains("Inner"))
+    assert(pairJoin.exists(_.contains("term#")),
+      s"pair join lost its term key:\n$j")
+    assert(!j.contains("CartesianProduct"),
+      s"unkeyed pair expansion:\n$j")
+  }
+
+  test("q_cohort_ltv joins on the one user_id shuffle key") {
+    val p = plan("q_cohort_ltv")
+    assert(p.contains("HashAggregate(keys=[user_id"),
+      s"per-user first-week aggregate missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ltv grew a cartesian:\n$p")
+  }
+
   test("q_elasticity broadcasts the part dim and partial-aggregates") {
     val p = plan("q_elasticity")
     assert(p.contains("BroadcastHashJoin"),

@@ -99,6 +99,27 @@ class RelationalSpec extends SparkSpecBase {
     assert(sp >= -1.0 && sp <= 1.0 && pe >= -1.0 && pe <= 1.0)
   }
 
+  test("HHI matches the brute squared-share sum and its bounds") {
+    val rows = queries.RelationalExtra.qHhi(spark, sf).collect()
+    val bs = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("q")).collect()
+      .map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+    rows.foreach { r =>
+      val qs = bs(r.getString(0)).map(_._2)
+      val total = qs.sum
+      assert(r.getLong(1) == qs.length && r.getLong(2) == total)
+      val brute = qs.map(q => q.toDouble * q).sum / (total.toDouble * total)
+      assert(math.abs(r.getDouble(3) - brute) < 1e-5)
+      // 1/n ≤ HHI ≤ 1; top share consistent
+      assert(r.getDouble(3) >= 1.0 / qs.length - 1e-6 &&
+        r.getDouble(3) <= 1.0 + 1e-9)
+      assert(r.getLong(4) == qs.max * 1000000L / total)
+    }
+  }
+
   test("elasticity matches a closed-form log-log OLS recompute") {
     val rows = queries.RelationalExtra.qElasticity(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum ==
