@@ -928,4 +928,213 @@ object EventsPlus {
       |  round((n - cum) / CAST(nullif(dd - idx, 0) AS DOUBLE), 4)
       |    AS mean_after
       |FROM s ORDER BY abs(sxd) DESC, d LIMIT 1""".stripMargin
+
+  // ───────── Wald–Wolfowitz runs test on the daily rate ─────────
+
+  /** Wald–Wolfowitz runs test on the daily event rate — the
+    * randomness audit completing [[qEvtChangepoint]]'s "where did it
+    * shift" with "is the sequence random at all": days are signed
+    * above/below the median daily count (median-equal days excluded,
+    * the standard convention), the run count R is an exact lag-window
+    * sum, and the normal approximation z = (R − μ)/σ with
+    * μ = 1 + 2n₁n₂/N and σ² = 2n₁n₂(2n₁n₂ − N)/(N²(N−1)) takes ONE
+    * sqrt at the end from exact BIGINT counts. Too few runs ⇒
+    * clustering/trend; too many ⇒ oscillation. The median interpolates
+    * on the per-day counts (int-vs-double compare is exact, so the
+    * exclusion set is engine-stable). Scale: one partial-aggregable
+    * count pass; every window runs over the bounded per-day aggregate
+    * (the [[qEvtChangepoint]] discipline).
+    */
+  def qStatsRuns(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val med = daily.agg(expr("percentile(c, 0.5D)").as("med"))
+    val ord = Window.orderBy("d")
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("c") =!= col("med"))
+      .withColumn("s", (col("c") > col("med")).cast("long"))
+    signed
+      .withColumn("chg", when(lag("s", 1).over(ord).isNull ||
+        lag("s", 1).over(ord) =!= col("s"), 1L).otherwise(0L))
+      .agg(sum("chg").as("runs"), sum("s").as("n1"),
+        (count(lit(1)) - sum("s")).as("n2"))
+      .select((col("n1") + col("n2")).as("n_days"),
+        col("n1").as("n_above"), col("n2").as("n_below"), col("runs"),
+        round(lit(1.0) + lit(2.0) * col("n1") * col("n2") /
+          (col("n1") + col("n2")), 4).as("expected"),
+        round((col("runs") - (lit(1.0) + lit(2.0) * col("n1") * col("n2") /
+          (col("n1") + col("n2")))) /
+          sqrt(lit(2.0) * col("n1") * col("n2") *
+            (lit(2L) * col("n1") * col("n2") - (col("n1") + col("n2"))) /
+            ((col("n1") + col("n2")).cast("double") *
+              (col("n1") + col("n2")) * (col("n1") + col("n2") - 1L))),
+          4).as("z"))
+  }
+
+  val qStatsRunsSql: String =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS c
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS med
+      |  FROM daily),
+      |s AS (SELECT d, CASE WHEN c > med THEN 1 ELSE 0 END AS s
+      |  FROM daily, m WHERE c <> med),
+      |r AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+      |    OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS chg
+      |  FROM s),
+      |w AS (SELECT CAST(sum(chg) AS BIGINT) AS runs,
+      |    CAST(sum(s) AS BIGINT) AS n1,
+      |    CAST(count(*) - sum(s) AS BIGINT) AS n2
+      |  FROM r)
+      |SELECT n1 + n2 AS n_days, n1 AS n_above, n2 AS n_below, runs,
+      |  round(1 + 2.0 * n1 * n2 / (n1 + n2), 4) AS expected,
+      |  round((runs - (1 + 2.0 * n1 * n2 / (n1 + n2))) /
+      |    sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) /
+      |      (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))), 4)
+      |    AS z
+      |FROM w ORDER BY n_days""".stripMargin
+
+  // ───────── Theil–Sen robust trend slope ─────────
+
+  /** Theil–Sen estimator on the daily event rate — the median of all
+    * pairwise slopes, the robust companion to [[qEvtForecast]]'s SMA
+    * and the OLS `regr_slope` (a single outlier day drags OLS but
+    * moves the pairwise median not at all; breakdown point 29%). Day
+    * positions are exact ints (datediff from the first day — gap-safe,
+    * unlike row_number), each pairwise slope is ONE division of exact
+    * ints, and the median interpolates over the pair relation. The
+    * intercept is the median residual at the Theil–Sen slope
+    * (Conover's form). OLS slope ships alongside for the contrast.
+    * Scale: the O(|days|²) pair identity is reserved for the BOUNDED
+    * per-day aggregate (≤ ~10³ pairs for a quarter of days) — the
+    * event stream itself is touched once, partial-aggregably; for
+    * unbounded relations the rank-window Spearman/OLS forms apply
+    * instead.
+    */
+  def qTrendTheilsen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val d0 = daily.agg(min("d").as("d0"))
+    val pts = daily.crossJoin(broadcast(d0))
+      .select(datediff(col("d"), col("d0")).cast("long").as("x"), col("c"))
+    val pairs = pts.as("a").join(broadcast(pts.as("b")),
+        col("a.x") < col("b.x"))
+      .select(((col("b.c") - col("a.c")).cast("double") /
+        (col("b.x") - col("a.x"))).as("slope"))
+    val sl = pairs.agg(count(lit(1)).as("n_pairs"),
+      expr("percentile(slope, 0.5D)").as("ts_slope"))
+    val ols = pts.agg(count(lit(1)).as("n_days"),
+      expr("regr_slope(c, x)").as("ols"))
+    val icept = pts.crossJoin(broadcast(sl))
+      .agg(expr("percentile(c - ts_slope * x, 0.5D)").as("icept"))
+    ols.crossJoin(broadcast(sl)).crossJoin(broadcast(icept))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("ts_slope"), 6).as("theilsen_slope"),
+        round(col("icept"), 4).as("theilsen_icept"),
+        round(col("ols"), 6).as("ols_slope"))
+  }
+
+  val qTrendTheilsenSql: String =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS d, count(*) AS c
+      |  FROM events GROUP BY 1),
+      |d0 AS (SELECT min(d) AS d0 FROM daily),
+      |pts AS (SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS x, c
+      |  FROM daily, d0),
+      |pairs AS (SELECT CAST(b.c - a.c AS DOUBLE) / (b.x - a.x) AS slope
+      |  FROM pts a JOIN pts b ON a.x < b.x),
+      |sl AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    percentile_cont(0.5) WITHIN GROUP (ORDER BY slope) AS ts_slope
+      |  FROM pairs),
+      |ols AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    regr_slope(c, x) AS ols FROM pts),
+      |ic AS (SELECT percentile_cont(0.5)
+      |    WITHIN GROUP (ORDER BY c - ts_slope * x) AS icept
+      |  FROM pts, sl)
+      |SELECT n_days, n_pairs,
+      |  round(ts_slope, 6) AS theilsen_slope,
+      |  round(icept, 4) AS theilsen_icept,
+      |  round(ols, 6) AS ols_slope
+      |FROM ols, sl, ic ORDER BY n_days""".stripMargin
+
+  // ───────── Kaplan–Meier user-survival curve ─────────
+
+  /** Kaplan–Meier survival curve over user lifetimes — the
+    * censoring-aware churn view next to [[qEvtLifecycle]]'s daily
+    * accounting: lifetime = days between a user's first and last
+    * event; a user still active in the final 7 days of data is
+    * CENSORED (their true lifetime exceeds what we observed), everyone
+    * else churned. Per distinct lifetime t: the at-risk count n_t from
+    * the cumulative window, deaths d_t, and Ŝ(t) = Π_{s≤t}(1 − d_s/n_s)
+    * computed as exp of the cumulative sum of ln((n−d)/n) — every ln
+    * argument a ratio of exact BIGINTs (the q_source_mix_kl
+    * discipline), with the n = d exhaustion edge CASE-guarded to an
+    * exact 0 (ln(0) is null in Spark but an error in DuckDB). Scale:
+    * per-user min/max is one partial-aggregable pass on the user_id
+    * shuffle key; the horizon is a 1-row broadcast; all windows run
+    * over the bounded lifetime histogram (≤ |days| rows).
+    */
+  def qSurvivalKm(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(date_trunc("day", min("ts")).as("first_d"),
+        date_trunc("day", max("ts")).as("last_d"))
+    val horizon = perUser.agg(max("last_d").as("h"))
+    val byT = perUser.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+        (datediff(col("h"), col("last_d")) > 7).cast("long").as("dead"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("ended"), sum("dead").as("d"))
+    val ord = Window.orderBy("t")
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = ord.rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn("total", sum("ended").over(Window.partitionBy()))
+      .withColumn("n_risk",
+        col("total") - coalesce(sum("ended").over(before), lit(0L)))
+      .withColumn("term", when(col("d") < col("n_risk"),
+        log((col("n_risk") - col("d")) / col("n_risk").cast("double")))
+        .otherwise(lit(0.0)))
+      .withColumn("zeroed",
+        max((col("d") === col("n_risk")).cast("int")).over(upto))
+      .select(col("t").as("t_days"), col("n_risk"),
+        col("d").as("deaths"), (col("ended") - col("d")).as("censored"),
+        when(col("zeroed") === 1, lit(0.0))
+          .otherwise(round(exp(sum("term").over(upto)), 6)).as("survival"))
+      .orderBy("t_days")
+  }
+
+  val qSurvivalKmSql: String =
+    """WITH pu AS (SELECT user_id,
+      |    date_trunc('day', min(ts)) AS first_d,
+      |    date_trunc('day', max(ts)) AS last_d
+      |  FROM events GROUP BY user_id),
+      |h AS (SELECT max(last_d) AS h FROM pu),
+      |byt AS (SELECT
+      |    CAST(date_diff('day', first_d, last_d) AS BIGINT) AS t,
+      |    count(*) AS ended,
+      |    CAST(sum(CASE WHEN date_diff('day', last_d, h) > 7
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM pu, h GROUP BY 1),
+      |w AS (SELECT t, ended, d,
+      |    sum(ended) OVER () AS total,
+      |    sum(ended) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumb
+      |  FROM byt),
+      |r AS (SELECT t, ended, d,
+      |    total - coalesce(cumb, 0) AS n_risk FROM w),
+      |s AS (SELECT t, ended, d, n_risk,
+      |    CASE WHEN d < n_risk
+      |      THEN ln((n_risk - d) / CAST(n_risk AS DOUBLE))
+      |      ELSE 0.0 END AS term,
+      |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+      |  FROM r)
+      |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+      |  d AS deaths, CAST(ended - d AS BIGINT) AS censored,
+      |  CASE WHEN zeroed = 1 THEN 0.0
+      |    ELSE round(exp(sum(term) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+      |    END AS survival
+      |FROM s ORDER BY t_days""".stripMargin
 }

@@ -619,4 +619,143 @@ object RelationalExtra {
       |  round(corr(rx, ry), 4) AS spearman,
       |  round(corr(x, y), 4) AS pearson
       |FROM r ORDER BY spearman""".stripMargin
+
+  // ───────── Kendall tau-b (bounded-grid pair identity) ─────────
+
+  /** Kendall tau-b between per-nation shipped quantity and revenue —
+    * the concordance view completing the correlation kit
+    * ([[qCorrStats]] Pearson, [[qCorrSpearman]] rank-Pearson): tau
+    * counts pairwise order agreements, so it is the statistic actually
+    * bound to "if X ranks higher, does Y?" and is robust to any
+    * monotone rescaling. Quantity sums are exact BIGINTs (quantities
+    * are integral), revenue lands on the round(2) money grid, pair
+    * signs and the concordant/discordant/tie counts are exact ints,
+    * and tau-b = (C − D)/√((n₀−t_x)(n₀−t_y)) takes ONE sqrt at the
+    * end. Scale: tau's O(n²) pair identity is reserved for the
+    * BOUNDED nation grid (25 rows → 300 pairs, fixed at every SF);
+    * the fact stream aggregates to that grid in one
+    * partial-aggregable pass with the supplier dim broadcast. For
+    * unbounded entities the rank-window [[qCorrSpearman]] is the
+    * scale-correct monotone statistic — the two operators are
+    * deliberately complementary.
+    */
+  def qCorrKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val byNation = t(spark, sfDir, "lineitem")
+      .join(broadcast(t(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(sum(col("l_quantity").cast("long")).as("x"),
+        round(sum("l_extendedprice"), 2).as("y"))
+    val p = byNation.select(col("s_nationkey").as("k"), col("x"), col("y"))
+    p.as("a").join(broadcast(p.as("b")), col("a.k") < col("b.k"))
+      .select(signum((col("b.x") - col("a.x")).cast("double")).as("sx"),
+        signum(col("b.y") - col("a.y")).as("sy"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("sx") === 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ties_y"))
+      .withColumn("tau_b",
+        round((col("concordant") - col("discordant")) /
+          sqrt(((col("n_pairs") - col("ties_x")) *
+            (col("n_pairs") - col("ties_y"))).cast("double")), 4))
+  }
+
+  val qCorrKendallSql: String =
+    """WITH bn AS (SELECT s_nationkey,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+      |    round(sum(l_extendedprice), 2) AS y
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1),
+      |s AS (SELECT sign(b.x - a.x) AS sx, sign(b.y - a.y) AS sy
+      |  FROM bn a JOIN bn b ON a.s_nationkey < b.s_nationkey),
+      |w AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS concordant,
+      |    CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS discordant,
+      |    CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ties_x,
+      |    CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ties_y
+      |  FROM s)
+      |SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+      |  round((concordant - discordant) /
+      |    sqrt(CAST((n_pairs - ties_x) * (n_pairs - ties_y) AS DOUBLE)),
+      |    4) AS tau_b
+      |FROM w ORDER BY n_pairs""".stripMargin
+
+  // ───────── monthly price index (Laspeyres / Paasche / Fisher) ─────────
+
+  /** Monthly price-index triple over brand unit values — the
+    * inflation-accounting shape next to [[qElasticity]]'s demand
+    * curve: per (brand, ship-month), unit price in integer CENTS
+    * (floored — exact BIGINTs all the way: quantity sums are integral,
+    * revenue cents land within 10⁻⁵ of an integer before the round),
+    * then Laspeyres (base-month quantity weights), Paasche
+    * (current-month weights), and Fisher (√(L·P), the geometric
+    * compromise) vs the first month, as integer ppm — every index a
+    * ratio of exact BIGINT weighted sums with ONE integer division;
+    * Fisher's sqrt is IEEE-correctly-rounded, so the floor to ppm is
+    * engine-exact. Scale: one fact pass with the part dim broadcast
+    * onto the bounded |brands|×|months| grid; the base month is a
+    * broadcast slice of that grid; weighted sums stay under 2⁶³ past
+    * TPC-H sf100.
+    */
+  def qPriceIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val bm = t(spark, sfDir, "lineitem")
+      .join(broadcast(t(spark, sfDir, "part")
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("m"),
+        col("p_brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"),
+        round(sum("l_extendedprice") * 100).cast("long").as("e100"))
+      .withColumn("p_cents", expr("e100 div q"))
+    val m0 = bm.agg(min("m").as("m0"))
+    val base = bm.join(broadcast(m0), col("m") === col("m0"))
+      .select(col("p_brand"), col("q").as("q0"), col("p_cents").as("p0"))
+    bm.join(broadcast(base), "p_brand")
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_brands"),
+        sum(col("p_cents") * col("q0")).as("lnum"),
+        sum(col("p0") * col("q0")).as("lden"),
+        sum(col("p_cents") * col("q")).as("pnum"),
+        sum(col("p0") * col("q")).as("pden"))
+      .select(col("m").cast("date").as("month"), col("n_brands"),
+        expr("lnum * 1000000 div lden").as("laspeyres_ppm"),
+        expr("pnum * 1000000 div pden").as("paasche_ppm"),
+        floor(sqrt((expr("lnum * 1000000 div lden") *
+          expr("pnum * 1000000 div pden")).cast("double")))
+          .cast("long").as("fisher_ppm"))
+      .orderBy("month")
+  }
+
+  val qPriceIndexSql: String =
+    """WITH bm AS (SELECT date_trunc('month', l_shipdate) AS m, p_brand,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+      |    CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS e100
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |pm AS (SELECT m, p_brand, q, e100 // q AS p_cents FROM bm),
+      |m0 AS (SELECT min(m) AS m0 FROM pm),
+      |base AS (SELECT p_brand, q AS q0, p_cents AS p0
+      |  FROM pm, m0 WHERE m = m0),
+      |w AS (SELECT pm.m, count(*) AS n_brands,
+      |    sum(pm.p_cents * base.q0) AS lnum,
+      |    sum(base.p0 * base.q0) AS lden,
+      |    sum(pm.p_cents * pm.q) AS pnum,
+      |    sum(base.p0 * pm.q) AS pden
+      |  FROM pm JOIN base USING (p_brand) GROUP BY 1)
+      |SELECT CAST(m AS DATE) AS month, CAST(n_brands AS BIGINT)
+      |    AS n_brands,
+      |  CAST(lnum * 1000000 // lden AS BIGINT) AS laspeyres_ppm,
+      |  CAST(pnum * 1000000 // pden AS BIGINT) AS paasche_ppm,
+      |  CAST(floor(sqrt(CAST((lnum * 1000000 // lden) *
+      |    (pnum * 1000000 // pden) AS DOUBLE))) AS BIGINT)
+      |    AS fisher_ppm
+      |FROM w ORDER BY month""".stripMargin
 }

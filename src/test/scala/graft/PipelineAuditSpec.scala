@@ -484,4 +484,92 @@ class PipelineAuditSpec extends SparkSpecBase {
       assert(exact == (math.abs(c - s / 14.0) > 2 * sd))
     }
   }
+
+  private def dailyCounts: Array[Long] =
+    Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("c")).orderBy("d").collect()
+      .map(_.getLong(1))
+
+  private def medianInterp(xs: Array[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
+  test("runs test matches the scan recompute and the run-count bounds") {
+    val r = queries.EventsPlus.qStatsRuns(spark, sf).head
+    val daily = dailyCounts
+    val med = medianInterp(daily.map(_.toDouble))
+    val signs = daily.filter(_ != med).map(_ > med)
+    val n1 = signs.count(identity).toLong
+    val n2 = signs.length - n1
+    val runs = 1L + signs.sliding(2).count(p =>
+      p.length == 2 && p(0) != p(1))
+    assert(r.getLong(0) == n1 + n2 && r.getLong(1) == n1 &&
+      r.getLong(2) == n2 && r.getLong(3) == runs)
+    // runs bounded by 1 and N; expected matches the closed form
+    assert(runs >= 1 && runs <= n1 + n2)
+    val mu = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    assert(math.abs(r.getDouble(4) - mu) < 1e-3)
+    val n = n1 + n2
+    val sig = math.sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n) /
+      (n.toDouble * n * (n - 1)))
+    assert(math.abs(r.getDouble(5) - (runs - mu) / sig) < 1e-3)
+  }
+
+  test("Theil-Sen slope is the pairwise-slope median; OLS is the LS fit") {
+    val r = queries.EventsPlus.qTrendTheilsen(spark, sf).head
+    val daily = dailyCounts
+    val pts = daily.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val slopes = for {
+      i <- pts.indices; j <- (i + 1) until pts.length
+    } yield (pts(j)._2 - pts(i)._2).toDouble / (pts(j)._1 - pts(i)._1)
+    assert(r.getLong(0) == pts.length.toLong)
+    assert(r.getLong(1) == slopes.length.toLong)
+    val ts = medianInterp(slopes.toArray)
+    assert(math.abs(r.getDouble(2) - ts) < 1e-4)
+    val icept = medianInterp(pts.map { case (x, c) => c - ts * x })
+    assert(math.abs(r.getDouble(3) - icept) < 1e-3)
+    // OLS recompute
+    val n = pts.length
+    val (mx, my) = (pts.map(_._1).sum.toDouble / n,
+      pts.map(_._2).sum.toDouble / n)
+    val ols = pts.map { case (x, c) => (x - mx) * (c - my) }.sum /
+      pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    assert(math.abs(r.getDouble(4) - ols) < 1e-4)
+    // NOTE: the engine anchors x at the first day via datediff, which on
+    // this gap-free calendar equals the 0-based index used here
+  }
+
+  test("Kaplan-Meier: at-risk conservation, product identity, monotone") {
+    val rows = queries.EventsPlus.qSurvivalKm(spark, sf).collect()
+    val pu = Tables.events(spark, sf).groupBy("user_id")
+      .agg(date_trunc("day", min("ts")).as("f"),
+        date_trunc("day", max("ts")).as("l"))
+      .select(col("f"), col("l")).collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1)))
+    val horizon = pu.map(_._2).max
+    val day = 86400000L
+    val life = pu.map { case (f, l) =>
+      ((l.getTime - f.getTime) / day,
+        (horizon.getTime - l.getTime) / day > 7) }
+    val byT = life.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.length.toLong, xs.count(_._2).toLong) }.toSeq.sortBy(_._1)
+    assert(rows.map(_.getLong(0)).toSeq == byT.map(_._1))
+    var atRisk = life.length.toLong
+    var surv = 1.0
+    rows.zip(byT).foreach { case (r, (t, ended, d)) =>
+      assert(r.getLong(1) == atRisk, s"at-risk mismatch at t=$t")
+      assert(r.getLong(2) == d && r.getLong(3) == ended - d)
+      surv *= (if (atRisk == d) 0.0 else 1.0 - d.toDouble / atRisk)
+      assert(math.abs(r.getDouble(4) - surv) < 1e-5)
+      atRisk -= ended
+    }
+    // survival is monotone non-increasing from ≤ 1
+    val s = rows.map(_.getDouble(4))
+    assert(s.head <= 1.0 + 1e-9)
+    s.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(1) <= p(0) + 1e-9))
+  }
 }

@@ -686,6 +686,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"hapax grew a join:\n$p")
   }
 
+  test("runs/Theil-Sen/KM/Kendall/price-index: fact aggregates first, dims broadcast, no shuffle join") {
+    // every new stats operator aggregates the fact stream onto a bounded
+    // relation BEFORE any join; the only joins are broadcasts (1-row
+    // scalars, the pair expansion of a bounded grid, or a dim table) —
+    // a SortMergeJoin anywhere means a corpus-sized shuffle crept in
+    Seq("q_stats_runs" -> "hashaggregate(keys=[_groupingexpression",
+      "q_trend_theilsen" -> "hashaggregate(keys=[_groupingexpression",
+      "q_survival_km" -> "hashaggregate(keys=[user_id",
+      "q_corr_kendall" -> "hashaggregate(keys=[s_nationkey",
+      "q_price_index" -> "hashaggregate(keys=[_groupingexpression")
+      .foreach { case (q, key) =>
+        val p = plan(q).toLowerCase
+        assert(p.contains(key), s"$q lost its bounded aggregate:\n$p")
+        assert(!p.contains("sortmergejoin"), s"$q shuffle-joins:\n$p")
+        assert(p.contains("broadcast"), s"$q lost its broadcast:\n$p")
+      }
+  }
+
   test("forecast/bands/ztest stay on bounded aggregates — no join, no sort of the corpus") {
     Seq("q_evt_forecast", "q_evt_bands").foreach { q =>
       val p = plan(q).toLowerCase

@@ -144,4 +144,51 @@ class RelationalSpec extends SparkSpecBase {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("Kendall tau-b matches the O(n^2) loop and stays in [-1, 1]") {
+    val r = queries.RelationalExtra.qCorrKendall(spark, sf).head
+    val bn = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "supplier")
+        .select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(sum(col("l_quantity").cast("long")).as("x"),
+        round(sum("l_extendedprice"), 2).as("y"))
+      .collect().map(x => (x.getLong(1), x.getDouble(2)))
+    val n = bn.length
+    var (c, d, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val sx = java.lang.Long.signum(bn(j)._1 - bn(i)._1)
+      val sy = math.signum(bn(j)._2 - bn(i)._2)
+      if (sx * sy > 0) c += 1 else if (sx * sy < 0) d += 1
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+    }
+    assert(r.getLong(0) == n.toLong * (n - 1) / 2)
+    assert(r.getLong(1) == c && r.getLong(2) == d)
+    assert(r.getLong(3) == tx && r.getLong(4) == ty)
+    val n0 = n.toLong * (n - 1) / 2
+    val tau = (c - d) / math.sqrt((n0 - tx).toDouble * (n0 - ty))
+    assert(math.abs(r.getDouble(5) - tau) < 1e-4)
+    assert(r.getDouble(5) >= -1.0 && r.getDouble(5) <= 1.0)
+  }
+
+  test("price index: base month is exactly 1e6 ppm; Fisher between L and P") {
+    val rows = queries.RelationalExtra.qPriceIndex(spark, sf)
+      .orderBy("month").collect()
+    assert(rows.nonEmpty)
+    // the first month IS the base: all three indices identically 10^6
+    val base = rows.head
+    assert(base.getLong(2) == 1000000L && base.getLong(3) == 1000000L &&
+      base.getLong(4) == 1000000L)
+    rows.foreach { r =>
+      val (l, p, f) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(l > 0 && p > 0)
+      // Fisher is the floored geometric mean: between min and max of L, P
+      assert(f >= math.min(l, p) - 1 && f <= math.max(l, p))
+      assert(f == math.floor(math.sqrt(l.toDouble * p)).toLong)
+      // every month prices a full brand panel present in the base month
+      assert(r.getLong(1) >= 1L)
+    }
+  }
 }
