@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** TPC-H canon query shapes (SURVEY.md §2 round-6 extension): the
+  * classic predicate-gated star-join benchmarks Q3/Q5/Q8/Q10/Q18,
+  * re-expressed with this engine's exactness discipline. They differ
+  * from `q_join_multiway` (ungated full-corpus rollup) in exactly the
+  * ways a planner is graded: selective date/segment predicates that
+  * must PUSH into the scans, cross-dimension equality conditions
+  * beyond the join keys (Q5's local-supplier `c_nationkey =
+  * s_nationkey`), conditional market-share numerators (Q8), and the
+  * having-then-join-back shape (Q18).
+  *
+  * Exactness: revenue = Σ extendedprice·(1−discount) accumulates as
+  * EXACT integers — price in cents (2 dp → ·100 lands within 1e-9 of
+  * an integer, round is exact) times the integer percent (100−disc),
+  * summed as decimal(38,0) (the q_basket_lift overflow discipline:
+  * BIGINT e4-units blow past ~TPC-H sf10⁵; decimal widening keeps the
+  * integral value, the oracle widens identically via HUGEINT). Display
+  * cents come from ONE floor-div at the end — no float partial-sum
+  * boundary anywhere (BASELINE.md "cross-engine float-sum boundary").
+  */
+object TpchCanon {
+
+  /** Exact per-row revenue in e4-units (cents × percent), widened to
+    * decimal(38,0) so group sums never overflow. */
+  private val revE4 =
+    expr("""CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+           |  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           |  AS DECIMAL(38,0))""".stripMargin)
+
+  private val revE4Sql =
+    """CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT)"""
+      .stripMargin
+
+  /** TPC-H Q3 (shipping priority): top-10 undelivered orders of one
+    * market segment by revenue. Scale: the segment filter (1/5 of a
+    * FIXED-cardinality dim here — at true TPC-H scale customer grows,
+    * and the same plan flips to a shuffle join on o_custkey without a
+    * code change once the dim passes the broadcast threshold) and both
+    * date predicates push into the parquet scans; orders⋈lineitem is
+    * the one orderkey shuffle; top-10 is TakeOrdered (never a global
+    * sort).
+    */
+  def qTpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = to_timestamp(lit("1998-06-30"))
+    val cust = t(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val od = t(spark, sfDir, "orders").filter(col("o_orderdate") < cut)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    t(spark, sfDir, "lineitem").filter(col("l_shipdate") > cut)
+      .join(od, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(revE4).as("rev_e4"))
+      .select(col("l_orderkey"),
+        expr("CAST(rev_e4 DIV 100 AS BIGINT)").as("revenue_cents"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(desc("revenue_cents"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val qTpchQ3Sql: String =
+    s"""SELECT l_orderkey,
+       |  CAST(sum($revE4Sql) // 100 AS BIGINT) AS revenue_cents,
+       |  o_orderdate, o_orderpriority
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-06-30'
+       |  AND l_shipdate > TIMESTAMP '1998-06-30'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 (local supplier volume): revenue per nation for one
+    * region-year where the CUSTOMER and the SUPPLIER sit in the same
+    * nation — the cross-dimension equality (`c_nationkey =
+    * s_nationkey`) that distinguishes this from a plain star rollup.
+    * Scale: the year predicate prunes the orders scan; customer /
+    * supplier / nation / region are broadcast dims; lineitem is
+    * touched once and shuffles only on l_orderkey.
+    */
+  def qTpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    val asiaNations = t(spark, sfDir, "nation")
+      .join(t(spark, sfDir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA").select("n_nationkey", "n_name")
+    val od = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val cust = t(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    val supp = t(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), revE4.as("r"))
+      .join(od, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("r")).as("rev_e4"))
+      .select(col("n_name"),
+        expr("CAST(rev_e4 DIV 100 AS BIGINT)").as("revenue_cents"))
+      .orderBy(desc("revenue_cents"), asc("n_name"))
+  }
+
+  val qTpchQ5Sql: String =
+    s"""SELECT n_name,
+       |  CAST(sum($revE4Sql) // 100 AS BIGINT) AS revenue_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |  AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin
+
+  /** TPC-H Q8 (national market share): per order-year, the share of
+    * one supplier nation's revenue within one customer-region ×
+    * part-type slice, as integer ppm. Scale: part (type filter) and
+    * the two nation lookups broadcast; the conditional numerator is a
+    * partial-aggregable CASE sum — share = ONE decimal floor-div per
+    * year at the end, exact at any corpus size.
+    */
+  def qTpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    val pt = t(spark, sfDir, "part").filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val amCust = t(spark, sfDir, "customer")
+      .join(broadcast(t(spark, sfDir, "nation")
+        .filter(col("n_regionkey") === 1).select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNat = t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("s_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "s_nation")
+    val od = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") <= to_timestamp(lit("1999-12-31")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revE4.as("r"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(od, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(amCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("s_nation") === "NATION_6", col("r"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("nat_e4"),
+        sum(col("r")).as("tot_e4"))
+      .select(col("o_year"),
+        expr("CAST((nat_e4 * 1000000) DIV tot_e4 AS BIGINT)")
+          .as("mkt_share_ppm"),
+        expr("CAST(tot_e4 DIV 100 AS BIGINT)").as("total_cents"))
+      .orderBy("o_year")
+  }
+
+  val qTpchQ8Sql: String =
+    s"""WITH f AS (SELECT year(o_orderdate) AS o_year,
+       |    sum(CASE WHEN sn.n_name = 'NATION_6'
+       |      THEN $revE4Sql ELSE 0 END) AS nat_e4,
+       |    sum($revE4Sql) AS tot_e4
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  WHERE cn.n_regionkey = 1 AND p_type = 'ECONOMY'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate <= TIMESTAMP '1999-12-31'
+       |  GROUP BY 1)
+       |SELECT o_year,
+       |  CAST((CAST(nat_e4 AS HUGEINT) * 1000000) // tot_e4 AS BIGINT)
+       |    AS mkt_share_ppm,
+       |  CAST(tot_e4 // 100 AS BIGINT) AS total_cents
+       |FROM f ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q10 (returned items): top-20 customers by revenue lost to
+    * returns in one quarter. Scale: the quarter predicate prunes the
+    * orders scan and the returnflag predicate the lineitem scan;
+    * grouping is on the customer key (partial-aggregable); the
+    * customer attribute join-back happens AFTER the aggregate, on ≤
+    * |customers| rows; top-20 is TakeOrdered.
+    */
+  def qTpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    val od = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-10-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val lost = t(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revE4.as("r"))
+      .join(od, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("r")).as("rev_e4"), count(lit(1)).as("n_items"))
+    val cust = t(spark, sfDir, "customer")
+      .join(broadcast(t(spark, sfDir, "nation")
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    lost.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        expr("CAST(rev_e4 DIV 100 AS BIGINT)").as("lost_cents"),
+        col("n_items"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acctbal_cents"))
+      .orderBy(desc("lost_cents"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  val qTpchQ10Sql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  CAST(sum($revE4Sql) // 100 AS BIGINT) AS lost_cents,
+       |  count(*) AS n_items,
+       |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY c_custkey, c_name, n_name,
+       |  CAST(round(c_acctbal * 100) AS BIGINT)
+       |ORDER BY lost_cents DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q18 (large-volume customer): orders whose line quantity
+    * total exceeds a threshold, joined back to order + customer
+    * attributes — the HAVING-then-join-back shape. Scale: the
+    * quantity rollup is partial-aggregable on l_orderkey (the fact
+    * table's natural key — map-side combine does most of the work);
+    * the >250 filter cuts the relation to a sliver BEFORE the
+    * attribute joins; quantities are integral doubles so the BIGINT
+    * cast is exact; top-100 is TakeOrdered.
+    */
+  def qTpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = t(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("q"))
+      .filter(col("q") > 250)
+    big.join(t(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, sfDir, "customer")
+        .select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("totalprice_cents"),
+        col("q").cast("long").as("total_qty"))
+      .orderBy(desc("totalprice_cents"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  val qTpchQ18Sql: String =
+    """WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+      |  q AS total_qty
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin
+}

@@ -704,6 +704,30 @@ class PlanAuditSpec extends SparkSpecBase {
       }
   }
 
+  test("TPC-H canon: predicates push to scans, dims broadcast, top-k is TakeOrdered") {
+    // Q3/Q10: the date/flag predicates must reach the parquet scans and
+    // the top-k must compile to TakeOrderedAndProject (never a global sort)
+    Seq("q_tpch_q3" -> "l_shipdate", "q_tpch_q10" -> "l_returnflag")
+      .foreach { case (q, pushed) =>
+        val p = plan(q)
+        assert(p.contains("PushedFilters") && p.contains(pushed),
+          s"$q lost its scan pushdown:\n$p")
+        assert(p.contains("TakeOrderedAndProject"),
+          s"$q top-k became a global sort:\n$p")
+      }
+    // Q5/Q8: every dim side broadcasts; Q18: the quantity rollup keeps
+    // its map-side partial aggregate and top-100 stays TakeOrdered
+    Seq("q_tpch_q5", "q_tpch_q8").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost dim broadcast:\n$p")
+    }
+    val p18 = plan("q_tpch_q18")
+    assert(p18.toLowerCase.contains("hashaggregate(keys=[l_orderkey"),
+      s"q_tpch_q18 lost its orderkey rollup:\n$p18")
+    assert(p18.contains("TakeOrderedAndProject"),
+      s"q_tpch_q18 top-100 became a global sort:\n$p18")
+  }
+
   test("forecast/bands/ztest stay on bounded aggregates — no join, no sort of the corpus") {
     Seq("q_evt_forecast", "q_evt_bands").foreach { q =>
       val p = plan(q).toLowerCase
