@@ -331,4 +331,70 @@ object PipelineGraph {
       |  UNION ALL SELECT c FROM tri)
       |SELECT doc_id, count(*) AS n_tri FROM p GROUP BY doc_id
       |ORDER BY n_tri DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Single-source BFS hop distance (≤3 hops) from the minimum sampled
+    * doc_id over the verified near-dup graph — the reachability probe
+    * completing the family: components say WHETHER two docs connect,
+    * PageRank says how central, BFS says how FAR. Three pull rounds of
+    * min-(dist+1) propagation (Bellman–Ford rounds: after k rounds every
+    * node within k hops holds its exact BFS distance); each round is one
+    * |edges| hash shuffle, the Pregel plan, with the [[qGraphPagerank]]
+    * lazy-checkpoint discipline (fixed iterations → all rounds collapse
+    * into the output job). The oracle walks the same graph with a
+    * bounded RECURSIVE CTE whose UNION-dedup keeps the walk ≤ 4·|nodes|
+    * rows regardless of path multiplicity. The seed stays a 1-row
+    * broadcast — never a driver-side collect.
+    */
+  /** Round-0 BFS distances (seed ↦ 0, everything else null), exposed
+    * UN-checkpointed so PlanAuditSpec can pin the broadcast seed — a
+    * checkpoint is eager-or-lazy a LogicalRDD wall that would make an
+    * outer-plan audit vacuous (the minhashSig lesson, ADVICE r5). */
+  private[graft] def bfsSeedDist(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = PipelinePlus.sampleTerms(spark, sfDir)
+      .select("doc_id").distinct()
+    val seed = nodes.agg(min("doc_id").as("seed"))
+    nodes.crossJoin(broadcast(seed))
+      .select(col("doc_id"),
+        when(col("doc_id") === col("seed"), 0L).as("hop"))
+  }
+
+  def qGraphBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = PipelinePlus.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= EdgeThreshold)
+      .select(col("d1"), col("d2"))
+    val sym = edges
+      .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(false)
+    var dist = bfsSeedDist(spark, sfDir).localCheckpoint(false)
+    for (_ <- 1 to 3) {
+      val reached = dist.filter(col("hop").isNotNull)
+        .select(col("doc_id").as("rid"), col("hop").as("rhop"))
+      val pulled = sym
+        .join(reached, sym("d1") === col("rid"))
+        .groupBy(sym("d2").as("nid"))
+        .agg(min(col("rhop") + 1L).as("prop"))
+      dist = dist
+        .join(pulled, dist("doc_id") === pulled("nid"), "left")
+        .select(dist("doc_id"),
+          least(col("hop"), col("prop")).as("hop"))
+        .localCheckpoint(false)
+    }
+    dist.filter(col("hop").isNotNull)
+      .select(col("doc_id"), col("hop"))
+      .orderBy("hop", "doc_id")
+  }
+
+  val qGraphBfsSql: String =
+    s"""WITH RECURSIVE
+      |$edgesCte,
+      |nodes AS (SELECT DISTINCT doc_id FROM dt),
+      |seedv AS (SELECT min(doc_id) AS s FROM nodes),
+      |walk(node, hop) AS (
+      |  SELECT s, 0 FROM seedv
+      |  UNION
+      |  SELECT e.b, w.hop + 1 FROM walk w JOIN edges e ON w.node = e.a
+      |  WHERE w.hop < 3)
+      |SELECT node AS doc_id, CAST(min(hop) AS BIGINT) AS hop
+      |FROM walk GROUP BY node ORDER BY hop, doc_id""".stripMargin
 }

@@ -270,4 +270,43 @@ object TpchCanon {
       |FROM big JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q15 (top supplier): supplier(s) whose quarterly revenue
+    * equals the maximum — the scalar-subquery-max shape, where the
+    * equality must hold EXACTLY (ties all surface; TPC-H's view-based
+    * formulation demands it). Exact decimal revenue makes the equality
+    * engine-portable — a float revenue here would make tie membership
+    * depend on partial-sum merge order. Scale: the quarter predicate
+    * prunes the lineitem scan; one supplier-keyed partial aggregate;
+    * the max is a 1-row broadcast; the dim join-back touches ≤
+    * |suppliers| rows.
+    */
+  def qTpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+      .groupBy("l_suppkey")
+      .agg(sum(revE4).as("rev_e4"))
+    val mx = rev.agg(max("rev_e4").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_e4") === col("mx"))
+      .join(broadcast(t(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        expr("CAST(rev_e4 DIV 100 AS BIGINT)").as("revenue_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  val qTpchQ15Sql: String =
+    s"""WITH rev AS (SELECT l_suppkey, sum($revE4Sql) AS rev_e4
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name,
+       |  CAST(rev_e4 // 100 AS BIGINT) AS revenue_cents
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
 }

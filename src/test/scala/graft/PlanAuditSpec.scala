@@ -728,6 +728,31 @@ class PlanAuditSpec extends SparkSpecBase {
       s"q_tpch_q18 top-100 became a global sort:\n$p18")
   }
 
+  test("q_tpch_q15 prunes the quarter at the scan; max is broadcast, agg on suppkey") {
+    val p = plan("q_tpch_q15")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"quarter predicate not pushed:\n$p")
+    assert(p.toLowerCase.contains("hashaggregate(keys=[l_suppkey"),
+      s"supplier rollup missing:\n$p")
+    assert(p.contains("Broadcast"), s"scalar max / dim not broadcast:\n$p")
+  }
+
+  test("q_graph_bfs: seed stays broadcast, rounds are checkpoint-collapsed, no cartesian") {
+    // audit the PRE-checkpoint round-0 plan directly — the checkpoint is
+    // a LogicalRDD wall that would make an outer-plan audit vacuous
+    // (the minhashSig lesson, ADVICE r5)
+    val p0 = queries.PipelineGraph.bfsSeedDist(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p0.contains("Broadcast"), s"seed lost its broadcast:\n$p0")
+    assert(!p0.contains("CartesianProduct"),
+      s"BFS seeding grew a cartesian product:\n$p0")
+    // fixed-iteration lazy-checkpoint discipline: the outer plan scans
+    // the checkpointed round RDD, never re-derives the full DAG
+    val p = plan("q_graph_bfs")
+    assert(p.contains("LogicalRDD") || p.contains("Scan ExistingRDD"),
+      s"rounds are re-deriving the full DAG:\n$p")
+  }
+
   test("forecast/bands/ztest stay on bounded aggregates — no join, no sort of the corpus") {
     Seq("q_evt_forecast", "q_evt_bands").foreach { q =>
       val p = plan(q).toLowerCase
