@@ -332,4 +332,87 @@ object PipelineExtra {
       |  round(inter / s1.n, 4) AS containment
       |FROM pairs JOIN sz s1 ON d1 = s1.doc_id
       |ORDER BY containment DESC, d1, d2 LIMIT 20""".stripMargin
+
+  // ───────── prefix-filtered exact similarity join (PPJoin-lite) ─────────
+
+  /** Exact-threshold set-similarity join with prefix filtering (the
+    * PPJoin/AllPairs family, public VLDB canon): ALL doc pairs in the
+    * §2.10 shared sample with token-set Jaccard ≥ 0.6 — exactly, not
+    * probabilistically. Candidates come ONLY from the prefix: with a
+    * global rarity order on the vocabulary, two sets at Jaccard ≥ t must
+    * share a token among each set's first |d| − ⌈t·|d|⌉ + 1 rarest
+    * tokens, so only those tokens enter the candidate self-join — the
+    * join is keyed on the RAREST slice of the vocabulary, which is
+    * precisely where df (and hence bucket size) is smallest. Exact
+    * Jaccard is then verified on candidates only. Complements
+    * q_dedup_minhash (probabilistic, recall < 1) and q_dedup_ngram
+    * (every shared shingle generates candidates) with an exact-recall
+    * threshold join that still never goes all-pairs. Exactness: the
+    * prefix length uses ⌈3·sz/5⌉ = (3·sz + 4) div 5 (pure ints — a
+    * float 0.6·sz would sit on ULP boundaries), the ≥ 0.6 test is
+    * 5·inter ≥ 3·union in ints, and the reported similarity is integer
+    * ppm. Scale: df ranking is a |vocab|-bounded window; per-doc prefix
+    * selection is one row_number window on the doc_id shuffle key;
+    * verification is candidate-bounded.
+    */
+  def qSimjoinPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = PipelinePlus.sampleTerms(spark, sfDir)
+    val ranked = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("trank",
+        row_number().over(Window.orderBy(asc("df"), asc("term"))))
+      .select("term", "trank")
+    val sizes = terms.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val prefix = terms
+      .join(broadcast(ranked), "term")
+      .join(sizes, "doc_id")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("doc_id").orderBy("trank")))
+      .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) DIV 5") + 1)
+      .select("doc_id", "term")
+    val cand = prefix.toDF("d1", "term")
+      .join(prefix.toDF("d2", "term"), "term")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val inter = cand
+      .join(terms.toDF("d1", "term"), "d1")
+      .join(terms.toDF("d2", "term"), Seq("d2", "term"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("d1", "n1"), "d1")
+      .join(sizes.toDF("d2", "n2"), "d2")
+      .filter(col("inter") * 5 >= (col("n1") + col("n2") - col("inter")) * 3)
+      .select(col("d1"), col("d2"), col("inter"),
+        expr("CAST(inter * 1000000 DIV (n1 + n2 - inter) AS BIGINT)")
+          .as("jaccard_ppm"))
+      .orderBy(desc("jaccard_ppm"), asc("d1"), asc("d2"))
+  }
+
+  val qSimjoinPrefixSql: String =
+    """WITH dt AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |rk AS (SELECT term,
+      |    row_number() OVER (ORDER BY count(*), term) AS trank
+      |  FROM dt GROUP BY term),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+      |pf AS (SELECT doc_id, term FROM (
+      |    SELECT d.doc_id, d.term, s.sz,
+      |      row_number() OVER (PARTITION BY d.doc_id ORDER BY r.trank)
+      |        AS pos
+      |    FROM dt d JOIN rk r ON d.term = r.term
+      |    JOIN sz s ON d.doc_id = s.doc_id)
+      |  WHERE pos <= sz - ((3 * sz + 4) // 5) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM pf a JOIN pf b ON a.term = b.term AND a.doc_id < b.doc_id),
+      |iv AS (SELECT c.d1, c.d2, count(*) AS inter
+      |  FROM cand c JOIN dt x ON x.doc_id = c.d1
+      |  JOIN dt y ON y.doc_id = c.d2 AND y.term = x.term
+      |  GROUP BY c.d1, c.d2)
+      |SELECT d1, d2, inter,
+      |  CAST(inter * 1000000 // (s1.sz + s2.sz - inter) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM iv JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+      |WHERE inter * 5 >= (s1.sz + s2.sz - inter) * 3
+      |ORDER BY jaccard_ppm DESC, d1, d2""".stripMargin
 }

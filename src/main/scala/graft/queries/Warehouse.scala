@@ -308,4 +308,52 @@ object Warehouse {
       |  round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 4)
       |    AS avg_price
       |FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ───────── open-order backlog (interval concurrency, no range join) ─────────
+
+  /** Daily open-order backlog: how many orders are open (placed, not yet
+    * fully shipped) on each day — interval concurrency counting, done the
+    * scale-correct way. The naive formulation stabs every day into every
+    * order interval (a days × orders range join — quadratic-ish and
+    * unbroadcastable at corpus scale); this one converts each interval to
+    * a +1 at open and a −1 the day after close, aggregates deltas per day
+    * (partial-aggregable), and takes ONE running sum over the bounded
+    * calendar (~2.5k rows at ANY sf — the qEvtChangepoint
+    * bounded-window discipline). Per-order close = max ship date, one
+    * fact pass on the orderkey. Counts are exact ints throughout.
+    */
+  def qOrderBacklog(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(max(col("l_shipdate").cast("date")).as("close_d"))
+      .join(Tables.t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("open_d")),
+        col("l_orderkey") === col("o_orderkey"))
+    val deltas = spans.select(col("open_d").as("d"), lit(1L).as("delta"))
+      .unionAll(spans.select(date_add(col("close_d"), 1).as("d"),
+        lit(-1L).as("delta")))
+      .groupBy("d").agg(sum("delta").as("net"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .select(col("d").as("day"), col("net"),
+        sum("net").over(w).as("open_orders"))
+      .orderBy("day")
+  }
+
+  val qOrderBacklogSql: String =
+    """WITH close AS (SELECT l_orderkey,
+      |    CAST(max(l_shipdate) AS DATE) AS close_d
+      |  FROM lineitem GROUP BY 1),
+      |spans AS (SELECT CAST(o_orderdate AS DATE) AS open_d, close_d
+      |  FROM close JOIN orders ON l_orderkey = o_orderkey),
+      |deltas AS (SELECT open_d AS d, CAST(1 AS BIGINT) AS delta FROM spans
+      |  UNION ALL SELECT close_d + 1, CAST(-1 AS BIGINT) FROM spans),
+      |net AS (SELECT d, CAST(sum(delta) AS BIGINT) AS net
+      |  FROM deltas GROUP BY d)
+      |SELECT d AS day, net,
+      |  CAST(sum(net) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS open_orders
+      |FROM net ORDER BY day""".stripMargin
 }

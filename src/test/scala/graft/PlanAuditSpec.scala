@@ -753,6 +753,22 @@ class PlanAuditSpec extends SparkSpecBase {
       s"rounds are re-deriving the full DAG:\n$p")
   }
 
+  test("q_order_backlog: ±1 prefix-sum shape — orderkey rollup, no range join") {
+    val p = plan("q_order_backlog")
+    assert(p.toLowerCase.contains("hashaggregate(keys=[l_orderkey"),
+      s"per-order close rollup missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"backlog grew a range-join stab:\n$p")
+  }
+
+  test("q_simjoin_prefix: vocab rank broadcast, candidate-bounded verify, no cartesian") {
+    val p = plan("q_simjoin_prefix")
+    assert(p.contains("Broadcast"), s"vocab rank lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"prefix join degenerated to all-pairs:\n$p")
+  }
+
   test("forecast/bands/ztest stay on bounded aggregates — no join, no sort of the corpus") {
     Seq("q_evt_forecast", "q_evt_bands").foreach { q =>
       val p = plan(q).toLowerCase
