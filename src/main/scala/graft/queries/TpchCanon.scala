@@ -309,4 +309,149 @@ object TpchCanon {
        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
        |WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q7 (volume shipping): bilateral trade between two nations,
+    * per (supplier nation, customer nation, ship year) — the
+    * disjunctive two-sided nation gate ((A→B) OR (B→A)) that a planner
+    * must keep as a join-level residual while still broadcasting both
+    * dims. Scale: the ship-date window prunes the lineitem scan; both
+    * nation lookups ride broadcast dim joins; one orderkey shuffle.
+    */
+  def qTpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = t(spark, sfDir, "nation").select("n_nationkey", "n_name")
+    val supp = t(spark, sfDir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, sfDir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val od = t(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1999-01-01")))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), revE4.as("r"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(od, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_18" &&
+          col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" &&
+          col("cust_nation") === "NATION_18"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("r")).as("rev_e4"), count(lit(1)).as("n_items"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        expr("CAST(rev_e4 DIV 100 AS BIGINT)").as("revenue_cents"),
+        col("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val qTpchQ7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  CAST(sum($revE4Sql) // 100 AS BIGINT) AS revenue_cents,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+       |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1999-01-01'
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue): disjunction of conjunctive
+    * brand/size/quantity ranges — the OR-of-ANDs predicate shape. The
+    * quantity legs reference ONLY lineitem and the brand/size legs ONLY
+    * part, so a correct planner pushes the quantity-range DISJUNCTION
+    * (qty ∈ [1,20] ∪ [10,40] ⇒ qty ∈ [1,40]) into the fact scan and the
+    * brand/size disjunction into the (broadcast) dim scan, evaluating
+    * the cross-table residual only on join survivors — asserted in
+    * PlanAuditSpec. Output: exact revenue + item count per brand leg.
+    */
+  def qTpchQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    val pt = t(spark, sfDir, "part").select("p_partkey", "p_brand", "p_size")
+    t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), revE4.as("r"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter((col("p_brand") === "Brand#1" &&
+          col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" &&
+          col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40)))
+      .groupBy("p_brand")
+      .agg(sum(col("r")).as("rev_e4"), count(lit(1)).as("n_items"))
+      .select(col("p_brand"),
+        expr("CAST(rev_e4 DIV 100 AS BIGINT)").as("revenue_cents"),
+        col("n_items"))
+      .orderBy("p_brand")
+  }
+
+  val qTpchQ19Sql: String =
+    s"""SELECT p_brand,
+       |  CAST(sum($revE4Sql) // 100 AS BIGINT) AS revenue_cents,
+       |  count(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |    AND l_quantity BETWEEN 1 AND 20)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       |    AND l_quantity BETWEEN 10 AND 40)
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity): wealthy low-activity
+    * customers per nation — account balance above the positive-balance
+    * average (the scalar-subquery gate) and at most 2 orders (the
+    * anti-join gate; this corpus has no order-less customers, so the
+    * classic NOT EXISTS is thresholded at ≤2 to stay non-degenerate).
+    * Exactness: the "above average" test cross-multiplies exact integer
+    * cents — c_cents · n > sum_cents — because a float avg sits one
+    * partial-sum merge away from flipping a boundary customer. Scale:
+    * the average is a 1-row broadcast; the per-customer order count is
+    * one partial-aggregable pass on the custkey; output is
+    * nation-bounded.
+    */
+  def qTpchQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    val cust = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), cents.as("c_cents"))
+    val avgPos = cust.filter(col("c_cents") > 0)
+      .agg(sum("c_cents").as("sum_cents"), count(lit(1)).as("n_pos"))
+    val ordCnt = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+    cust
+      .join(ordCnt, cust("c_custkey") === ordCnt("o_custkey"), "left")
+      .withColumn("n_ord", coalesce(col("n_ord"), lit(0L)))
+      .crossJoin(broadcast(avgPos))
+      .filter(col("c_cents") * col("n_pos") > col("sum_cents") &&
+        col("n_ord") <= 2)
+      .join(broadcast(t(spark, sfDir, "nation")
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), sum("c_cents").as("acctbal_cents"))
+      .orderBy("n_name")
+  }
+
+  val qTpchQ22Sql: String =
+    """WITH cust AS (SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS c_cents
+      |  FROM customer),
+      |ap AS (SELECT CAST(sum(c_cents) AS BIGINT) AS sum_cents,
+      |    CAST(count(*) AS BIGINT) AS n_pos
+      |  FROM cust WHERE c_cents > 0),
+      |oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+      |  FROM orders GROUP BY 1)
+      |SELECT n_name, count(*) AS n_cust,
+      |  CAST(sum(c_cents) AS BIGINT) AS acctbal_cents
+      |FROM cust
+      |LEFT JOIN oc ON c_custkey = o_custkey
+      |CROSS JOIN ap
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_cents * n_pos > sum_cents
+      |  AND coalesce(n_ord, 0) <= 2
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 }

@@ -753,6 +753,18 @@ class PlanAuditSpec extends SparkSpecBase {
       s"rounds are re-deriving the full DAG:\n$p")
   }
 
+  test("q_tpch_q19: both disjunction legs push to their scans") {
+    // the OR-of-ANDs splits per table: qty ranges reach the lineitem
+    // scan, brand/size ranges the part scan — the cross-table residual
+    // alone stays at the join
+    val p = plan("q_tpch_q19")
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.exists(l => l.contains("l_quantity") && l.contains("Or(")),
+      s"quantity disjunction not pushed to the fact scan:\n$p")
+    assert(scans.exists(l => l.contains("p_brand") && l.contains("Or(")),
+      s"brand/size disjunction not pushed to the dim scan:\n$p")
+  }
+
   test("q_order_backlog: ±1 prefix-sum shape — orderkey rollup, no range join") {
     val p = plan("q_order_backlog")
     assert(p.toLowerCase.contains("hashaggregate(keys=[l_orderkey"),
