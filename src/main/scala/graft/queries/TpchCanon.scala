@@ -454,4 +454,146 @@ object TpchCanon {
       |WHERE c_cents * n_pos > sum_cents
       |  AND coalesce(n_ord, 0) <= 2
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q6 (forecast revenue change): one pruned scan + one global
+    * sum — the purest pushdown benchmark. Exactness: the discount-band
+    * predicate compares the INTEGER percent (round(disc·100) ∈ [5,7]) —
+    * a raw double BETWEEN on 0.05/0.07 is engine-consistent here but
+    * the integer form removes the ULP question entirely; discount
+    * revenue accumulates as exact cents·pct e4-units. Scale: no join,
+    * no shuffle beyond the final 1-row merge; all three predicates
+    * reach the parquet scan.
+    */
+  def qTpchQ6(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_quantity") < 24)
+      .filter(expr("CAST(round(l_discount * 100) AS BIGINT)").between(5, 7))
+      .agg(
+        sum(expr("""CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   |  * CAST(round(l_discount * 100) AS BIGINT)
+                   |  AS DECIMAL(38,0))""".stripMargin)).as("disc_e4"),
+        count(lit(1)).as("n_items"))
+      .select(expr("CAST(disc_e4 DIV 100 AS BIGINT)").as("disc_revenue_cents"),
+        col("n_items"))
+      .orderBy("n_items")
+
+  val qTpchQ6Sql: String =
+    """SELECT CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * CAST(round(l_discount * 100) AS BIGINT) AS HUGEINT)) // 100
+      |    AS BIGINT) AS disc_revenue_cents,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_quantity < 24
+      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |ORDER BY n_items""".stripMargin
+
+  /** TPC-H Q13 (customer distribution): count-of-counts — how many
+    * customers placed k orders, INCLUDING k = 0 via the left join (the
+    * part a plain orders rollup misses). Scale: one custkey-keyed
+    * partial aggregate, one left broadcast/shuffle join, then a second
+    * aggregate over the bounded count domain.
+    */
+  def qTpchQ13(spark: SparkSession, sfDir: String): DataFrame = {
+    val oc = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+    t(spark, sfDir, "customer").select("c_custkey")
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("n_ord", coalesce(col("n_ord"), lit(0L)))
+      .groupBy("n_ord").agg(count(lit(1)).as("n_cust"))
+      .orderBy(desc("n_cust"), desc("n_ord"))
+  }
+
+  val qTpchQ13Sql: String =
+    """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT coalesce(n, 0) AS n_ord, count(*) AS n_cust
+      |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY n_cust DESC, n_ord DESC""".stripMargin
+
+  /** TPC-H Q14 (promotion effect): per ship-month of 1997, the ppm
+    * share of revenue from PROMO-type parts — the conditional-share
+    * shape over a calendar grid. Scale: part (type flag only)
+    * broadcasts; one pruned fact pass; share = one decimal floor-div
+    * per month over the 12-row grid.
+    */
+  def qTpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    val pt = t(spark, sfDir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("l_partkey"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("mon"),
+        revE4.as("r"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy("mon")
+      .agg(sum(when(col("is_promo"), col("r"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("promo_e4"),
+        sum(col("r")).as("tot_e4"))
+      .select(col("mon"),
+        expr("CAST((promo_e4 * 1000000) DIV tot_e4 AS BIGINT)")
+          .as("promo_ppm"),
+        expr("CAST(tot_e4 DIV 100 AS BIGINT)").as("total_cents"))
+      .orderBy("mon")
+  }
+
+  val qTpchQ14Sql: String =
+    s"""WITH f AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE)
+       |    AS mon,
+       |    sum(CASE WHEN p_type = 'PROMO' THEN $revE4Sql ELSE 0 END)
+       |      AS promo_e4,
+       |    sum($revE4Sql) AS tot_e4
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY 1)
+       |SELECT mon,
+       |  CAST((CAST(promo_e4 AS HUGEINT) * 1000000) // tot_e4 AS BIGINT)
+       |    AS promo_ppm,
+       |  CAST(tot_e4 // 100 AS BIGINT) AS total_cents
+       |FROM f ORDER BY mon""".stripMargin
+
+  /** TPC-H Q17 (small-quantity-order revenue): lineitems below half
+    * their part's average quantity — the per-group-scalar correlated
+    * subquery, decorrelated into a partkey rollup + join-back.
+    * Exactness: qty < avg/2 cross-multiplies to 2·qty·cnt < Σqty in
+    * exact BIGINTs (quantities are integral) — the float avg would put
+    * boundary rows one merge-order away from flipping. Scale: both
+    * sides of the join-back shuffle on the partkey (per-part groups are
+    * bounded); output is one global sum; avg_yearly = total div 7 (the
+    * TPC-H convention).
+    */
+  def qTpchQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    val pa = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"),
+        count(lit(1)).as("cnt"))
+    t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(pa, col("l_partkey") === col("pk"))
+      .filter(lit(2L) * col("q") * col("cnt") < col("sq"))
+      .agg(count(lit(1)).as("n_items"), sum("cents").as("total_cents"))
+      .select(col("n_items"), col("total_cents"),
+        expr("CAST(total_cents DIV 7 AS BIGINT)").as("avg_yearly_cents"))
+      .orderBy("n_items")
+  }
+
+  val qTpchQ17Sql: String =
+    """WITH pa AS (SELECT l_partkey AS pk,
+      |    CAST(sum(l_quantity) AS BIGINT) AS sq,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1)
+      |SELECT count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // 7
+      |    AS BIGINT) AS avg_yearly_cents
+      |FROM lineitem JOIN pa ON l_partkey = pk
+      |WHERE 2 * CAST(l_quantity AS BIGINT) * cnt < sq
+      |ORDER BY n_items""".stripMargin
 }

@@ -765,6 +765,23 @@ class PlanAuditSpec extends SparkSpecBase {
       s"brand/size disjunction not pushed to the dim scan:\n$p")
   }
 
+  test("q_tpch_q6: all predicates reach the scan, no join anywhere") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate") &&
+      p.contains("l_quantity"), s"Q6 predicates not pushed:\n$p")
+    assert(!p.contains("Join"), s"Q6 grew a join:\n$p")
+  }
+
+  test("q_tpch_q17: decorrelated partkey rollup, exact integer threshold") {
+    val p = plan("q_tpch_q17")
+    assert(p.toLowerCase.contains("hashaggregate(keys=[l_partkey") ||
+      p.toLowerCase.contains("hashaggregate(keys=[pk"),
+      s"per-part rollup missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"Q17 decorrelation degenerated:\n$p")
+  }
+
   test("q_order_backlog: ±1 prefix-sum shape — orderkey rollup, no range join") {
     val p = plan("q_order_backlog")
     assert(p.toLowerCase.contains("hashaggregate(keys=[l_orderkey"),
