@@ -1057,6 +1057,50 @@ object EventsPlus {
       |  round(ols, 6) AS ols_slope
       |FROM ols, sl, ic ORDER BY n_days""".stripMargin
 
+  // ───────── inter-arrival gap distribution per event type ─────────
+
+  /** Inter-arrival time distribution per event type — the latency-SLO
+    * view of the stream: per user, the µs gap to their previous event
+    * (any type), attributed to the LATTER event's type; per type the
+    * gap count, interpolated p50/p90 (exact-percentile over exact
+    * BIGINT µs — the q_agg_percentile Spark↔DuckDB interpolation
+    * parity), and the integer-div mean. Scale: ONE lag window on the
+    * user_id shuffle key (per-user sort only), then a partial-aggregable
+    * |types|-key rollup; percentile is the one non-mergeable aggregate
+    * and runs per-type, the same exactness-over-histogram trade as
+    * q_agg_percentile (the mergeable path is q_agg_approx_pct).
+    */
+  def qEvtInterarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5D)"), 1).as("p50_us"),
+        round(expr("percentile(gap_us, 0.9D)"), 1).as("p90_us"),
+        expr("sum(gap_us) DIV count(*)").as("mean_us"))
+      .orderBy("event_type")
+  }
+
+  val qEvtInterarrivalSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |g AS (SELECT event_type,
+      |    ts_us - lag(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS gap_us
+      |  FROM e)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us), 1)
+      |    AS p50_us,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us), 1)
+      |    AS p90_us,
+      |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ───────── Kaplan–Meier user-survival curve ─────────
 
   /** Kaplan–Meier survival curve over user lifetimes — the

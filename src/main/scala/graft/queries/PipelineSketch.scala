@@ -262,4 +262,68 @@ object PipelineSketch {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |WHERE s_nationkey < 5
       |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
+
+  // ───────── heavy hitters: Misra–Gries candidates + exact verify ─────────
+
+  /** Token heavy hitters (frequency > n/[[HhK]]) via the two-phase
+    * sketch-then-verify pattern: phase 1 runs Misra–Gries with [[HhK]]
+    * counters per partition — O(k) memory, NO shuffle, each partition
+    * emitting only its surviving candidate keys; phase 2 recounts
+    * candidates EXACTLY with the token stream semi-joined to the
+    * (broadcast) candidate set, so the groupBy shuffles candidate rows
+    * only, never the full key domain. Correctness is the pigeonhole
+    * guarantee: freq(x) > n/k ⇒ freq_p(x) > n_p/k in at least one
+    * partition p, and single-partition MG retains every local key above
+    * n_p/k — so the candidate union is a superset of the true heavy
+    * hitters and the exact recount + threshold makes the OUTPUT
+    * deterministic under any partitioning (the candidate set itself may
+    * vary; the filtered result cannot — re-checked by the
+    * cross-parallelism determinism gate). This is the 100 TB shape when
+    * the key domain (users, URLs, n-grams) is too large to groupBy
+    * wholesale but only the > n/k tail matters. Local caveat: the
+    * synthetic corpus's 31-term uniform vocabulary never evicts at
+    * k=50 (every term is a heavy hitter), the same documented
+    * degeneracy as the LSH banding rows; the guarantee math is
+    * SF-independent. Oracle: plain HAVING count·k > n.
+    */
+  private val HhK = 50
+
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.tokens(spark, sfDir)
+    val cand = toks.select("term").as[String]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          m.get(t) match {
+            case Some(c) => m.update(t, c + 1)
+            case None if m.size < HhK => m.update(t, 1L)
+            case None =>
+              // decrement-all step; snapshot keys so removal is safe
+              m.keys.toArray.foreach { key =>
+                val c = m(key)
+                if (c == 1L) m.remove(key) else m.update(key, c - 1)
+              }
+          }
+        }
+        m.keysIterator
+      }
+      .toDF("term").distinct()
+    val n = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cand), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * HhK > col("n"))
+      .select(col("term"), col("cnt"))
+      .orderBy(desc("cnt"), asc("term"))
+  }
+
+  val qHeavyHittersSql: String =
+    s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+       |SELECT term, count(*) AS cnt
+       |FROM t CROSS JOIN n
+       |GROUP BY term, n HAVING count(*) * $HhK > n
+       |ORDER BY cnt DESC, term""".stripMargin
 }
