@@ -758,4 +758,57 @@ object RelationalExtra {
       |    (pnum * 1000000 // pden) AS DOUBLE))) AS BIGINT)
       |    AS fisher_ppm
       |FROM w ORDER BY month""".stripMargin
+
+  // ───────── brand share trend (per-group regression over shares) ─────────
+
+  /** Brand market-share trend: per brand, the OLS slope of its monthly
+    * item-share (integer ppm) over the month index — "which brands are
+    * gaining" as one number per brand, the BI companion to
+    * [[qPriceIndex]]'s price view. Month index = year·12 + month
+    * (exact int, gap-safe); shares are integer ppm from exact counts;
+    * regr_slope runs per brand over the BOUNDED brand×month grid (the
+    * fact table aggregates to that grid FIRST — one partial-aggregable
+    * pass — so the regression input is ≤ \|brands\|·\|months\| rows at
+    * any corpus size). Slope rounds at 4 dp; the 83-point-per-brand
+    * co-moment sums are small enough that partial-sum order cannot
+    * cross the grid (q_elasticity precedent).
+    */
+  def qBrandTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = t(spark, sfDir, "lineitem")
+      .join(broadcast(t(spark, sfDir, "part")
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("mi"))
+      .agg(count(lit(1)).as("c"))
+    val tot = grid.groupBy("mi").agg(sum("c").as("tot"))
+    grid.join(broadcast(tot), "mi")
+      .select(col("p_brand"), col("mi"),
+        expr("CAST(c * 1000000 DIV tot AS BIGINT)").as("share_ppm"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_months"),
+        expr("sum(share_ppm) DIV count(*)").as("avg_share_ppm"),
+        round(expr("regr_slope(share_ppm, mi)"), 4)
+          .as("slope_ppm_per_month"))
+      .orderBy(desc("slope_ppm_per_month"), asc("p_brand"))
+  }
+
+  val qBrandTrendSql: String =
+    """WITH g AS (SELECT p_brand,
+      |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+      |      AS mi,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT mi, CAST(sum(c) AS BIGINT) AS tot
+      |  FROM g GROUP BY 1),
+      |s AS (SELECT p_brand, g.mi,
+      |    CAST(c * 1000000 // tot AS BIGINT) AS share_ppm
+      |  FROM g JOIN tot ON g.mi = tot.mi)
+      |SELECT p_brand, count(*) AS n_months,
+      |  CAST(sum(share_ppm) // count(*) AS BIGINT) AS avg_share_ppm,
+      |  round(regr_slope(share_ppm, mi), 4) AS slope_ppm_per_month
+      |FROM s GROUP BY p_brand
+      |ORDER BY slope_ppm_per_month DESC, p_brand""".stripMargin
 }

@@ -341,6 +341,50 @@ object Warehouse {
       .orderBy("day")
   }
 
+  /** Order-fulfillment latency distribution per priority class — the
+    * SLO view `o_orderpriority` exists for: per order, days from
+    * placement to the LAST line shipment (one partial-aggregable
+    * orderkey pass), then per priority the count, interpolated p50/p90
+    * (exact-percentile over exact int days — the q_agg_percentile
+    * parity), and integer-div mean. Synthetic-data caveat: the
+    * generator draws order and ship dates independently, so negative
+    * latencies exist locally; the distribution machinery is what's
+    * exercised. Scale: fact rollup on the orderkey, join-back to the
+    * priority attribute, 5-key percentile rollup.
+    */
+  def qFillLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val close = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(max(col("l_shipdate").cast("date")).as("close_d"))
+    close
+      .join(Tables.t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("open_d")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat_d", datediff(col("close_d"), col("open_d")).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(expr("percentile(lat_d, 0.5D)"), 1).as("p50_days"),
+        round(expr("percentile(lat_d, 0.9D)"), 1).as("p90_days"),
+        expr("sum(lat_d) DIV count(*)").as("mean_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qFillLatencySql: String =
+    """WITH c AS (SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS cd
+      |  FROM lineitem GROUP BY 1),
+      |f AS (SELECT o_orderpriority,
+      |    CAST(date_diff('day', CAST(o_orderdate AS DATE), cd) AS BIGINT)
+      |      AS lat_d
+      |  FROM c JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lat_d), 1)
+      |    AS p50_days,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lat_d), 1)
+      |    AS p90_days,
+      |  CAST(sum(lat_d) // count(*) AS BIGINT) AS mean_days
+      |FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val qOrderBacklogSql: String =
     """WITH close AS (SELECT l_orderkey,
       |    CAST(max(l_shipdate) AS DATE) AS close_d
