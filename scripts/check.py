@@ -36,6 +36,29 @@ def norm(v):
     return v
 
 
+def dtype_kind(dt):
+    """Collapse a pandas dtype to the equivalence class the driver's
+    hash respects: all int widths hash identically for equal values,
+    but int-vs-float (and bool/datetime/object crossings) are
+    bit-pattern-distinct and thus hash FAILs even when values match
+    (round-6 lesson: q_evt_seasonality HUGEINT->float64)."""
+    k = dt.kind  # i/u int, f float, b bool, M datetime, O object
+    if k in ("i", "u"):
+        return "int"
+    return {"f": "float", "b": "bool", "M": "datetime", "O": "object"}.get(k, k)
+
+
+def dtype_mismatches(exp_df, got_df):
+    """Per-column dtype-kind diffs between oracle and Spark frames."""
+    diffs = []
+    for c in exp_df.columns:
+        ek, gk = dtype_kind(exp_df[c].dtype), dtype_kind(got_df[c].dtype)
+        if ek != gk:
+            diffs.append(
+                f"col {c}: spark {got_df[c].dtype}({gk}) vs duck {exp_df[c].dtype}({ek})")
+    return diffs
+
+
 def check_hashable(con, out_dir, name):
     """Driver hashes every output — fail on array/map/struct columns."""
     got = con.execute(
@@ -74,19 +97,27 @@ def main():
             continue
         try:
             check_hashable(con, out_dir, name)
-            exp = con.execute(sql)
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
+            exp_df = con.execute(sql).df()
+            exp_cols = list(exp_df.columns)
+            exp_rows = list(con.execute(sql).fetchall())
+            got_q = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            got_df = con.execute(got_q).df()
+            got_cols = list(got_df.columns)
+            got_rows = list(con.execute(got_q).fetchall())
         except Exception as e:
             print(f"FAIL {name}: error: {e}")
             n_fail += 1
             continue
         if sorted(exp_cols) != sorted(got_cols):
             print(f"FAIL {name}: cols spark={sorted(got_cols)} duck={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # driver hashes pandas frames bit-pattern-sensitively: int widths
+        # unify, int-vs-float (and any kind crossing) is a hash FAIL even
+        # with equal values
+        dt_diffs = dtype_mismatches(exp_df, got_df)
+        if dt_diffs:
+            print(f"FAIL {name}: dtype: " + "; ".join(dt_diffs))
             n_fail += 1
             continue
         # driver sorts columns by name before hashing values

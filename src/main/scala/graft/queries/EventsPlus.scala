@@ -463,7 +463,7 @@ object EventsPlus {
       |SELECT ag.event_type, CAST(ag.n AS BIGINT) AS n,
       |  CAST(pk.h AS BIGINT) AS peak_hour,
       |  CAST(pk.cnt AS BIGINT) AS peak_cnt,
-      |  pk.cnt * 1000000 // ag.n AS peak_share_ppm,
+      |  CAST(pk.cnt * 1000000 // ag.n AS BIGINT) AS peak_share_ppm,
       |  ag.n_active_hours
       |FROM ag JOIN pk USING (event_type) WHERE pk.rk = 1
       |ORDER BY ag.event_type""".stripMargin
@@ -490,14 +490,21 @@ object EventsPlus {
       .rowsBetween(Window.unboundedPreceding, -1)
     hist
       .withColumn("cum", coalesce(sum("h").over(ord), lit(0L)))
+      // t is N²-order (Σ k·h·cum ≈ events×users): widen the exact-int
+      // accumulation to DECIMAL(38,0) (revE4 convention) so exactness
+      // holds past ~3e9 events. Accumulate 2t (the h(h+1) term stays
+      // integral without a decimal `div`, which would narrow to LONG)
+      // and fold the ÷2 into the one closing double division.
       .agg(sum("h").as("n_users"),
         sum(col("k") * col("h")).as("n_events"),
         max("k").as("max_k"),
-        sum(col("k") * (col("h") * col("cum") +
-          expr("h * (h + 1) div 2"))).as("t"))
+        sum(col("k") * (lit(2L) * col("h").cast("decimal(19,0)") *
+          col("cum") + col("h").cast("decimal(19,0)") * (col("h") + 1L)))
+          .as("t2"))
       .select(col("n_users"), col("n_events"), col("max_k"),
-        round(lit(2.0) * col("t") /
-          (col("n_users") * col("n_events")).cast("double") -
+        round(col("t2").cast("double") /
+          (col("n_users").cast("decimal(19,0)") * col("n_events"))
+            .cast("double") -
           (col("n_users") + 1) / col("n_users").cast("double"), 4)
           .as("gini"))
   }

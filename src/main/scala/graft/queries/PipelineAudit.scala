@@ -569,13 +569,18 @@ object PipelineAudit {
       .withColumn("j", sum("c2").over(ord))
       .withColumn("n", sum("c1").over(all))
       .withColumn("m", sum("c2").over(all))
-      .withColumn("gap", abs(col("i") * col("m") - col("j") * col("n")))
+      // i·m and j·n are N²-order: two BIGINT cumulative counts multiplied
+      // wrap past ~3e9 events in non-ANSI Spark, so widen to
+      // DECIMAL(38,0) (the TpchCanon revE4 convention) before the product
+      .withColumn("gap", abs(col("i").cast("decimal(19,0)") * col("m") -
+        col("j").cast("decimal(19,0)") * col("n")))
     gaps
       .orderBy(desc("gap"), asc("v"))
       .limit(1)
       .select(col("n").as("n_click"), col("m").as("n_purchase"),
         col("v").as("ks_at"),
-        round(col("gap") / (col("n") * col("m")).cast("double"), 6)
+        round(col("gap").cast("double") /
+          (col("n").cast("decimal(19,0)") * col("m")).cast("double"), 6)
           .as("ks"))
   }
 
@@ -624,21 +629,29 @@ object PipelineAudit {
       .rowsBetween(Window.unboundedPreceding, -1)
     grid
       .withColumn("cum", coalesce(sum("c").over(before), lit(0L)))
+      // r1x2 is N²-order and ties is N³-order: widen the exact-int
+      // accumulations to DECIMAL(38,0) (revE4 convention) so the
+      // exactness claim holds past ~3e9 events; the final z/auc math is
+      // double anyway, entered via exact decimal→double conversions
       .agg(sum("c1").as("n"), sum("c2").as("m"),
-        sum(col("c1") * (lit(2L) * col("cum") + col("c") + 1L)).as("r1x2"),
-        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+        sum(col("c1").cast("decimal(19,0)") *
+          (lit(2L) * col("cum") + col("c") + 1L)).as("r1x2"),
+        sum(col("c").cast("decimal(12,0)") * col("c") * col("c") -
+          col("c")).as("ties"))
+      .withColumn("nn1", col("n").cast("decimal(19,0)") * (col("n") + 1L))
+      .withColumn("nm", col("n").cast("decimal(19,0)") * col("m"))
       .select(col("n").as("n_click"), col("m").as("n_purchase"),
-        round((col("r1x2") - col("n") * (col("n") + 1L)) / lit(2.0), 1)
+        round((col("r1x2") - col("nn1")).cast("double") / lit(2.0), 1)
           .as("u1"),
-        round((col("r1x2") - col("n") * (col("n") + 1L) -
-          col("n") * col("m")) /
-          (lit(2.0) * sqrt(col("n") * col("m") / lit(12.0) *
-            ((col("n") + col("m") + 1L) - col("ties") /
-              ((col("n") + col("m")) *
+        round((col("r1x2") - col("nn1") - col("nm")).cast("double") /
+          (lit(2.0) * sqrt(col("nm").cast("double") / lit(12.0) *
+            ((col("n") + col("m") + 1L).cast("double") -
+              col("ties").cast("double") /
+              ((col("n") + col("m")).cast("decimal(19,0)") *
                 (col("n") + col("m") - 1L)).cast("double")))), 4)
           .as("z"),
-        round((col("r1x2") - col("n") * (col("n") + 1L)) /
-          (lit(2.0) * col("n") * col("m")), 4).as("auc"))
+        round((col("r1x2") - col("nn1")).cast("double") /
+          (lit(2.0) * col("nm").cast("double")), 4).as("auc"))
   }
 
   val qStatsMannWhitneySql: String =

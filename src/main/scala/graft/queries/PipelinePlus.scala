@@ -247,7 +247,7 @@ object PipelinePlus {
       .distinct()
     cand
       .select(col("d1"), col("d2"),
-        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
       .orderBy(asc("hamming"), asc("d1"), asc("d2"))
       .limit(20)
   }
@@ -269,7 +269,7 @@ object PipelinePlus {
       |    a.simhash AS h1, b.simhash AS h2
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
       |    AND a.doc_id < b.doc_id)
-      |SELECT d1, d2, bit_count(xor(h1, h2)) AS hamming
+      |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
       |FROM cand ORDER BY hamming, d1, d2 LIMIT 20""".stripMargin
 
   // ───────────────────── embedding-cosine near-dup ─────────────────────

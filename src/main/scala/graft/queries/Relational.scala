@@ -492,14 +492,16 @@ object Relational {
     t(spark, sfDir, "documents").createOrReplaceTempView("documents")
     spark.sql(
       """SELECT lang, source, count(*) AS n_docs,
-        |  grouping(lang) AS g_lang, grouping(source) AS g_source
+        |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+        |  CAST(grouping(source) AS BIGINT) AS g_source
         |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)
   }
 
   val qAggGsetsSql: String =
     """SELECT lang, source, count(*) AS n_docs,
-      |  grouping(lang) AS g_lang, grouping(source) AS g_source
+      |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+      |  CAST(grouping(source) AS BIGINT) AS g_source
       |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
 
@@ -521,9 +523,9 @@ object Relational {
     t(spark, sfDir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"),
-        row_number().over(w).as("rn"),
-        rank().over(w).as("rk"),
-        dense_rank().over(w).as("drk"))
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"))
       .filter(col("rn") <= 5)
       .orderBy("l_suppkey", "rn")
   }
@@ -615,7 +617,7 @@ object Relational {
         expr("""CAST(CASE WHEN rn <= r4 * (q4 + 1)
                   THEN (rn - 1) div (q4 + 1) + 1
                   ELSE r4 + (rn - r4 * (q4 + 1) - 1) div q4 + 1
-                END AS INT)""").as("quartile"),
+                END AS BIGINT)""").as("quartile"),
         round((col("rn") - 1).cast("double") / (col("n") - 1), 4)
           .as("pct_rank"),
         round(col("rn").cast("double") / col("n"), 4).as("cume"))
@@ -700,7 +702,7 @@ object Relational {
     val w = Window.partitionBy("l_suppkey")
       .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
     t(spark, sfDir, "lineitem")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("l_suppkey", "rn", "l_orderkey", "l_linenumber",
         "l_extendedprice")
@@ -731,7 +733,7 @@ object Relational {
       .groupBy("l_suppkey")
       .agg(top.as("top"))
       .select(col("l_suppkey"), posexplode(col("top")))
-      .select(col("l_suppkey"), (col("pos") + 1).cast("int").as("rn"),
+      .select(col("l_suppkey"), (col("pos") + 1).cast("long").as("rn"),
         col("col.key1").as("l_orderkey"), col("col.key2").as("l_linenumber"),
         col("col.score").as("l_extendedprice"))
       .orderBy("l_suppkey", "rn")

@@ -29,7 +29,7 @@ object RelationalExtra {
       .agg(count(lit(1)).as("n_orders"),
         min("o_orderdate").as("start_date"),
         max("o_orderdate").as("end_date"),
-        datediff(max("o_orderdate"), min("o_orderdate")).as("span_days"))
+        datediff(max("o_orderdate"), min("o_orderdate")).cast("long").as("span_days"))
       .orderBy("o_custkey", "island")
   }
 

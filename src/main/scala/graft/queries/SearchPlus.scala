@@ -41,7 +41,7 @@ object SearchPlus {
       .withColumn("dist", abs(col("pa") - col("pb")))
       .filter(col("dist") <= 3)
       .groupBy("doc_id")
-      .agg(min("dist").as("min_dist"), count(lit(1)).as("n_pairs"))
+      .agg(min("dist").cast("long").as("min_dist"), count(lit(1)).as("n_pairs"))
       .orderBy("doc_id")
   }
 
