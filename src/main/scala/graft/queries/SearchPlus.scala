@@ -189,14 +189,8 @@ object SearchPlus {
     * value both engines computed from the same ints).
     */
   def qSearchRrf(spark: SparkSession, sfDir: String): DataFrame = {
-    val lex = rankedList(
-      Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
-        .groupBy("doc_id")
-        .agg(countDistinct("term").as("nt"),
-          round(sum("s"), 4).as("score"))
-        .filter(col("nt") === 2),
-      "score")
-    val sem = rankedList(vsmScored(spark, sfDir), "cos")
+    val lex = rankedList(Search.lexScores(spark, sfDir), "score")
+    val sem = rankedList(vsmScoredM(spark, sfDir), "cos")
     lex.unionByName(sem)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lists"),
@@ -206,7 +200,20 @@ object SearchPlus {
   }
 
   /** q_vsm_cosine's scoring (dp over the two query terms / doc norm,
-    * round(4)) WITHOUT the top-10 cut — the fusion list ranks deeper. */
+    * round(4)) WITHOUT the top-10 cut — the fusion list ranks deeper.
+    * Memoized + eagerly checkpointed like Search.lexScores: the norm
+    * denominator is a FULL-corpus tfidf pass, and three consumers (RRF,
+    * interleave, RBO) each re-derived it per execution. Output is
+    * |docs matching either term|-sized — posting-bounded. */
+  private val vsmCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def vsmScoredM(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.memo(vsmCache,
+      s"${spark.sparkContext.applicationId}:$sfDir") {
+      vsmScored(spark, sfDir).localCheckpoint()
+    }
+
   private def vsmScored(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Search.tfidfRaw(spark, sfDir).select("doc_id", "term", "score")
     val nrm = w.groupBy("doc_id")
@@ -256,10 +263,7 @@ object SearchPlus {
     * top-10 sorts only the capped set (≤ 2·|sources| rows).
     */
   def qSearchDiverse(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
-      .groupBy("doc_id")
-      .agg(countDistinct("term").as("nt"), round(sum("s"), 4).as("score"))
-      .filter(col("nt") === 2)
+    val scored = Search.lexScores(spark, sfDir)
     val bySrc = Window.partitionBy("source")
       .orderBy(desc("score"), asc("doc_id"))
     scored
@@ -300,10 +304,7 @@ object SearchPlus {
     * round(4) grid (the q_tfidf ln() precedent).
     */
   def qEvalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
-    val ranked = Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
-      .groupBy("doc_id")
-      .agg(countDistinct("term").as("nt"), round(sum("s"), 4).as("score"))
-      .filter(col("nt") === 2)
+    val ranked = Search.lexScores(spark, sfDir)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
       .withColumn("r", row_number().over(
@@ -334,17 +335,11 @@ object SearchPlus {
     * beyond the postings of the query terms.
     */
   def qEvalInterleave(spark: SparkSession, sfDir: String): DataFrame = {
-    val lex = rankedList(
-      Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
-        .groupBy("doc_id")
-        .agg(countDistinct("term").as("nt"),
-          round(sum("s"), 4).as("score"))
-        .filter(col("nt") === 2),
-      "score")
+    val lex = rankedList(Search.lexScores(spark, sfDir), "score")
       .filter(col("r") <= 10)
       .select(col("doc_id"), (col("r") * 2 - 1).as("p"),
         lit("lex").as("team"), col("r"))
-    val sem = rankedList(vsmScored(spark, sfDir), "cos")
+    val sem = rankedList(vsmScoredM(spark, sfDir), "cos")
       .filter(col("r") <= 10)
       .select(col("doc_id"), (col("r") * 2).as("p"),
         lit("sem").as("team"), col("r"))
@@ -391,10 +386,7 @@ object SearchPlus {
     * 10 rows; the relevant-set aggregate is one term-filtered pass.
     */
   def qEvalMap(spark: SparkSession, sfDir: String): DataFrame = {
-    val ranked = Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
-      .groupBy("doc_id")
-      .agg(countDistinct("term").as("nt"), round(sum("s"), 4).as("score"))
-      .filter(col("nt") === 2)
+    val ranked = Search.lexScores(spark, sfDir)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
       .withColumn("r", row_number().over(
@@ -479,16 +471,10 @@ object SearchPlus {
     * the same ascending-d order (one tiny ordered aggregate).
     */
   def qRankRbo(spark: SparkSession, sfDir: String): DataFrame = {
-    val lex = rankedList(
-      Search.bm25Scored(spark, sfDir, Seq("spark", "join"))
-        .groupBy("doc_id")
-        .agg(countDistinct("term").as("nt"),
-          round(sum("s"), 4).as("score"))
-        .filter(col("nt") === 2),
-      "score")
+    val lex = rankedList(Search.lexScores(spark, sfDir), "score")
       .filter(col("r") <= RboDepth)
       .select(col("doc_id"), col("r").as("ra"))
-    val sem = rankedList(vsmScored(spark, sfDir), "cos")
+    val sem = rankedList(vsmScoredM(spark, sfDir), "cos")
       .filter(col("r") <= RboDepth)
       .select(col("doc_id"), col("r").as("rb"))
     // a pair's intersection entry depth = max(ra, rb); ≤10 rows survive
