@@ -1188,4 +1188,271 @@ object EventsPlus {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
       |    END AS survival
       |FROM s ORDER BY t_days""".stripMargin
+
+  // ───────── round 7: activity concentration & reliability audits ─────────
+
+  /** Pareto cut of user activity — the minimal number of top users that
+    * covers ≥ 80% of all events (the "how many whales" audit behind
+    * [[qGiniUsers]]' inequality coefficient and q_hhi's concentration
+    * index). Computed ENTIRELY from the activity histogram h(k) (the
+    * qGiniUsers grid discipline — never a corpus-sized user sort): walk
+    * activity levels k DESCENDING with cumulative users/events windows
+    * over the bounded grid, locate the bucket where cumulative events
+    * cross T = ⌈0.8·S⌉, and finish the cut arithmetically inside it.
+    * All exact BIGINTs; ONE row out. Scale: two partial-aggregable
+    * integer aggregates + one bounded-domain window.
+    */
+  def qParetoCut(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("h"))
+    val before = Window.orderBy(desc("k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    hist
+      .withColumn("prev_ev",
+        coalesce(sum(col("k") * col("h")).over(before), lit(0L)))
+      .withColumn("prev_u", coalesce(sum("h").over(before), lit(0L)))
+      .withColumn("s", sum(col("k") * col("h")).over(all))
+      .withColumn("nu", sum("h").over(all))
+      .withColumn("t", expr("(s * 4 + 4) div 5"))
+      .filter(col("prev_ev") < col("t") &&
+        col("prev_ev") + col("k") * col("h") >= col("t"))
+      .withColumn("topu",
+        col("prev_u") + expr("(t - prev_ev + k - 1) div k"))
+      .select(col("nu").as("n_users"), col("s").as("n_events"),
+        col("topu").as("top_users"),
+        expr("topu * 1000000 div nu").as("top_users_ppm"),
+        (col("prev_ev") + (col("topu") - col("prev_u")) * col("k"))
+          .as("covered_events"))
+      .orderBy("n_users")
+  }
+
+  val qParetoCutSql: String =
+    """WITH uk AS (SELECT user_id, count(*) AS k FROM events
+      |  GROUP BY user_id),
+      |hist AS (SELECT k, count(*) AS h FROM uk GROUP BY k),
+      |w AS (SELECT k, h,
+      |    coalesce(sum(k*h) OVER (ORDER BY k DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS prev_ev,
+      |    coalesce(sum(h) OVER (ORDER BY k DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS prev_u,
+      |    sum(k*h) OVER () AS s, sum(h) OVER () AS nu
+      |  FROM hist),
+      |c AS (SELECT *, (s*4 + 4) // 5 AS t,
+      |    prev_u + ((s*4 + 4) // 5 - prev_ev + k - 1) // k AS topu
+      |  FROM w
+      |  WHERE prev_ev < (s*4 + 4) // 5
+      |    AND prev_ev + k*h >= (s*4 + 4) // 5)
+      |SELECT CAST(nu AS BIGINT) AS n_users, CAST(s AS BIGINT) AS n_events,
+      |  CAST(topu AS BIGINT) AS top_users,
+      |  CAST(topu * 1000000 // nu AS BIGINT) AS top_users_ppm,
+      |  CAST(prev_ev + (topu - prev_u) * k AS BIGINT) AS covered_events
+      |FROM c ORDER BY n_users""".stripMargin
+
+  /** Top-10 longest consecutive-day activity streaks — the engagement
+    * counterpart of [[qEvtLifecycle]]'s daily decomposition: per user,
+    * the longest run of consecutive active days (classic gaps-and-
+    * islands on the per-user distinct-day stream: day − row_number is
+    * constant within a run), plus how many separate streaks the user
+    * had. Scale: the distinct (user, day) projection is one partial-
+    * aggregable pass; the run window partitions on user_id (skew-free);
+    * the top-10 is a TakeOrdered over per-user 1-row aggregates.
+    */
+  def qEvtStreak(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("d")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("grp", date_sub(col("d"), col("rn")))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(desc("longest_streak"), asc("user_id"))
+      .limit(10)
+  }
+
+  val qEvtStreakSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      |  FROM events),
+      |r AS (SELECT user_id, d, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY d) AS rn FROM ud),
+      |st AS (SELECT user_id, count(*) AS len FROM
+      |  (SELECT user_id, d - CAST(rn AS INTEGER) AS grp FROM r)
+      |  GROUP BY user_id, grp),
+      |mx AS (SELECT user_id, max(len) AS longest, count(*) AS n_streaks
+      |  FROM st GROUP BY user_id)
+      |SELECT user_id, CAST(longest AS BIGINT) AS longest_streak,
+      |  CAST(n_streaks AS BIGINT) AS n_streaks
+      |FROM mx ORDER BY longest_streak DESC, user_id LIMIT 10""".stripMargin
+
+  /** Per-type conversion rate with a Wilson 95% score interval — the
+    * uncertainty-aware companion to [[qAbtestZtest]]: the share of
+    * events with value > 50 per type, bounded by the Wilson interval
+    * (the CI that stays inside [0,1] and behaves at small n, the one
+    * production dashboards should use instead of the Wald interval).
+    * x and n are exact ints; the interval is one fixed-association
+    * double expression (z² written as 1.96*1.96 in BOTH engines so the
+    * IEEE products agree bit-for-bit), round(6). Scale: one
+    * partial-aggregable 5-key aggregate.
+    */
+  def qEvtWilson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 50, 1L).otherwise(0L)).as("x"))
+      .withColumn("ph", expr("x / CAST(n AS DOUBLE)"))
+      .select(col("event_type"), col("n"), col("x").as("conv"),
+        round(col("ph"), 6).as("cr"),
+        expr("round((ph + (1.96*1.96)/(2*n) - 1.96*sqrt(ph*(1-ph)/n" +
+          " + (1.96*1.96)/(4.0*n*n))) / (1 + (1.96*1.96)/n), 6)")
+          .as("wilson_lo"),
+        expr("round((ph + (1.96*1.96)/(2*n) + 1.96*sqrt(ph*(1-ph)/n" +
+          " + (1.96*1.96)/(4.0*n*n))) / (1 + (1.96*1.96)/n), 6)")
+          .as("wilson_hi"))
+      .orderBy("event_type")
+
+  val qEvtWilsonSql: String =
+    """WITH a AS (SELECT event_type, count(*) AS n,
+      |    sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS x
+      |  FROM events GROUP BY event_type),
+      |p AS (SELECT event_type, n, x, x / CAST(n AS DOUBLE) AS ph FROM a)
+      |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS conv,
+      |  round(ph, 6) AS cr,
+      |  round((ph + (1.96*1.96)/(2*n) - 1.96*sqrt(ph*(1-ph)/n
+      |    + (1.96*1.96)/(4.0*n*n))) / (1 + (1.96*1.96)/n), 6) AS wilson_lo,
+      |  round((ph + (1.96*1.96)/(2*n) + 1.96*sqrt(ph*(1-ph)/n
+      |    + (1.96*1.96)/(4.0*n*n))) / (1 + (1.96*1.96)/n), 6) AS wilson_hi
+      |FROM p ORDER BY event_type""".stripMargin
+
+  /** Per-user behavioral entropy over the FIXED 5-type event alphabet —
+    * the "how varied is this user" signal behind bot detection and
+    * segment profiling: H = ln(n) − (Σ c·ln c)/n from exact per-type
+    * counts. The five c·ln(c) terms are pivoted to FIXED columns and
+    * summed in one explicitly-parenthesized left-to-right chain so both
+    * engines evaluate the identical IEEE association (the [[qGiniUsers]]
+    * determinism discipline — a fold over an arbitrary-order aggregate
+    * would not be reproducible). Scale: one partial-aggregable
+    * conditional aggregate per user, one narrow expression; no window.
+    */
+  def qUserEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("c2"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c3"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("c4"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c5"))
+      .select(col("user_id"), col("n").as("n_events"),
+        expr("""CAST((CASE WHEN c1>0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN c2>0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN c3>0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN c4>0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN c5>0 THEN 1 ELSE 0 END) AS BIGINT)""")
+          .as("n_types"),
+        expr("""round(ln(n) - ((((CASE WHEN c1>0 THEN c1*ln(c1) ELSE 0 END
+                 + CASE WHEN c2>0 THEN c2*ln(c2) ELSE 0 END)
+                 + CASE WHEN c3>0 THEN c3*ln(c3) ELSE 0 END)
+                 + CASE WHEN c4>0 THEN c4*ln(c4) ELSE 0 END)
+                 + CASE WHEN c5>0 THEN c5*ln(c5) ELSE 0 END) / n, 4)""")
+          .as("entropy"))
+      .orderBy("user_id")
+
+  val qUserEntropySql: String =
+    """WITH a AS (SELECT user_id, count(*) AS n,
+      |    sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS c2,
+      |    sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS c3,
+      |    sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS c4,
+      |    sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS c5
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |  CAST((CASE WHEN c1>0 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN c2>0 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN c3>0 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN c4>0 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN c5>0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+      |  round(ln(n) - ((((CASE WHEN c1>0 THEN c1*ln(c1) ELSE 0 END
+      |    + CASE WHEN c2>0 THEN c2*ln(c2) ELSE 0 END)
+      |    + CASE WHEN c3>0 THEN c3*ln(c3) ELSE 0 END)
+      |    + CASE WHEN c4>0 THEN c4*ln(c4) ELSE 0 END)
+      |    + CASE WHEN c5>0 THEN c5*ln(c5) ELSE 0 END) / n, 4) AS entropy
+      |FROM a ORDER BY user_id""".stripMargin
+
+  /** Per-day peak session concurrency — the capacity-planning sweep
+    * line: sessions (the shared [[Events.sessionized]] 30-min-gap
+    * definition) are clipped to the days they overlap, each day's
+    * clipped segments become ±1 boundary events, and the peak is the
+    * max of the running sum. Start boundaries sort BEFORE ends at equal
+    * instants (delta descending), so zero-length single-event sessions
+    * still register and back-to-back sessions touching at one instant
+    * count as concurrent — the inclusive convention, same in both
+    * engines. The peak is order-independent within equal-(ts, delta)
+    * runs (a max over an equal-sign run is its end value), so the sweep
+    * is deterministic without a third tiebreak. Scale: the sweep window
+    * partitions on DAY (bounded key, skew capped by daily volume); the
+    * day-clip explode is ≤ |sessions|·(span days), span ≈ 1.
+    */
+  def qEvtConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ses = Events.sessionized(spark, sfDir)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("st"), max("ts_us").as("en"))
+    val DayUs = 86400000000L
+    val seg = ses
+      .withColumn("d", explode(sequence(
+        expr(s"st div $DayUs"), expr(s"en div $DayUs"))))
+      .withColumn("day", date_add(lit("1970-01-01").cast("date"),
+        col("d").cast("int")))
+      .withColumn("d0", col("d") * DayUs)
+      .select(col("day"),
+        greatest(col("st"), col("d0")).as("s"),
+        least(col("en"), col("d0") + (DayUs - 1)).as("e"))
+    val bnd = seg.select(col("day"), col("s").as("ts"), lit(1L).as("delta"))
+      .unionAll(seg.select(col("day"), col("e").as("ts"),
+        lit(-1L).as("delta")))
+    val sweep = Window.partitionBy("day").orderBy(asc("ts"), desc("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bnd
+      .withColumn("open", sum("delta").over(sweep))
+      .groupBy("day")
+      .agg(expr("count(1) div 2").as("n_segments"),
+        max("open").as("peak_concurrent"))
+      .orderBy("day")
+  }
+
+  val qEvtConcurrencySql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |flagged AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w
+      |    > 1800000000 OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END
+      |    AS gap
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (SELECT user_id, ts_us,
+      |    CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS sid
+      |  FROM flagged),
+      |ses AS (SELECT user_id, sid, min(ts_us) AS st, max(ts_us) AS en
+      |  FROM sess GROUP BY user_id, sid),
+      |days AS (SELECT st, en,
+      |    CAST(to_timestamp(0) AS DATE) + CAST(d AS INTEGER) AS day,
+      |    d * 86400000000 AS d0
+      |  FROM ses, unnest(generate_series(st // 86400000000,
+      |    en // 86400000000)) t(d)),
+      |seg AS (SELECT day, greatest(st, d0) AS s,
+      |    least(en, d0 + 86399999999) AS e FROM days),
+      |bnd AS (SELECT day, s AS ts, 1 AS delta FROM seg
+      |  UNION ALL SELECT day, e, -1 FROM seg),
+      |run AS (SELECT day, sum(delta) OVER (PARTITION BY day
+      |    ORDER BY ts, delta DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+      |  FROM bnd)
+      |SELECT day, CAST(count(*) // 2 AS BIGINT) AS n_segments,
+      |  CAST(max(open) AS BIGINT) AS peak_concurrent
+      |FROM run GROUP BY day ORDER BY day""".stripMargin
 }

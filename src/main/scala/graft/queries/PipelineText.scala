@@ -448,4 +448,36 @@ object PipelineText {
       |  CAST(vocab * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
       |  CAST(hapax * 1000000 // vocab AS BIGINT) AS hapax_ppm
       |FROM a ORDER BY source""".stripMargin
+
+  // ───────────── type-token-ratio profile (round 7) ─────────────
+
+  /** Type-token-ratio (lexical diversity) profile: per doc, ttr_ppm =
+    * 10⁶·|distinct tokens|/|tokens| (exact integer ppm — the repetition
+    * signal the [[qRepetitionFilter]] top-ngram share misses when a doc
+    * cycles a LARGE template), then the corpus histogram by TTR decile
+    * bucket. Scale: one narrow per-doc pass (split + array_distinct
+    * in-row, no token-stream shuffle at all), then a ≤10-key aggregate.
+    */
+  def qTextTtr(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
+      .withColumn("ppm", expr("nd * 1000000 div ntok"))
+      .groupBy(expr("ppm div 100000").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("sum_tokens"),
+        min("ppm").as("min_ppm"), max("ppm").as("max_ppm"))
+      .orderBy("decile")
+
+  val qTextTtrSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) AS ntok,
+      |    len(list_distinct(string_split(text, ' '))) AS nd
+      |  FROM documents),
+      |b AS (SELECT doc_id, ntok, nd, nd*1000000//ntok AS ppm FROM d)
+      |SELECT CAST(ppm//100000 AS BIGINT) AS decile, count(*) AS n_docs,
+      |  CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+      |  CAST(min(ppm) AS BIGINT) AS min_ppm,
+      |  CAST(max(ppm) AS BIGINT) AS max_ppm
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 }

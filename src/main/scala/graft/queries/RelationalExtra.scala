@@ -811,4 +811,116 @@ object RelationalExtra {
       |  round(regr_slope(share_ppm, mi), 4) AS slope_ppm_per_month
       |FROM s GROUP BY p_brand
       |ORDER BY slope_ppm_per_month DESC, p_brand""".stripMargin
+
+  // ───────── pairwise correlation matrix (round 7) ─────────
+
+  /** Pairwise Pearson correlation matrix over the four lineitem
+    * numeric measures, unpivoted to (pair, r) rows — the feature-
+    * redundancy profile a modeling pipeline runs before training.
+    * All six correlations come from ONE single-pass aggregate (the
+    * [[qCorrStats]] mergeable co-moment discipline — the oracle's six
+    * scans collapse to one partial+final HashAggregate here), then a
+    * 1-row stack unpivot. round(4) per the float rule.
+    */
+  def qCorrMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("r_qp"),
+        round(corr("l_quantity", "l_discount"), 4).as("r_qd"),
+        round(corr("l_quantity", "l_tax"), 4).as("r_qt"),
+        round(corr("l_extendedprice", "l_discount"), 4).as("r_pd"),
+        round(corr("l_extendedprice", "l_tax"), 4).as("r_pt"),
+        round(corr("l_discount", "l_tax"), 4).as("r_dt"))
+      .select(expr(
+        """stack(6,
+          |  'quantity~extendedprice', r_qp,
+          |  'quantity~discount', r_qd,
+          |  'quantity~tax', r_qt,
+          |  'extendedprice~discount', r_pd,
+          |  'extendedprice~tax', r_pt,
+          |  'discount~tax', r_dt) AS (pair, r)""".stripMargin))
+      .orderBy("pair")
+
+  val qCorrMatrixSql: String =
+    """SELECT * FROM (
+      |SELECT 'quantity~extendedprice' AS pair,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS r FROM lineitem
+      |UNION ALL SELECT 'quantity~discount',
+      |  round(corr(l_quantity, l_discount), 4) FROM lineitem
+      |UNION ALL SELECT 'quantity~tax',
+      |  round(corr(l_quantity, l_tax), 4) FROM lineitem
+      |UNION ALL SELECT 'extendedprice~discount',
+      |  round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+      |UNION ALL SELECT 'extendedprice~tax',
+      |  round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+      |UNION ALL SELECT 'discount~tax',
+      |  round(corr(l_discount, l_tax), 4) FROM lineitem
+      |) ORDER BY pair""".stripMargin
+
+  // ───────── hierarchical share-of-parent rollup (round 7) ─────────
+
+  /** Region → nation revenue rollup with SHARE-OF-PARENT ppm — the
+    * drill-down view every revenue dashboard renders: nation rows carry
+    * their ppm of the region subtotal, region rows their ppm of the
+    * grand total, the grand row 10⁶. The three levels are built as
+    * explicit aggregates of one shared cents relation (same rows as
+    * ROLLUP, but the parent joins are then plain bounded equi-joins on
+    * the ≤|regions| subtotal tables instead of grouping-NULL matching);
+    * dimension joins broadcast; revenue is exact cents widened to
+    * DECIMAL for the ppm product (the revE4 convention).
+    */
+  def qRollupShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, sfDir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val nat = rev.groupBy("region", "nation")
+      .agg(sum("cents").as("rev"))
+    val reg = nat.groupBy("region").agg(sum("rev").as("rev"))
+    val tot = reg.agg(sum("rev").as("rev"))
+    val natRows = nat
+      .join(broadcast(reg.select(col("region"),
+        col("rev").as("parent"))), "region")
+      .select(col("region"), col("nation"), col("rev"),
+        expr("CAST(rev AS DECIMAL(19,0)) * 1000000 div parent")
+          .as("share_ppm"))
+    val regRows = reg.crossJoin(broadcast(tot.select(
+        col("rev").as("parent"))))
+      .select(col("region"), lit(null).cast("string").as("nation"),
+        col("rev"),
+        expr("CAST(rev AS DECIMAL(19,0)) * 1000000 div parent")
+          .as("share_ppm"))
+    val totRow = tot.select(lit(null).cast("string").as("region"),
+      lit(null).cast("string").as("nation"), col("rev"),
+      lit(1000000L).as("share_ppm"))
+    natRows.unionAll(regRows).unionAll(totRow)
+      .select(col("region"), col("nation"), col("rev").as("rev_cents"),
+        col("share_ppm"))
+      .orderBy(asc_nulls_first("region"), asc_nulls_first("nation"))
+  }
+
+  val qRollupShareSql: String =
+    """WITH rev AS (SELECT r.r_name AS region, n.n_name AS nation,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+      |ru AS (SELECT region, nation, sum(cents) AS rev FROM rev
+      |  GROUP BY ROLLUP (region, nation)),
+      |sh AS (SELECT region, nation, rev,
+      |    CASE WHEN region IS NULL THEN rev
+      |      WHEN nation IS NULL THEN
+      |        (SELECT rev FROM ru WHERE region IS NULL)
+      |      ELSE (SELECT p.rev FROM ru p WHERE p.region = sh0.region
+      |        AND p.nation IS NULL) END AS parent
+      |  FROM ru sh0)
+      |SELECT region, nation, CAST(rev AS BIGINT) AS rev_cents,
+      |  CAST(rev * 1000000 // parent AS BIGINT) AS share_ppm
+      |FROM sh
+      |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin
 }

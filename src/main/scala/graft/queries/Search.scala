@@ -499,4 +499,59 @@ object Search {
        |  round(sum(score), 4) AS score
        |FROM scores WHERE term LIKE 'pa%'
        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Query-likelihood ranking with Dirichlet smoothing (µ = 2000, the
+    * Zhai/Lafferty 2001 default) for the conjunctive {spark, join}
+    * query — the language-modeling alternative to [[qSearchBm25]]'s
+    * probabilistic ranking: score(d) = Σ_t ln((tf + µ·ctf_t/|C|)/(dl +
+    * µ)). The two per-term components are summed in FIXED left-to-right
+    * order (IEEE-identical in both engines); ctf (corpus term counts,
+    * scan-pushed to the two query terms) and |C| (= Σ dl over the
+    * memoized [[dl]] artifact — no extra corpus pass) broadcast as
+    * 1-row stats. Scale: two term-filtered posting joins + broadcast
+    * scalars, the [[bm25Scored]] shape.
+    */
+  def qSearchQld(spark: SparkSession, sfDir: String): DataFrame = {
+    val tfq = tf(spark, sfDir)
+    val a = tfq.filter(col("term") === "spark")
+      .select(col("doc_id"), col("tf").as("tf_s"))
+    val b = tfq.filter(col("term") === "join")
+      .select(col("doc_id"), col("tf").as("tf_j"))
+    val ctf = Tables.tokens(spark, sfDir)
+      .filter(col("term").isin("spark", "join"))
+      .groupBy()
+      .agg(sum(when(col("term") === "spark", 1L).otherwise(0L)).as("ctf_s"),
+        sum(when(col("term") === "join", 1L).otherwise(0L)).as("ctf_j"))
+    val nc = dl(spark, sfDir).agg(sum("dl").as("nc"))
+    a.join(b, "doc_id")
+      .join(dl(spark, sfDir), "doc_id")
+      .crossJoin(broadcast(ctf))
+      .crossJoin(broadcast(nc))
+      .select(col("doc_id"),
+        round(expr("ln((tf_s + 2000.0 * ctf_s / nc) / (dl + 2000.0))") +
+          expr("ln((tf_j + 2000.0 * ctf_j / nc) / (dl + 2000.0))"), 4)
+          .as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val qSearchQldSql: String =
+    s"""WITH tok AS ($tokSql),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |ctf AS (SELECT
+       |    sum(CASE WHEN term='spark' THEN 1 ELSE 0 END) AS ctf_s,
+       |    sum(CASE WHEN term='join' THEN 1 ELSE 0 END) AS ctf_j
+       |  FROM tok WHERE term IN ('spark', 'join')),
+       |nc AS (SELECT sum(dl) AS nc FROM dl),
+       |s AS (SELECT a.doc_id,
+       |    ln((a.tf + 2000.0 * ctf.ctf_s / nc.nc) / (dl.dl + 2000.0))
+       |  + ln((b.tf + 2000.0 * ctf.ctf_j / nc.nc) / (dl.dl + 2000.0)) AS sc
+       |  FROM (SELECT doc_id, tf FROM tf WHERE term = 'spark') a
+       |  JOIN (SELECT doc_id, tf FROM tf WHERE term = 'join') b
+       |    USING (doc_id)
+       |  JOIN dl USING (doc_id) CROSS JOIN ctf CROSS JOIN nc)
+       |SELECT doc_id, round(sc, 4) AS score FROM s
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 }

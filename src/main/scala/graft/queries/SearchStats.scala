@@ -462,4 +462,50 @@ object SearchStats {
       |SELECT w1, w2, count(*) AS n_cooccur
       |FROM pairs GROUP BY w1, w2
       |ORDER BY n_cooccur DESC, w1, w2 LIMIT 20""".stripMargin
+
+  // ─────────────── Heaps'-law vocabulary growth (round 7) ───────────────
+
+  /** Heaps'-law vocabulary-growth curve: vocabulary size after ingesting
+    * the first 10%, 20%, … 100% of the corpus (by doc_id, the ingestion
+    * order) — the diagnostic that sizes term dictionaries and predicts
+    * OOV rates as a corpus grows, complementing [[qZipfFit]]'s
+    * rank-frequency view. The curve needs only each term's FIRST doc_id
+    * (one token-stream aggregate): V(threshold) = |{terms: first_doc ≤
+    * threshold}|, evaluated against a broadcast 10-row decile grid via
+    * a bounded theta join — the vocabulary is never re-scanned per
+    * decile and the token stream is read once. All exact ints.
+    */
+  def qHeapsLaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val fm = Tables.tokens(spark, sfDir)
+      .groupBy("term").agg(min("doc_id").as("fd"))
+    val mx = Tables.t(spark, sfDir, "documents")
+      .agg(max("doc_id").as("m"))
+    val grid = spark.range(1, 11).select(col("id").as("decile"))
+      .crossJoin(broadcast(mx))
+      .withColumn("t", expr("m * decile div 10"))
+      .select("decile", "t")
+    val vocab = fm.join(broadcast(grid), col("fd") <= col("t"))
+      .groupBy("decile", "t").agg(count(lit(1)).as("vocab"))
+    val docs = Tables.t(spark, sfDir, "documents").select("doc_id")
+      .join(broadcast(grid), col("doc_id") <= col("t"))
+      .groupBy("decile").agg(count(lit(1)).as("n_docs"))
+    vocab.join(broadcast(docs), "decile")
+      .select(col("decile"), col("t").as("max_doc_id"), col("n_docs"),
+        col("vocab"))
+      .orderBy("decile")
+  }
+
+  val qHeapsLawSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |fm AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY term),
+      |mx AS (SELECT max(doc_id) AS m FROM documents),
+      |grid AS (SELECT unnest(generate_series(1, 10)) AS decile),
+      |thr AS (SELECT decile, (SELECT m FROM mx) * decile // 10 AS t
+      |  FROM grid)
+      |SELECT decile, CAST(t AS BIGINT) AS max_doc_id,
+      |  CAST((SELECT count(*) FROM documents WHERE doc_id <= t)
+      |    AS BIGINT) AS n_docs,
+      |  CAST((SELECT count(*) FROM fm WHERE fd <= t) AS BIGINT) AS vocab
+      |FROM thr ORDER BY decile""".stripMargin
 }

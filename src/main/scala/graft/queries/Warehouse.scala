@@ -400,4 +400,98 @@ object Warehouse {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |    AS open_orders
       |FROM net ORDER BY day""".stripMargin
+
+  // ───────── referential-integrity audit (round 7) ─────────
+
+  /** Foreign-key orphan audit across the star schema's four FK edges —
+    * the data-quality gate every warehouse load runs before publishing:
+    * per edge, child row count and orphan count (child keys with no
+    * parent). Each edge is ONE left join + aggregate (count + null-
+    * parent sum in the same pass — no separate anti join); small parents
+    * broadcast, fact-to-fact edges hash-join on the key, AQE picks per
+    * edge. Output is 4 rows of exact ints.
+    */
+  def qFkOrphans(spark: SparkSession, sfDir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+    val li = Tables.t(spark, sfDir, "lineitem")
+    edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.t(spark, sfDir, "orders"), "o_orderkey")
+      .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.t(spark, sfDir, "part"), "p_partkey"))
+      .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.t(spark, sfDir, "supplier"), "s_suppkey"))
+      .unionAll(edge("orders.o_custkey->customer",
+        Tables.t(spark, sfDir, "orders"), "o_custkey",
+        Tables.t(spark, sfDir, "customer"), "c_custkey"))
+      .orderBy("edge")
+  }
+
+  val qFkOrphansSql: String =
+    """SELECT * FROM (
+      |SELECT 'lineitem.l_orderkey->orders' AS edge, count(*) AS n_child,
+      |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_orphans
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'lineitem.l_partkey->part', count(*),
+      |  CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT)
+      |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |UNION ALL
+      |SELECT 'lineitem.l_suppkey->supplier', count(*),
+      |  CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT)
+      |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer', count(*),
+      |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT)
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |) ORDER BY edge""".stripMargin
+
+  // ───────── incremental join-view maintenance (round 7) ─────────
+
+  /** Incremental maintenance of a JOIN materialized view — per-nation
+    * order count + revenue over orders ⋈ customer, maintained as
+    * base-partition aggregate (orders before 2000-01-01) PLUS
+    * delta-partition aggregate (orders on/after), re-merged by key: the
+    * [[qIncrementalAgg]] pattern extended across a join. The oracle
+    * computes the view from scratch on the full join; the hash match
+    * PROVES incremental = full recompute. Both partitions pre-aggregate
+    * BEFORE the merge, so the combine step is |nations|-sized; the date
+    * split predicate pushes to the orders scan. Revenue in exact cents.
+    */
+  def qMvJoinDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.t(spark, sfDir, "customer")
+      .select("c_custkey", "c_nationkey")
+    def view(orders: DataFrame): DataFrame =
+      orders.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("rev_cents"))
+    val cut = lit("2000-01-01").cast("timestamp")
+    val base = view(Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < cut))
+    val delta = view(Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= cut))
+    base.unionAll(delta)
+      .groupBy("c_nationkey")
+      .agg(sum("n_orders").as("n_orders"),
+        sum("rev_cents").as("rev_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  val qMvJoinDeltaSql: String =
+    """SELECT c.c_nationkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
 }

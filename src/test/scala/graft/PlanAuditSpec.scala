@@ -407,6 +407,66 @@ class PlanAuditSpec extends SparkSpecBase {
       s"completion ranking lost its prefix partition spec:\n$p")
   }
 
+  // ───────── round-7 wave pins ─────────
+
+  test("q_corr_matrix computes all six correlations in ONE scan pass") {
+    val p = plan("q_corr_matrix")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"correlation matrix re-scans per pair:\n$p")
+    assert(p.contains("partial_corr") || p.contains("partial_"),
+      s"co-moments lost map-side partials:\n$p")
+  }
+
+  test("q_heaps_law joins the decile grid broadcast, vocab scanned once") {
+    val p = plan("q_heaps_law")
+    // the ≤-threshold grid joins are legitimately BroadcastNestedLoop
+    // (theta, 10-row build side); the 10-row decile combine must be a
+    // broadcast hash join; nothing may be a true cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"decile grid theta join is not broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"10-row decile combine regressed to sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"grid join regressed to a cartesian:\n$p")
+  }
+
+  test("q_mv_join_delta pushes both date split predicates to the scan") {
+    val p = plan("q_mv_join_delta")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("o_orderdate")),
+      s"date split predicate not pushed:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-partition view aggregate lost map-side partials:\n$p")
+  }
+
+  test("q_evt_concurrency sweeps inside day partitions, sessions by user") {
+    val p = plan("q_evt_concurrency")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(_.contains("day")),
+      s"sweep window lost its day partition spec:\n$p")
+    assert(winLines.filterNot(_.contains("day"))
+        .forall(_.contains("user_id")),
+      s"sessionization window lost its user partition spec:\n$p")
+  }
+
+  test("q_fk_orphans audits each edge in one join+aggregate, no cartesian") {
+    val p = plan("q_fk_orphans")
+    assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+      s"an FK edge regressed to a cartesian shape:\n$p")
+    assert(p.linesIterator.count(_.contains("Join")) == 4,
+      s"expected exactly 4 edge joins:\n$p")
+  }
+
+  test("q_search_qld stays term-filtered: no corpus-wide posting join") {
+    val p = plan("q_search_qld")
+    assert(p.contains("BroadcastHashJoin")
+        || p.contains("BroadcastExchange"),
+      s"the 1-row ctf/nc stats are not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"term-filtered posting join regressed to sort-merge:\n$p")
+  }
+
   test("q_win_percentile keeps a bounded ROWS frame, no full-partition buffering") {
     val p = plan("q_win_percentile")
     assert(p.contains("rowsbetween(49") || p.contains("ROWS BETWEEN 49")
