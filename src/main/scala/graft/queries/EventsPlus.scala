@@ -1305,14 +1305,19 @@ object EventsPlus {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(when(col("value") > 50, 1L).otherwise(0L)).as("x"))
+      // z and z² spelled as CAST(… AS DOUBLE) literals on BOTH sides:
+      // a bare 1.96 parses as DECIMAL in both engines, and Spark then
+      // runs the /(2n) step in exact decimal while DuckDB converts to
+      // double first — forcing double keeps the IEEE paths identical
       .withColumn("ph", expr("x / CAST(n AS DOUBLE)"))
+      .withColumn("z", expr("CAST(1.96 AS DOUBLE)"))
       .select(col("event_type"), col("n"), col("x").as("conv"),
         round(col("ph"), 6).as("cr"),
-        expr("round((ph + (1.96*1.96)/(2*n) - 1.96*sqrt(ph*(1-ph)/n" +
-          " + (1.96*1.96)/(4.0*n*n))) / (1 + (1.96*1.96)/n), 6)")
+        expr("round((ph + (z*z)/(2*n) - z*sqrt(ph*(1-ph)/n" +
+          " + (z*z)/(CAST(4.0 AS DOUBLE)*n*n))) / (1 + (z*z)/n), 6)")
           .as("wilson_lo"),
-        expr("round((ph + (1.96*1.96)/(2*n) + 1.96*sqrt(ph*(1-ph)/n" +
-          " + (1.96*1.96)/(4.0*n*n))) / (1 + (1.96*1.96)/n), 6)")
+        expr("round((ph + (z*z)/(2*n) + z*sqrt(ph*(1-ph)/n" +
+          " + (z*z)/(CAST(4.0 AS DOUBLE)*n*n))) / (1 + (z*z)/n), 6)")
           .as("wilson_hi"))
       .orderBy("event_type")
 
@@ -1320,13 +1325,16 @@ object EventsPlus {
     """WITH a AS (SELECT event_type, count(*) AS n,
       |    sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS x
       |  FROM events GROUP BY event_type),
-      |p AS (SELECT event_type, n, x, x / CAST(n AS DOUBLE) AS ph FROM a)
+      |p AS (SELECT event_type, n, x, x / CAST(n AS DOUBLE) AS ph,
+      |    CAST(1.96 AS DOUBLE) AS z FROM a)
       |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS conv,
       |  round(ph, 6) AS cr,
-      |  round((ph + (1.96*1.96)/(2*n) - 1.96*sqrt(ph*(1-ph)/n
-      |    + (1.96*1.96)/(4.0*n*n))) / (1 + (1.96*1.96)/n), 6) AS wilson_lo,
-      |  round((ph + (1.96*1.96)/(2*n) + 1.96*sqrt(ph*(1-ph)/n
-      |    + (1.96*1.96)/(4.0*n*n))) / (1 + (1.96*1.96)/n), 6) AS wilson_hi
+      |  round((ph + (z*z)/(2*n) - z*sqrt(ph*(1-ph)/n
+      |    + (z*z)/(CAST(4.0 AS DOUBLE)*n*n))) / (1 + (z*z)/n), 6)
+      |    AS wilson_lo,
+      |  round((ph + (z*z)/(2*n) + z*sqrt(ph*(1-ph)/n
+      |    + (z*z)/(CAST(4.0 AS DOUBLE)*n*n))) / (1 + (z*z)/n), 6)
+      |    AS wilson_hi
       |FROM p ORDER BY event_type""".stripMargin
 
   /** Per-user behavioral entropy over the FIXED 5-type event alphabet —
@@ -1455,4 +1463,41 @@ object EventsPlus {
       |SELECT day, CAST(count(*) // 2 AS BIGINT) AS n_segments,
       |  CAST(max(open) AS BIGINT) AS peak_concurrent
       |FROM run GROUP BY day ORDER BY day""".stripMargin
+
+  /** Daily active / new / cumulative-distinct users — the growth
+    * headline chart. Cumulative distinct is computed WITHOUT a running
+    * distinct aggregate (which has no partial form): each user's
+    * first-seen day is ONE aggregate, daily new-user counts roll up
+    * from it, and the running total is a window over the bounded day
+    * grid (the [[qEvtLifecycle]] new-user discipline as a cumulative
+    * curve). All exact ints.
+    */
+  def qCumUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val nd = ev.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("nu"))
+    val ad = ev.groupBy("day")
+      .agg(countDistinct("user_id").as("active_users"))
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ad.join(nd, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("nu"), lit(0L)))
+      .withColumn("cum_users", sum("new_users").over(cum))
+      .select("day", "active_users", "new_users", "cum_users")
+      .orderBy("day")
+  }
+
+  val qCumUsersSql: String =
+    """WITH fu AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+      |  FROM events GROUP BY user_id),
+      |nd AS (SELECT d0 AS day, count(*) AS nu FROM fu GROUP BY d0),
+      |ad AS (SELECT CAST(ts AS DATE) AS day,
+      |    count(DISTINCT user_id) AS active_users FROM events GROUP BY 1)
+      |SELECT day, CAST(active_users AS BIGINT) AS active_users,
+      |  CAST(coalesce(nu, 0) AS BIGINT) AS new_users,
+      |  CAST(sum(coalesce(nu, 0)) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM ad LEFT JOIN nd USING (day) ORDER BY day""".stripMargin
 }

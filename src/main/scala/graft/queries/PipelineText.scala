@@ -480,4 +480,41 @@ object PipelineText {
       |  CAST(min(ppm) AS BIGINT) AS min_ppm,
       |  CAST(max(ppm) AS BIGINT) AS max_ppm
       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ───────── Simpson diversity per source (round 7, wave 2) ─────────
+
+  /** Simpson diversity index per source: 1 − Σc(c−1)/(N(N−1)) over the
+    * source's term counts — the probability two random tokens differ,
+    * the concentration-robust complement to the entropy and hapax
+    * profiles (Simpson weights DOMINANT terms, entropy the full tail).
+    * Σc(c−1) is N²-order, so the accumulation is DECIMAL(38,0)-widened
+    * (revE4 convention; DuckDB's sum is HUGEINT-exact natively); the
+    * single closing division is double, round(6). Scale: one token-
+    * stream aggregate to the (source × vocab)-bounded count relation,
+    * then a |sources|-key aggregate.
+    */
+  def qTextSimpson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("c").cast("decimal(19,0)") * (col("c") - 1)).as("t"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(lit(1.0) - col("t").cast("double") /
+          (col("n_tokens").cast("decimal(19,0)") * (col("n_tokens") - 1))
+            .cast("double"), 6).as("simpson"))
+      .orderBy("source")
+
+  val qTextSimpsonSql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tc AS (SELECT source, term, count(*) AS c FROM tok
+      |  GROUP BY source, term),
+      |a AS (SELECT source, sum(c) AS n, count(*) AS vocab,
+      |    sum(c * (c - 1)) AS t FROM tc GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(vocab AS BIGINT) AS vocab,
+      |  round(1.0 - t / CAST(n * (n - 1) AS DOUBLE), 6) AS simpson
+      |FROM a ORDER BY source""".stripMargin
 }

@@ -923,4 +923,214 @@ object RelationalExtra {
       |  CAST(rev * 1000000 // parent AS BIGINT) AS share_ppm
       |FROM sh
       |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin
+
+  // ───────── ABC inventory classification (round 7, wave 2) ─────────
+
+  /** ABC classification of parts by revenue — A = parts inside the top
+    * 80% of cumulative revenue, B = next 15% (≤95%), C = tail — the
+    * inventory-prioritization twin of q_pareto_cut's user cut. Class
+    * boundaries are EXACT integer cross-multiplications (cum·5 ≤
+    * total·4, cum·20 ≤ total·19 — no ppm rounding at the boundary);
+    * the cumulative window runs over the per-part revenue aggregate,
+    * a DIMENSION-bounded relation (|parts| ≪ facts — the q_tok_vocab
+    * window argument), never lineitem. Share ppm DECIMAL-widened.
+    */
+  def qAbcClass(spark: SparkSession, sfDir: String): DataFrame = {
+    val pr = t(spark, sfDir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("rev"))
+    val cumW = Window.orderBy(desc("rev"), asc("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    pr
+      .withColumn("cum", sum("rev").over(cumW))
+      .withColumn("total", sum("rev").over(all))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= col("total") * 4, "A")
+          .when(col("cum") * 20 <= col("total") * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cents"),
+        expr("CAST(sum(rev) AS DECIMAL(19,0)) * 1000000 div max(total)")
+          .as("rev_share_ppm"))
+      .orderBy("abc_class")
+  }
+
+  val qAbcClassSql: String =
+    """WITH pr AS (SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |r AS (SELECT l_partkey, rev,
+      |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(rev) OVER () AS total FROM pr),
+      |cls AS (SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+      |                    WHEN cum * 20 <= total * 19 THEN 'B'
+      |                    ELSE 'C' END AS abc_class, rev, total FROM r)
+      |SELECT abc_class, count(*) AS n_parts,
+      |  CAST(sum(rev) AS BIGINT) AS rev_cents,
+      |  CAST(sum(rev) * 1000000 // max(total) AS BIGINT) AS rev_share_ppm
+      |FROM cls GROUP BY abc_class ORDER BY abc_class""".stripMargin
+
+  // ───────── leave-one-out target encoding (round 7, wave 2) ─────────
+
+  /** Leave-one-out target encoding of customer on order price — the
+    * standard leakage-free categorical encoder for ML feature prep:
+    * each order carries the mean price of the SAME customer's OTHER
+    * orders, (Σ − x) div (n − 1) in exact integer CENTS, NULL for
+    * single-order customers. One per-customer aggregate + one
+    * broadcast-able join back to the fact (group stats are
+    * |customers|-sized); everything stays in exact BIGINTs (operands
+    * non-negative, so floor ≡ truncate across engines).
+    */
+  def qTargetEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = t(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("sc"))
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+      .join(st, "o_custkey")
+      // the mean stays in exact integer CENTS via floor division: a
+      // /100.0 dollar mean is a rational with denominator (n−1)·100 and
+      // lands exactly on the round(4) half-grid (the qWinRunning tie
+      // class — measured: row 744 at sf0.01 flips .6287/.6288)
+      .select(col("o_orderkey"), col("o_custkey"), col("price_cents"),
+        when(col("n") > 1,
+          expr("(sc - price_cents) div (n - 1)")).as("loo_mean_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  val qTargetEncodeSql: String =
+    """WITH st AS (SELECT o_custkey, count(*) AS n,
+      |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |      AS sc
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o.o_orderkey, o.o_custkey,
+      |  CAST(round(o.o_totalprice*100) AS BIGINT) AS price_cents,
+      |  CASE WHEN st.n > 1 THEN
+      |    CAST((st.sc - CAST(round(o.o_totalprice*100) AS BIGINT))
+      |      // (st.n - 1) AS BIGINT)
+      |  END AS loo_mean_cents
+      |FROM orders o JOIN st USING (o_custkey)
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // ───────── period-over-period revenue bridge (round 7, wave 2) ─────────
+
+  /** Revenue bridge 1997 → 1998 per brand: the volume-vs-price
+    * decomposition every finance review runs — volume effect =
+    * (q₂−q₁)·p₁ and price effect = q₂·(p₂−p₁), which sum exactly to
+    * Δrevenue. Quantities and cents are exact integer conditional
+    * aggregates from ONE fact pass (the year CASE split — no self-
+    * join); the two effects are single fixed-association double
+    * expressions from those ints, round(4). Brands missing a year are
+    * excluded (guard, 25/25 present at every SF).
+    */
+  def qRevBridge(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(expr("year(l_shipdate) IN (1997, 1998)"))
+      .join(broadcast(t(spark, sfDir, "part")
+        .select("p_partkey", "p_brand")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        sum(expr("CASE WHEN year(l_shipdate) = 1997 THEN " +
+          "CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END")).as("rev1"),
+        sum(expr("CASE WHEN year(l_shipdate) = 1998 THEN " +
+          "CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END")).as("rev2"),
+        sum(expr("CASE WHEN year(l_shipdate) = 1997 THEN " +
+          "CAST(round(l_quantity) AS BIGINT) ELSE 0 END")).as("q1"),
+        sum(expr("CASE WHEN year(l_shipdate) = 1998 THEN " +
+          "CAST(round(l_quantity) AS BIGINT) ELSE 0 END")).as("q2"))
+      .filter(col("q1") > 0 && col("q2") > 0)
+      // literals spelled CAST(100.0 AS DOUBLE) on BOTH sides: a bare
+      // 100.0 parses as DECIMAL in both engines but Spark then divides
+      // IN DECIMAL (exact, different rounding path) while DuckDB
+      // divides in double — forcing double keeps the IEEE value paths
+      // identical
+      .select(col("p_brand"),
+        col("rev1").as("rev1_cents"), col("rev2").as("rev2_cents"),
+        col("q1").as("qty1"), col("q2").as("qty2"),
+        expr("round((q2 - q1) * (rev1 / (q1 * CAST(100.0 AS DOUBLE))), 4)")
+          .as("volume_effect"),
+        expr("round(q2 * (rev2 / (q2 * CAST(100.0 AS DOUBLE))" +
+          " - rev1 / (q1 * CAST(100.0 AS DOUBLE))), 4)")
+          .as("price_effect"))
+      .orderBy("p_brand")
+
+  val qRevBridgeSql: String =
+    """WITH y AS (SELECT p.p_brand,
+      |    sum(CASE WHEN year(l_shipdate) = 1997 THEN
+      |      CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END) AS rev1,
+      |    sum(CASE WHEN year(l_shipdate) = 1998 THEN
+      |      CAST(round(l_extendedprice*100) AS BIGINT) ELSE 0 END) AS rev2,
+      |    sum(CASE WHEN year(l_shipdate) = 1997 THEN
+      |      CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS q1,
+      |    sum(CASE WHEN year(l_shipdate) = 1998 THEN
+      |      CAST(round(l_quantity) AS BIGINT) ELSE 0 END) AS q2
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE year(l_shipdate) IN (1997, 1998)
+      |  GROUP BY p.p_brand)
+      |SELECT p_brand, CAST(rev1 AS BIGINT) AS rev1_cents,
+      |  CAST(rev2 AS BIGINT) AS rev2_cents,
+      |  CAST(q1 AS BIGINT) AS qty1, CAST(q2 AS BIGINT) AS qty2,
+      |  round((q2 - q1) * (rev1 / (q1 * CAST(100.0 AS DOUBLE))), 4)
+      |    AS volume_effect,
+      |  round(q2 * (rev2 / (q2 * CAST(100.0 AS DOUBLE))
+      |    - rev1 / (q1 * CAST(100.0 AS DOUBLE))), 4)
+      |    AS price_effect
+      |FROM y WHERE q1 > 0 AND q2 > 0
+      |ORDER BY p_brand""".stripMargin
+
+  // ───────── equi-depth histogram boundaries (round 7, wave 2) ─────────
+
+  /** Equi-depth decile boundaries of o_totalprice — the optimizer-
+    * statistics artifact (histogram bucket fences) built WITHOUT a
+    * global window: the q_win_ntile_pct two-phase trick (range-bucket
+    * on the value → per-bucket counts → ≤P-row prefix offsets →
+    * partitioned row_number + offset = exact global rank), then ONE
+    * broadcast join against the 10 computed rank positions ⌈k·n/10⌉.
+    * The (price, orderkey) order key is unique, so every boundary is
+    * deterministic; output is 10 exact rows.
+    */
+  def qEquidepthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val P = 32
+    val ord = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val stats = ord.agg(min("o_totalprice").as("lo"),
+      max("o_totalprice").as("hi"), count(lit(1)).as("n"))
+    val withPid = ord.crossJoin(broadcast(stats))
+      .withColumn("pid", least(lit(P - 1),
+        floor((col("o_totalprice") - col("lo")) * P /
+          (col("hi") - col("lo") + lit(1e-9))).cast("int")))
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy("pid").agg(count(lit(1)).as("pc"))
+      .withColumn("off", coalesce(sum("pc").over(wOff), lit(0L)))
+      .select("pid", "off")
+    val wIn = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    val ranked = withPid.join(broadcast(offsets), "pid")
+      .withColumn("rn", col("off") + row_number().over(wIn))
+    val pos = stats.select(col("n"))
+      .crossJoin(spark.range(1, 11).select(col("id").as("decile")))
+      .withColumn("p", expr("(decile * n + 9) div 10"))
+      .select("decile", "p")
+    ranked.join(broadcast(pos), col("rn") === col("p"))
+      .select(col("decile"), col("p").as("rank_pos"),
+        round(col("o_totalprice"), 4).as("boundary_price"))
+      .orderBy("decile")
+  }
+
+  val qEquidepthHistSql: String =
+    """WITH r AS (SELECT o_totalprice,
+      |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    count(*) OVER () AS n FROM orders),
+      |pos AS (SELECT d, (d * (SELECT max(n) FROM r) + 9) // 10 AS p
+      |  FROM unnest(generate_series(1, 10)) t(d))
+      |SELECT pos.d AS decile, CAST(pos.p AS BIGINT) AS rank_pos,
+      |  round(r.o_totalprice, 4) AS boundary_price
+      |FROM pos JOIN r ON r.rn = pos.p
+      |ORDER BY decile""".stripMargin
 }

@@ -214,4 +214,40 @@ object SearchIndex {
        |      FROM documents)
        |ORDER BY term""".stripMargin
   }
+
+  // ───────── character 2-gram index (round 7, wave 2) ─────────
+
+  /** Character-bigram (k-gram, k=2) index over the VOCABULARY — the
+    * tolerant-retrieval artifact behind wildcard and spell-candidate
+    * lookups (Manning/Raghavan/Schütze ch. 3): each distinct term is
+    * cut into its inner 2-grams; the index maps 2-gram → matching-term
+    * count + the term list (md5 wire format, the qIdxPositional
+    * convention — the driver comparator hashes scalar cells). 1-char
+    * terms have no 2-gram and drop from both engines identically.
+    * Scale: built entirely on the DISTINCT vocabulary (≪ corpus —
+    * the q_tok_vocab argument); the token stream is read once.
+    */
+  def qKgramIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tokens(spark, sfDir)
+      .select("term").distinct()
+      .filter(length(col("term")) >= 2) // Spark sequence(1,0) DESCENDS
+      .select(col("term"), explode(expr(
+        "transform(sequence(1, length(term) - 1)," +
+          " i -> substring(term, i, 2))")).as("kgram"))
+      .distinct()
+      .groupBy("kgram")
+      .agg(count(lit(1)).as("n_terms"),
+        md5(concat_ws(",", sort_array(collect_set(col("term")))))
+          .as("terms_md5"))
+      .orderBy("kgram")
+
+  val qKgramIndexSql: String =
+    """WITH vocab AS (SELECT DISTINCT unnest(string_split(text, ' '))
+      |    AS term FROM documents),
+      |kg AS (SELECT DISTINCT substr(term, CAST(i AS INTEGER), 2)
+      |    AS kgram, term
+      |  FROM vocab, unnest(generate_series(1, len(term) - 1)) t(i))
+      |SELECT kgram, CAST(count(*) AS BIGINT) AS n_terms,
+      |  md5(array_to_string(list(term ORDER BY term), ',')) AS terms_md5
+      |FROM kg GROUP BY kgram ORDER BY kgram""".stripMargin
 }

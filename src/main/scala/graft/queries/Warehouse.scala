@@ -65,7 +65,11 @@ object Warehouse {
     * is the interval id, lead supplies the closing bound — all windows
     * partitioned by user.
     */
-  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The SCD2 interval relation (user_id, state, valid_from, valid_to,
+    * n_events) — shared by [[qScd2]] (the build) and [[qScd2Pit]] (the
+    * point-in-time lookup) so the change-detection chain cannot
+    * diverge between them. */
+  private def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val intervals = Tables.events(spark, sfDir)
       .withColumn("ts_us", unix_micros(col("ts")))
@@ -80,6 +84,10 @@ object Warehouse {
     val byGrp = Window.partitionBy("user_id").orderBy("grp")
     intervals
       .withColumn("valid_to", lead("valid_from", 1).over(byGrp))
+  }
+
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    scd2Intervals(spark, sfDir)
       .select("user_id", "state", "valid_from", "valid_to", "n_events")
       // Sort on EVERY output column: same-µs state flips make
       // (user_id, valid_from) tie, and three alternating flips at one
@@ -494,4 +502,47 @@ object Warehouse {
       |    AS rev_cents
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
+
+  // ───────── SCD2 point-in-time lookup (round 7, wave 2) ─────────
+
+  /** The AS-OF date every SCD2 table exists to serve. Mid-range of the
+    * events window at every SF (data spans 2024-01). */
+  private val PitTs = "2024-01-15 12:00:00"
+
+  /** Point-in-time lookup against the [[qScd2]] dimension: each user's
+    * state version active AT the fixed instant (valid_from ≤ t <
+    * valid_to, open intervals NULL-bounded) — the query side of slowly-
+    * changing-dimension modeling, completing build ([[qScd2]]) with
+    * read. Scale: the interval build is the shared per-user window
+    * chain; the PIT predicate filters to ≤1 row per user with no
+    * further shuffle.
+    */
+  def qScd2Pit(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Intervals(spark, sfDir)
+      .filter(col("valid_from") <= lit(PitTs).cast("timestamp") &&
+        (col("valid_to") > lit(PitTs).cast("timestamp")
+          || col("valid_to").isNull))
+      .select("user_id", "state", "valid_from", "n_events")
+      .orderBy("user_id")
+
+  val qScd2PitSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(ts AS TIMESTAMP) AS tss FROM events),
+      |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END
+      |    AS chg FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |g AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS BIGINT) AS grp FROM c),
+      |iv AS (SELECT user_id, grp, event_type AS state,
+      |    min(tss) AS valid_from, count(*) AS n_events
+      |  FROM g GROUP BY user_id, grp, event_type),
+      |v AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+      |    ORDER BY grp) AS valid_to FROM iv)
+      |SELECT user_id, state, valid_from, n_events FROM v
+      |WHERE valid_from <= TIMESTAMP '$PitTs'
+      |  AND (valid_to > TIMESTAMP '$PitTs' OR valid_to IS NULL)
+      |ORDER BY user_id""".stripMargin
 }

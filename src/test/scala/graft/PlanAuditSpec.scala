@@ -458,6 +458,30 @@ class PlanAuditSpec extends SparkSpecBase {
       s"expected exactly 4 edge joins:\n$p")
   }
 
+  test("q_abc_class windows over the per-part aggregate, one fact scan") {
+    val p = plan("q_abc_class")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"ABC classification re-scans the fact table:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-part revenue lost map-side partials:\n$p")
+  }
+
+  test("q_equidepth_hist ranks two-phase: pid windows + broadcast joins") {
+    val p = plan("q_equidepth_hist")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(_.contains("pid")),
+      s"per-bucket rank window lost its pid partition spec:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"offset/position joins are not broadcast:\n$p")
+  }
+
+  test("q_scd2_pit keeps every window partitioned on user_id") {
+    val p = plan("q_scd2_pit")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
+      s"SCD2 interval windows lost their user partition spec:\n$p")
+  }
+
   test("q_search_qld stays term-filtered: no corpus-wide posting join") {
     val p = plan("q_search_qld")
     assert(p.contains("BroadcastHashJoin")
