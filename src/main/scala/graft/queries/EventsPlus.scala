@@ -1500,4 +1500,45 @@ object EventsPlus {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |    AS cum_users
       |FROM ad LEFT JOIN nd USING (day) ORDER BY day""".stripMargin
+
+  /** Week-over-week growth per event type — the weekly growth-rate
+    * readout next to [[qEvtLifecycle]]'s daily decomposition and
+    * [[qBrandTrend]]'s OLS trend: weekly counts, previous week, and the
+    * growth rate as exact integer ppm (Δ·10⁶ div prev — NULL for each
+    * type's first week). The lag window runs over the bounded
+    * type×week grid, never events. */
+  def qEvtWow(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy("wk")
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag("n", 1).over(byType))
+      // negative growth: Spark `div` truncates toward zero but DuckDB
+      // `//` floors, so negative deltas route through an explicit
+      // sign-split (floor ≡ trunc on the positive magnitude) — both
+      // engines then truncate identically
+      .select(col("event_type"), col("wk"), col("n"), col("prev_n"),
+        expr("""CASE WHEN prev_n IS NULL THEN NULL
+                WHEN n >= prev_n THEN (n - prev_n) * 1000000 div prev_n
+                ELSE -((prev_n - n) * 1000000 div prev_n)
+                END""").as("wow_growth_ppm"))
+      .orderBy("event_type", "wk")
+  }
+
+  val qEvtWowSql: String =
+    """WITH w AS (SELECT event_type,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT event_type, wk, n,
+      |    lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+      |  FROM w)
+      |SELECT event_type, wk, CAST(n AS BIGINT) AS n,
+      |  CAST(prev_n AS BIGINT) AS prev_n,
+      |  CAST(CASE WHEN prev_n IS NULL THEN NULL
+      |    WHEN n >= prev_n THEN (n - prev_n) * 1000000 // prev_n
+      |    ELSE -((prev_n - n) * 1000000 // prev_n)
+      |    END AS BIGINT) AS wow_growth_ppm
+      |FROM g ORDER BY event_type, wk""".stripMargin
 }

@@ -182,6 +182,33 @@ object PipelineExtra {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** K-fold cross-validation assignment audit (k = 5): folds from the
+    * SAME content-hash bucketing as [[qSplitTrain]] (stable under
+    * re-shuffles and re-ingests — a row-number fold would reassign docs
+    * whenever upstream order changes), with per-fold size and language
+    * coverage so a skewed fold is caught before training. One narrow
+    * hash pass + a 5-key aggregate.
+    */
+  def qKfold(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("fold", Tables.md5Bucket(col("text")) % 5)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("fold")
+
+  val qKfoldSql: String =
+    """WITH f AS (SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(text), 1, 15))::BIGINT % 5 AS BIGINT)
+      |      AS fold
+      |  FROM documents)
+      |SELECT fold, count(*) AS n_docs,
+      |  count(DISTINCT lang) AS n_langs,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+      |  CAST(max(doc_id) AS BIGINT) AS max_doc
+      |FROM f GROUP BY fold ORDER BY fold""".stripMargin
+
   // ─────────────── cross-source contamination check ───────────────
 
   /** Benchmark-contamination scan: winnowing fingerprints (min-md5 over

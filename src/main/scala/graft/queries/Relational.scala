@@ -327,6 +327,49 @@ object Relational {
       |  ON c.user_id = p.puser AND p.pts <= c.cts
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  /** FORWARD keyed as-of join — every click looks up the same user's
+    * EARLIEST subsequent purchase (time-to-conversion, the mirror of
+    * [[qJoinAsofExec]]'s latest-prior attribution) — implemented by
+    * COMPOSING the existing backward [[graft.plans.AsofJoinExec]] under
+    * time negation: the latest −pts ≤ −cts is exactly the earliest
+    * pts ≥ cts, so the custom operator needs no direction flag and both
+    * directions share one physical implementation (same one-shuffle +
+    * O(1)-state two-pointer merge). Oracle: DuckDB's native forward
+    * ASOF (`p.pts >= c.cts`) — two independent engines, one answer.
+    */
+  def qJoinAsofFwd(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("cts_us"))
+      .withColumn("nct", -col("cts_us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("puser"),
+        unix_micros(col("ts")).as("pts_us"))
+      .agg(max("event_id").as("pid"))
+      .withColumn("npt", -col("pts_us"))
+    val j = graft.plans.AsofOps.join(clicks, purch,
+      clicks("user_id"), purch("puser"), clicks("nct"), purch("npt"))
+    j.groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        count(col("pid")).as("n_next"),
+        max(expr("(pts_us - cts_us) div 1000000")).as("max_wait_s"))
+      .orderBy("user_id")
+  }
+
+  val qJoinAsofFwdSql: String =
+    """WITH clicks AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP)
+      |    AS cts FROM events WHERE event_type = 'click'),
+      |purch AS (SELECT user_id AS puser, CAST(ts AS TIMESTAMP) AS pts,
+      |    max(event_id) AS pid
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.user_id, count(*) AS n_clicks, count(p.pid) AS n_next,
+      |  CAST(max((epoch_us(p.pts) - epoch_us(c.cts)) // 1000000)
+      |    AS BIGINT) AS max_wait_s
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.puser AND p.pts >= c.cts
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   /** TPC-H Q5-shaped 5-way star join. Dims broadcast; the two fact tables
     * meet in one shuffle on orderkey. */
   def qJoinMultiway(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1084,6 +1084,54 @@ object RelationalExtra {
       |FROM y WHERE q1 > 0 AND q2 > 0
       |ORDER BY p_brand""".stripMargin
 
+  // ───────── repeat-customer rate (round 7, wave 3) ─────────
+
+  /** Repeat-customer audit: how many customers ordered 2+ times, and
+    * what share of customers/orders/revenue the repeat cohort carries —
+    * the retention-economics headline next to [[q_cohort_ltv]]'s curve.
+    * One per-customer aggregate → one 1-row conditional rollup; every
+    * share is exact integer ppm over exact cents/counts. */
+  def qRepeatRate(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+        sum("n").as("n_orders"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L))
+          .as("repeat_orders"),
+        sum("rev").as("rev_cents"),
+        sum(when(col("n") >= 2, col("rev")).otherwise(0L))
+          .as("repeat_rev_cents"))
+      .select(col("n_customers"), col("n_repeat"),
+        expr("n_repeat * 1000000 div n_customers").as("repeat_cust_ppm"),
+        expr("repeat_orders * 1000000 div n_orders").as("repeat_order_ppm"),
+        expr("CAST(repeat_rev_cents AS DECIMAL(19,0)) * 1000000" +
+          " div rev_cents").as("repeat_rev_ppm"))
+      .orderBy("n_customers")
+
+  val qRepeatRateSql: String =
+    """WITH pc AS (SELECT o_custkey, count(*) AS n,
+      |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev
+      |  FROM orders GROUP BY o_custkey),
+      |a AS (SELECT count(*) AS n_customers,
+      |    sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_repeat,
+      |    sum(n) AS n_orders,
+      |    sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS repeat_orders,
+      |    sum(rev) AS rev_cents,
+      |    sum(CASE WHEN n >= 2 THEN rev ELSE 0 END) AS repeat_rev_cents
+      |  FROM pc)
+      |SELECT CAST(n_customers AS BIGINT) AS n_customers,
+      |  CAST(n_repeat AS BIGINT) AS n_repeat,
+      |  CAST(n_repeat * 1000000 // n_customers AS BIGINT)
+      |    AS repeat_cust_ppm,
+      |  CAST(repeat_orders * 1000000 // n_orders AS BIGINT)
+      |    AS repeat_order_ppm,
+      |  CAST(repeat_rev_cents * 1000000 // rev_cents AS BIGINT)
+      |    AS repeat_rev_ppm
+      |FROM a ORDER BY n_customers""".stripMargin
+
   // ───────── equi-depth histogram boundaries (round 7, wave 2) ─────────
 
   /** Equi-depth decile boundaries of o_totalprice — the optimizer-

@@ -568,4 +568,76 @@ object Streams {
     } finally q.stop()
     spark.table("s_stream_index").orderBy("term")
     }
+
+  /** Streaming 1h/15min SLIDING windows + watermark, append mode — the
+    * streaming twin of the batch q_evt_sliding: each event lands in its
+    * 4 containing slide buckets; the sentinel advances the watermark so
+    * append emits every real window (sentinel windows at 2030 filtered
+    * by the 2029 fence). Oracle: the batch slide-bucket expansion over
+    * the same events. */
+  def sStreamSliding(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
+    val stream = newStream(spark)
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .select(col("window.start").as("win_start"), col("n"), col("total"))
+      .writeStream.option("checkpointLocation", ckpt())
+      .format("memory").queryName("s_stream_sliding")
+      .outputMode("append").start()
+    try {
+      stream.addData(eventRows(spark, sfDir).toSeq :+
+        Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("s_stream_sliding")
+      .filter(col("win_start") < lit("2029-01-01").cast("timestamp"))
+      .orderBy("win_start")
+    }
+
+  val sStreamSlidingSql: String =
+    """SELECT CAST(to_timestamp(
+      |    floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 - k * 900)
+      |    AS TIMESTAMP) AS win_start,
+      |  count(*) AS n, round(sum(value), 4) AS total
+      |FROM events, unnest(generate_series(0, 3)) AS t(k)
+      |GROUP BY win_start ORDER BY win_start""".stripMargin
+
+  /** COMPLETE-mode streaming aggregation: running per-type totals with
+    * the memory sink replaced every trigger — the live-dashboard output
+    * mode (append emits only closed windows; complete re-emits the
+    * whole result). Fed in two batches so the final table PROVES state
+    * carried across triggers; after the last trigger it must equal the
+    * batch group-by exactly. */
+  def sStreamComplete(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
+    val rows = eventRows(spark, sfDir)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val stream = newStream(spark)
+    // totals in exact integer CENTS (the qUpsertLatest discipline): a
+    // complete-mode float sum accumulates across micro-batch state in a
+    // different order than the oracle's single pass, and per-type sums
+    // here are large enough to brush the round(4) grid
+    val q = stream.toDF()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("total_cents"))
+      .writeStream.option("checkpointLocation", ckpt())
+      .format("memory").queryName("s_stream_complete")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("s_stream_complete").orderBy("event_type")
+    }
+
+  val sStreamCompleteSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -482,6 +482,14 @@ class PlanAuditSpec extends SparkSpecBase {
       s"SCD2 interval windows lost their user partition spec:\n$p")
   }
 
+  test("q_join_asof_fwd runs on the custom AsofJoin operator") {
+    val p = plan("q_join_asof_fwd")
+    assert(p.contains("AsofJoin "),
+      s"forward as-of did not compile to AsofJoinExec:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"forward as-of regressed to a generic join:\n$p")
+  }
+
   test("q_search_qld stays term-filtered: no corpus-wide posting join") {
     val p = plan("q_search_qld")
     assert(p.contains("BroadcastHashJoin")

@@ -126,4 +126,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(diff == 0,
       "post-last-batch streaming index differs from the batch build")
   }
+
+  test("streaming sliding windows match the batch slide-bucket expansion") {
+    val streamed = streaming.Streams.sStreamSliding(spark, sf)
+      .select("win_start", "n")
+    val batch = queries.Events.qEvtSliding(spark, sf)
+      .select("win_start", "n")
+    val diff = streamed.except(batch).count() + batch.except(streamed).count()
+    assert(diff == 0, "sliding stream diverged from the batch expansion")
+  }
+
+  test("complete-mode totals carry state across the two feed batches") {
+    val streamed = streaming.Streams.sStreamComplete(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("total_cents"))
+    val diff = streamed.except(batch).count() + batch.except(streamed).count()
+    assert(diff == 0,
+      "complete-mode final table differs from the batch aggregate")
+  }
 }
