@@ -1541,4 +1541,149 @@ object EventsPlus {
       |    ELSE -((prev_n - n) * 1000000 // prev_n)
       |    END AS BIGINT) AS wow_growth_ppm
       |FROM g ORDER BY event_type, wk""".stripMargin
+
+  // ───────── windowed funnel levels (round 7, wave 4) ─────────
+
+  /** Funnel window, µs (24 h — measured to populate all three levels
+    * at sf0.01). */
+  private val FunnelWinUs = 86400000000L
+
+  /** Windowed funnel levels (the ClickHouse `windowFunnel` shape):
+    * signup → click → purchase, each step strictly after the previous
+    * and ALL inside [[FunnelWinUs]] of the user's FIRST signup; the
+    * output is the user count per deepest-reached level (0 = never
+    * signed up). Levels chain as three per-user conditional MIN
+    * aggregates with the previous level's timestamp joined back — one
+    * user-keyed shuffle per step, no per-user sequence scan, exact µs
+    * ints throughout. Complements q_evt_funnel (unwindowed 2-step) and
+    * q_evt_funnel_time (latency of converters).
+    */
+  def qFunnelK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+    val u = e.select("user_id").distinct()
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tu").as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("tu") >= col("t1") &&
+        col("tu") <= col("t1") + FunnelWinUs)
+      .groupBy("user_id").agg(min("tu").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t1, "user_id").join(t2, "user_id")
+      .filter(col("tu") >= col("t2") &&
+        col("tu") <= col("t1") + FunnelWinUs)
+      .groupBy("user_id").agg(min("tu").as("t3"))
+    u.join(t1.select(col("user_id"), lit(1).as("l1")), Seq("user_id"), "left")
+      .join(t2.select(col("user_id"), lit(1).as("l2")), Seq("user_id"), "left")
+      .join(t3.select(col("user_id"), lit(1).as("l3")), Seq("user_id"), "left")
+      .select(when(col("l3").isNotNull, 3L)
+        .when(col("l2").isNotNull, 2L)
+        .when(col("l1").isNotNull, 1L).otherwise(0L).as("level"))
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+      .orderBy("level")
+  }
+
+  val qFunnelKSql: String =
+    s"""WITH e AS (SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |t1 AS (SELECT user_id, min(tu) AS t1 FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN t1 USING (user_id)
+      |  WHERE event_type = 'click' AND tu >= t1.t1
+      |    AND tu <= t1.t1 + $FunnelWinUs GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(tu) AS t3 FROM e
+      |  JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND tu >= t2.t2
+      |    AND tu <= t1.t1 + $FunnelWinUs GROUP BY e.user_id),
+      |lv AS (SELECT u.user_id,
+      |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+      |         WHEN t2.user_id IS NOT NULL THEN 2
+      |         WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+      |  FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+      |  LEFT JOIN t2 ON u.user_id = t2.user_id
+      |  LEFT JOIN t3 ON u.user_id = t3.user_id)
+      |SELECT CAST(level AS BIGINT) AS level, count(*) AS n_users
+      |FROM lv GROUP BY level ORDER BY level""".stripMargin
+
+  // ───────── event-sequence pattern match (round 7, wave 4) ─────────
+
+  /** Per-user event-sequence pattern match (the ClickHouse
+    * `sequenceMatch` shape): each user's time-ordered event-type
+    * initials collapse to one string, then subsequence patterns match
+    * with LIKE — view-then-later-purchase and the full
+    * signup→view→purchase arc. The ordered collapse is a sort_array
+    * over (tu, event_id, initial) structs gathered per user (event_id
+    * makes the order total), so the string is identical to the
+    * oracle's ORDER BY string_agg; per-user sequences are session-
+    * sized, never corpus-sized. */
+  def qSeqMatch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy("user_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(tu, event_id, ini)))," +
+          " x -> x.ini)"), "").as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).cast("long").as("seq_len"),
+        col("seq").like("%v%p%").cast("long").as("view_then_purchase"),
+        col("seq").like("%s%v%p%").cast("long").as("signup_view_purchase"))
+      .orderBy("user_id")
+
+  val qSeqMatchSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+      |    event_id, substr(event_type, 1, 1) AS ini FROM events),
+      |s AS (SELECT user_id, string_agg(ini, '' ORDER BY tu, event_id)
+      |    AS seq FROM e GROUP BY user_id)
+      |SELECT user_id, CAST(len(seq) AS BIGINT) AS seq_len,
+      |  CAST(CASE WHEN seq LIKE '%v%p%' THEN 1 ELSE 0 END AS BIGINT)
+      |    AS view_then_purchase,
+      |  CAST(CASE WHEN seq LIKE '%s%v%p%' THEN 1 ELSE 0 END AS BIGINT)
+      |    AS signup_view_purchase
+      |FROM s ORDER BY user_id""".stripMargin
+
+  // ───────── activity-segment migration (round 7, wave 4) ─────────
+
+  /** Activity-segment migration matrix between the window's two halves
+    * (split at 2024-01-16, the data midpoint at every SF): users
+    * segment by per-half event count (none / light < 33 / heavy ≥ 33 —
+    * the per-user half-month mean is ≈33 at every SF since users and
+    * events scale together) and the matrix counts users per
+    * (first-half, second-half) segment pair — the customer-base
+    * dynamics view behind churn/upgrade alarms, complementing
+    * [[qEvtLifecycle]] (daily) and [[qRfm]] (static segments). One
+    * conditional per-user aggregate + a ≤9-key rollup.
+    */
+  def qRfmShift(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    def seg(c: org.apache.spark.sql.Column) =
+      when(c === 0, "none").when(c < 33, "light").otherwise("heavy")
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n2"))
+      .select(seg(col("n1")).as("seg_h1"), seg(col("n2")).as("seg_h2"))
+      .groupBy("seg_h1", "seg_h2").agg(count(lit(1)).as("n_users"))
+      .orderBy("seg_h1", "seg_h2")
+  }
+
+  val qRfmShiftSql: String =
+    """WITH h AS (SELECT user_id,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+      |      AS n1,
+      |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+      |      AS n2
+      |  FROM events GROUP BY user_id),
+      |seg AS (SELECT
+      |    CASE WHEN n1 = 0 THEN 'none' WHEN n1 < 33 THEN 'light'
+      |      ELSE 'heavy' END AS seg_h1,
+      |    CASE WHEN n2 = 0 THEN 'none' WHEN n2 < 33 THEN 'light'
+      |      ELSE 'heavy' END AS seg_h2
+      |  FROM h)
+      |SELECT seg_h1, seg_h2, count(*) AS n_users
+      |FROM seg GROUP BY seg_h1, seg_h2 ORDER BY seg_h1, seg_h2""".stripMargin
 }

@@ -718,4 +718,53 @@ object PipelineAudit {
       |  CAST(n * 1000000 // total - floor(log10(1.0 + 1.0 / digit) * 1e6)
       |    AS BIGINT) AS dev_ppm
       |FROM w ORDER BY digit""".stripMargin
+
+  // ───────── Welch two-sample t-test (round 7, wave 4) ─────────
+
+  /** Welch's unequal-variance two-sample t-test between the click and
+    * purchase `value` distributions — the parametric location test
+    * completing the drift kit's trio: [[qStatsMannWhitney]] (rank),
+    * [[qStatsKs]] (ECDF), and now the mean test with the
+    * Welch–Satterthwaite df. All inputs are single-pass mergeable
+    * conditional co-moment aggregates (avg / var_samp over a CASE —
+    * the q_corr_stats precedent for cross-engine stable moments at
+    * round(4)); t and df are one fixed-association double expression
+    * each.
+    */
+  def qStatsWelch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        avg(when(col("event_type") === "click", col("value"))).as("m1"),
+        expr("var_samp(CASE WHEN event_type = 'click' THEN value END)")
+          .as("v1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n2"),
+        avg(when(col("event_type") === "purchase", col("value"))).as("m2"),
+        expr("var_samp(CASE WHEN event_type = 'purchase' THEN value END)")
+          .as("v2"))
+      .select(col("n1").as("n_click"), col("n2").as("n_purchase"),
+        round(col("m1") - col("m2"), 4).as("mean_diff"),
+        expr("round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4)").as("t_stat"),
+        expr("round(pow(v1/n1 + v2/n2, 2) / (pow(v1/n1, 2) / (n1 - 1)" +
+          " + pow(v2/n2, 2) / (n2 - 1)), 4)").as("df"))
+      .orderBy("n_click")
+
+  val qStatsWelchSql: String =
+    """WITH a AS (SELECT
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+      |    avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
+      |    var_samp(CASE WHEN event_type = 'click' THEN value END) AS v1,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+      |    avg(CASE WHEN event_type = 'purchase' THEN value END) AS m2,
+      |    var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v2
+      |  FROM events WHERE event_type IN ('click', 'purchase'))
+      |SELECT CAST(n1 AS BIGINT) AS n_click,
+      |  CAST(n2 AS BIGINT) AS n_purchase,
+      |  round(m1 - m2, 4) AS mean_diff,
+      |  round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) AS t_stat,
+      |  round(pow(v1/n1 + v2/n2, 2) / (pow(v1/n1, 2) / (n1 - 1)
+      |    + pow(v2/n2, 2) / (n2 - 1)), 4) AS df
+      |FROM a ORDER BY n_click""".stripMargin
 }

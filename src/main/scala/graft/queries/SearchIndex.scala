@@ -250,4 +250,52 @@ object SearchIndex {
       |SELECT kgram, CAST(count(*) AS BIGINT) AS n_terms,
       |  md5(array_to_string(list(term ORDER BY term), ',')) AS terms_md5
       |FROM kg GROUP BY kgram ORDER BY kgram""".stripMargin
+
+  // ───────── spell correction / did-you-mean (round 7, wave 4) ─────────
+
+  /** The misspelled query and its 2-grams (a 'spark' transposition). */
+  private val Misspell = "spakr"
+  private val MisspellGrams = Seq("sp", "pa", "ak", "kr")
+
+  /** "Did you mean" spell correction for a misspelled query term: the
+    * [[qKgramIndex]] retrieval recipe — candidate terms must share ≥1
+    * character 2-gram with the query (the index lookup that avoids an
+    * all-vocab edit-distance scan at real vocabulary sizes), then
+    * levenshtein ≤ 2 verifies, and candidates rank by (distance,
+    * corpus frequency desc, term). Both engines implement levenshtein
+    * identically (unit-cost DP). Everything is vocabulary-bounded; the
+    * corpus is touched once for term frequencies.
+    */
+  def qSpellCorrect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.tokens(spark, sfDir)
+      .groupBy("term").agg(count(lit(1)).as("ctf"))
+      .filter(length(col("term")) >= 2)
+      .withColumn("grams", expr(
+        "transform(sequence(1, length(term) - 1)," +
+          " i -> substring(term, i, 2))"))
+      .filter(arrays_overlap(col("grams"),
+        typedLit(MisspellGrams)))
+      .withColumn("dist", levenshtein(col("term"), lit(Misspell)))
+      .filter(col("dist") <= 2)
+      .select(col("term"), col("dist").cast("long").as("dist"), col("ctf"))
+      .orderBy(asc("dist"), desc("ctf"), asc("term"))
+      .limit(5)
+
+  val qSpellCorrectSql: String = {
+    val grams = MisspellGrams.map(g => s"'$g'").mkString(", ")
+    s"""WITH vocab AS (SELECT term, count(*) AS ctf
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY term),
+      |kg AS (SELECT term, ctf FROM vocab WHERE len(term) >= 2
+      |  AND len(list_intersect(
+      |    [substr(term, CAST(i AS INTEGER), 2)
+      |     FOR i IN range(1, CAST(len(term) AS INTEGER))],
+      |    [$grams])) > 0),
+      |c AS (SELECT term, ctf, levenshtein(term, '$Misspell') AS dist
+      |  FROM kg WHERE levenshtein(term, '$Misspell') <= 2)
+      |SELECT term, CAST(dist AS BIGINT) AS dist, CAST(ctf AS BIGINT)
+      |    AS ctf
+      |FROM c ORDER BY dist, ctf DESC, term LIMIT 5""".stripMargin
+  }
 }

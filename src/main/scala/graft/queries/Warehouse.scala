@@ -545,4 +545,72 @@ object Warehouse {
       |WHERE valid_from <= TIMESTAMP '$PitTs'
       |  AND (valid_to > TIMESTAMP '$PitTs' OR valid_to IS NULL)
       |ORDER BY user_id""".stripMargin
+
+  // ───────── declarative data-quality rule audit (round 7, wave 4) ─────────
+
+  /** Declarative data-quality rule audit over orders — the dbt-test /
+    * Great-Expectations gate as one engine operator: five single-pass
+    * rules (positivity, date range, enum domain, key uniqueness,
+    * not-null) evaluate in ONE conditional aggregate over the fact
+    * table, plus one referential rule (custkey → customer) as a left
+    * join audit — per rule: rows checked, violations. Zero violations
+    * on this feed is the expected steady state; the operator's value
+    * is the gate itself. Scale: one scan + one broadcast-able FK join.
+    */
+  def qDqRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.t(spark, sfDir, "orders")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("r1"),
+        sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp")
+          || col("o_orderdate") > lit("2030-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("r2"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("r3"),
+        (count(lit(1)) - countDistinct("o_orderkey")).as("r4"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("r5"))
+    val fk = Tables.t(spark, sfDir, "orders").select("o_custkey")
+      .join(Tables.t(spark, sfDir, "customer").select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v"))
+    def rule(name: String, src: DataFrame, vcol: String): DataFrame =
+      src.select(lit(name).as("rule"), col("n").as("n_checked"),
+        col(vcol).as("n_violations"))
+    rule("totalprice_positive", base, "r1")
+      .unionAll(rule("orderdate_in_range", base, "r2"))
+      .unionAll(rule("orderstatus_domain", base, "r3"))
+      .unionAll(rule("orderkey_unique", base, "r4"))
+      .unionAll(rule("custkey_not_null", base, "r5"))
+      .unionAll(rule("custkey_fk_customer", fk, "v"))
+      .orderBy("rule")
+  }
+
+  val qDqRulesSql: String =
+    """WITH base AS (SELECT count(*) AS n,
+      |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS r1,
+      |    sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+      |      OR o_orderdate > TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END)
+      |      AS r2,
+      |    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+      |      THEN 1 ELSE 0 END) AS r3,
+      |    count(*) - count(DISTINCT o_orderkey) AS r4,
+      |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS r5
+      |  FROM orders),
+      |fk AS (SELECT count(*) AS n,
+      |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT * FROM (
+      |  SELECT 'totalprice_positive' AS rule, CAST(n AS BIGINT)
+      |      AS n_checked, CAST(r1 AS BIGINT) AS n_violations FROM base
+      |  UNION ALL SELECT 'orderdate_in_range', n, CAST(r2 AS BIGINT)
+      |    FROM base
+      |  UNION ALL SELECT 'orderstatus_domain', n, CAST(r3 AS BIGINT)
+      |    FROM base
+      |  UNION ALL SELECT 'orderkey_unique', n, CAST(r4 AS BIGINT)
+      |    FROM base
+      |  UNION ALL SELECT 'custkey_not_null', n, CAST(r5 AS BIGINT)
+      |    FROM base
+      |  UNION ALL SELECT 'custkey_fk_customer', CAST(n AS BIGINT),
+      |    CAST(v AS BIGINT) FROM fk
+      |) ORDER BY rule""".stripMargin
 }
