@@ -1686,4 +1686,102 @@ object EventsPlus {
       |  FROM h)
       |SELECT seg_h1, seg_h2, count(*) AS n_users
       |FROM seg GROUP BY seg_h1, seg_h2 ORDER BY seg_h1, seg_h2""".stripMargin
+
+  // ───────── audience overlap matrix (round 7, wave 5) ─────────
+
+  /** Audience-overlap (Jaccard) matrix between event types over the
+    * first three days — which behaviors share users, the audience-
+    * planning twin of [[qBasketLift]]'s item affinity (time-boxed
+    * because over the full window every user touches every type and
+    * the matrix saturates at 10⁶ ppm). The per-user type sets are ≤5
+    * rows each, so the self-join is ≤ C(5,2) pairs per user — linear
+    * in users, never |users|² — and the matrix is ≤ C(|types|,2) rows.
+    * Exact integer ppm.
+    */
+  def qAudienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = Tables.events(spark, sfDir)
+      .filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+      .select("user_id", "event_type").distinct()
+    val tot = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pair = ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pair
+      .join(broadcast(tot.select(col("event_type").as("type_a"),
+        col("n").as("na"))), "type_a")
+      .join(broadcast(tot.select(col("event_type").as("type_b"),
+        col("n").as("nb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        (col("na") + col("nb") - col("n_both")).as("n_union"),
+        expr("n_both * 1000000 div (na + nb - n_both)").as("jaccard_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val qAudienceOverlapSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-04'),
+      |tot AS (SELECT event_type, count(*) AS n FROM ut
+      |  GROUP BY event_type),
+      |pair AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+      |  CAST(ta.n + tb.n - p.n_both AS BIGINT) AS n_union,
+      |  CAST(p.n_both * 1000000 // (ta.n + tb.n - p.n_both) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM pair p JOIN tot ta ON p.type_a = ta.event_type
+      |  JOIN tot tb ON p.type_b = tb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
+  // ───────── session-duration profile (round 7, wave 5) ─────────
+
+  /** Session-duration band profile — the dashboard rollup over
+    * [[Events.qEvtSession]]'s raw sessions: sessions and events per
+    * fixed duration band (instant / ≤1m / 1–5m / 5–15m / 15–30m /
+    * >30m; the 30-min gap makes longer single sessions possible only
+    * via chained activity). Reuses the ONE shared sessionization;
+    * output is ≤6 exact-int rows.
+    */
+  def qSessionProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Events.sessionized(spark, sfDir)
+      .groupBy("user_id", "session_id")
+      .agg(expr("(max(ts_us) - min(ts_us)) div 1000000").as("dur"),
+        count(lit(1)).as("n"))
+      .select(when(col("dur") === 0, "0_single_instant")
+        .when(col("dur") <= 60, "1_under_1m")
+        .when(col("dur") <= 300, "2_1m_5m")
+        .when(col("dur") <= 900, "3_5m_15m")
+        .when(col("dur") <= 1800, "4_15m_30m")
+        .otherwise("5_over_30m").as("band"), col("n"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+      .orderBy("band")
+
+  val qSessionProfileSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |f AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+      |    OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS gap
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (SELECT user_id, CAST(sum(gap) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS BIGINT) AS sid, ts_us FROM f),
+      |ses AS (SELECT user_id, sid,
+      |    (max(ts_us) - min(ts_us)) // 1000000 AS dur, count(*) AS n
+      |  FROM s GROUP BY 1, 2),
+      |b AS (SELECT CASE WHEN dur = 0 THEN '0_single_instant'
+      |    WHEN dur <= 60 THEN '1_under_1m'
+      |    WHEN dur <= 300 THEN '2_1m_5m'
+      |    WHEN dur <= 900 THEN '3_5m_15m'
+      |    WHEN dur <= 1800 THEN '4_15m_30m'
+      |    ELSE '5_over_30m' END AS band, n FROM ses)
+      |SELECT band, count(*) AS n_sessions,
+      |  CAST(sum(n) AS BIGINT) AS n_events
+      |FROM b GROUP BY band ORDER BY band""".stripMargin
 }

@@ -343,4 +343,37 @@ object RelationalPlus {
         round(expr("approx_percentile(value, 0.9, 1000)"), 4).as("p90_approx"),
         round(expr("percentile(value, 0.9)"), 4).as("p90_exact"))
       .orderBy("event_type")
+
+  // ───────── null-safe equality join (round 7, wave 5) ─────────
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    * semantics where NULL keys MATCH each other instead of vanishing —
+    * what dedup/reconciliation joins over nullable business keys need
+    * (a plain `=` silently drops every NULL-keyed row). Keys are made
+    * nullable deterministically (BUILDING → NULL); the right side is
+    * the per-key count table, so the output proves the NULL group
+    * joined (one row per segment incl. the NULL one, with its matched
+    * right-side count). Spark's `<=>` hash-partitions NULL like any
+    * value — the join stays a broadcast/hash join, no special plan.
+    */
+  def qJoinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = t(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+    val b = a.groupBy(col("seg").as("rseg"))
+      .agg(count(lit(1)).as("n_right"))
+    a.join(broadcast(b), col("seg") <=> col("rseg"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_pairs"), max("n_right").as("n_right"))
+      .orderBy(asc_nulls_first("seg"))
+  }
+
+  val qJoinNullSafeSql: String =
+    """WITH a AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING')
+      |    AS seg FROM customer),
+      |b AS (SELECT seg AS rseg, count(*) AS n_right FROM a GROUP BY seg)
+      |SELECT a.seg, count(*) AS n_pairs,
+      |  CAST(max(b.n_right) AS BIGINT) AS n_right
+      |FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.rseg
+      |GROUP BY a.seg ORDER BY a.seg ASC NULLS FIRST""".stripMargin
 }
