@@ -493,4 +493,78 @@ object PipelineCurate {
       |  round(sum((csl / CAST(ns AS DOUBLE)) *
       |    ln((csl * nn) / CAST(ns * cl AS DOUBLE))), 4) AS kl
       |FROM w GROUP BY source ORDER BY source""".stripMargin
+
+  // ───────── lang × source association lift (round 7, wave 6) ─────────
+
+  /** Language × source association lift — observed/expected doc-count
+    * ratio in exact integer ppm (lift = n·N / (n_lang·n_source)): the
+    * corpus-composition dependence matrix behind sampling-plan design,
+    * the effect-size companion to the chi-square independence test.
+    * Windows run over the ≤|langs|×|sources| count grid; the N²·10⁶
+    * product is DECIMAL-widened (revE4). */
+  def qLangLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.t(spark, sfDir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    c.withColumn("nl", sum("n").over(Window.partitionBy("lang")))
+      .withColumn("ns", sum("n").over(Window.partitionBy("source")))
+      .withColumn("nn", sum("n").over(Window.partitionBy()))
+      .select(col("lang"), col("source"), col("n"),
+        expr("CAST(n AS DECIMAL(19,0)) * nn * 1000000 div (nl * ns)")
+          .as("lift_ppm"))
+      .orderBy("lang", "source")
+  }
+
+  val qLangLiftSql: String =
+    """WITH c AS (SELECT lang, source, count(*) AS n FROM documents
+      |  GROUP BY 1, 2),
+      |m AS (SELECT c.lang, c.source, c.n,
+      |    sum(n) OVER (PARTITION BY lang) AS nl,
+      |    sum(n) OVER (PARTITION BY source) AS ns,
+      |    sum(n) OVER () AS nn
+      |  FROM c)
+      |SELECT lang, source, CAST(n AS BIGINT) AS n,
+      |  CAST(n * nn * 1000000 // (nl * ns) AS BIGINT) AS lift_ppm
+      |FROM m ORDER BY lang, source""".stripMargin
+
+  // ───────── recency-decay curriculum sampling (round 7, wave 6) ─────────
+
+  /** Recency-weighted deterministic sampling — the curriculum /
+    * freshness-bias sampler: keep probability halves per week of age
+    * (1000 → 500 → 250 → 125 → 62 ppt, an exact INTEGER lookup — a
+    * pow(2, −age/7) double would differ in the last ulp between
+    * Math.pow and libm and flip hash-threshold rows), decided by the
+    * [[qSplitTrain]] content-hash convention on event_id so the sample
+    * is reproducible under re-shuffles. Output: per age week, kept vs
+    * total. One narrow pass + bounded-key aggregate.
+    */
+  def qDecaySample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        expr("datediff(DATE '2024-01-31', CAST(ts AS DATE)) div 7")
+          .as("age_wk"),
+        (Tables.md5Bucket(col("event_id").cast("string")) % 1000).as("h"))
+      .withColumn("keep_ppt",
+        expr("""CAST(CASE age_wk WHEN 0 THEN 1000 WHEN 1 THEN 500
+                WHEN 2 THEN 250 WHEN 3 THEN 125 ELSE 62 END AS BIGINT)"""))
+      .groupBy("age_wk")
+      .agg(max("keep_ppt").as("keep_ppt"), count(lit(1)).as("n_events"),
+        sum(when(col("h") < col("keep_ppt"), 1L).otherwise(0L))
+          .as("n_sampled"))
+      .orderBy("age_wk")
+
+  val qDecaySampleSql: String =
+    """WITH e AS (SELECT event_id,
+      |    CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') // 7
+      |      AS BIGINT) AS age_wk,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 1000 AS BIGINT) AS h
+      |  FROM events),
+      |w AS (SELECT *, CASE age_wk WHEN 0 THEN 1000 WHEN 1 THEN 500
+      |    WHEN 2 THEN 250 WHEN 3 THEN 125 ELSE 62 END AS keep_ppt
+      |  FROM e)
+      |SELECT age_wk, CAST(max(keep_ppt) AS BIGINT) AS keep_ppt,
+      |  count(*) AS n_events,
+      |  CAST(sum(CASE WHEN h < keep_ppt THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled
+      |FROM w GROUP BY age_wk ORDER BY age_wk""".stripMargin
 }

@@ -616,4 +616,32 @@ object PipelineML {
       |  CAST(label AS BIGINT) AS top_label, nl AS top_n,
       |  round(nl / CAST(n AS DOUBLE), 4) AS purity
       |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin
+
+  // ───────── per-dimension embedding variance (round 7, wave 6) ─────────
+
+  /** Per-dimension mean/variance profile of the embedding space — the
+    * PCA-prep and dead-dimension audit (a near-zero-variance dimension
+    * carries no signal and wastes index bits). posexplode keeps the
+    * 1-based dim id; FLOAT widens to DOUBLE before the moments (rule
+    * C); var_samp is the q_corr_stats single-pass mergeable co-moment
+    * precedent at round(4). Output: 64 rows regardless of corpus size.
+    */
+  def qEmbedDimVar(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("p", "v")))
+      .select((col("p") + 1).cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(round(avg("v"), 4).as("mean"),
+        round(expr("var_samp(v)"), 4).as("variance"))
+      .orderBy("dim")
+
+  val qEmbedDimVarSql: String =
+    """SELECT CAST(i AS BIGINT) AS dim,
+      |  round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 4)
+      |    AS mean,
+      |  round(var_samp(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 4)
+      |    AS variance
+      |FROM embeddings, unnest(generate_series(1, 64)) t(i)
+      |GROUP BY i ORDER BY dim""".stripMargin
 }
