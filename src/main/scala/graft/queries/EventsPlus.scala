@@ -1784,4 +1784,45 @@ object EventsPlus {
       |SELECT band, count(*) AS n_sessions,
       |  CAST(sum(n) AS BIGINT) AS n_events
       |FROM b GROUP BY band ORDER BY band""".stripMargin
+
+  // ───────── per-user ML feature assembly (round 7, wave 7) ─────────
+
+  /** Per-user feature-store assembly — the ONE-pass wide feature table
+    * a churn/propensity model trains on: activity volume, behavioral
+    * breadth, monetary value (exact cents), purchase count, tenure and
+    * recency (days vs the fixed window end 2024-01-31), and distinct
+    * active days. Every feature is an exact-int conditional aggregate
+    * in a SINGLE per-user pass (one shuffle; the assembly shape that
+    * matters at 100 TB is precisely "don't make one pass per
+    * feature"). */
+  def qUserFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("ts").cast("date").as("d"), col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("event_type").as("n_types"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        expr("(max(tu) - min(tu)) div 86400000000").as("tenure_days"),
+        expr(s"(unix_micros(TIMESTAMP'2024-01-31 00:00:00') - max(tu))" +
+          " div 86400000000").as("recency_days"),
+        countDistinct("d").as("active_days"))
+      .orderBy("user_id")
+
+  val qUserFeaturesSql: String =
+    """WITH s AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+      |    CAST(ts AS DATE) AS d, event_type, value FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  count(DISTINCT event_type) AS n_types,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases,
+      |  (max(tu) - min(tu)) // 86400000000 AS tenure_days,
+      |  (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - max(tu))
+      |    // 86400000000 AS recency_days,
+      |  count(DISTINCT d) AS active_days
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -552,6 +552,50 @@ object PipelineCurate {
           .as("n_sampled"))
       .orderBy("age_wk")
 
+  /** Corpus conditional bigram entropy H(w₂|w₁) and its perplexity —
+    * the order-1 language-model floor: how predictable the next token
+    * is given the previous one, THE corpus statistic behind LM
+    * perplexity expectations and compression bounds (complements
+    * [[qNgramLm]]'s per-sequence scoring with the corpus-level rate).
+    * Bigrams expand in-row via the shared [[Tables.bigramsArr]] zip
+    * (no self-join); the entropy sum runs over the ≤vocab²-bounded
+    * bigram grid (916 cells here — the q_source_mix_kl precedent for
+    * grid-bounded ln sums at round(4)), with ONE final division and
+    * exp. */
+  def qBigramEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.t(spark, sfDir, "documents")
+      .select(explode(Tables.bigramsArr(split(col("text"), " "))(
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val n1 = bg.groupBy("w1").agg(sum("c").as("n1"))
+    bg.join(n1, "w1")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_bigrams"),
+        sum(col("c") * log(col("c") / col("n1").cast("double"))).as("s"))
+      .select(col("n").as("n_tokens_bg"),
+        col("n_bigrams").as("distinct_bigrams"),
+        round(-col("s") / col("n"), 4).as("cond_entropy_nats"),
+        round(exp(-col("s") / col("n")), 4).as("perplexity"))
+      .orderBy("n_tokens_bg")
+  }
+
+  val qBigramEntropySql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr
+      |  FROM documents),
+      |bg AS (SELECT arr[CAST(i AS INTEGER)] AS w1,
+      |    arr[CAST(i AS INTEGER) + 1] AS w2
+      |  FROM tok, unnest(generate_series(1, len(arr) - 1)) t(i)),
+      |c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c) AS n1 FROM c12 GROUP BY w1),
+      |a AS (SELECT sum(c) AS n, count(*) AS n_bigrams,
+      |    sum(c * ln(c / CAST(n1 AS DOUBLE))) AS s
+      |  FROM c12 JOIN c1 USING (w1))
+      |SELECT CAST(n AS BIGINT) AS n_tokens_bg,
+      |  CAST(n_bigrams AS BIGINT) AS distinct_bigrams,
+      |  round(-s / n, 4) AS cond_entropy_nats,
+      |  round(exp(-s / n), 4) AS perplexity
+      |FROM a ORDER BY n_tokens_bg""".stripMargin
+
   val qDecaySampleSql: String =
     """WITH e AS (SELECT event_id,
       |    CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') // 7

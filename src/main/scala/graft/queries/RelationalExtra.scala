@@ -1084,6 +1084,42 @@ object RelationalExtra {
       |FROM y WHERE q1 > 0 AND q2 > 0
       |ORDER BY p_brand""".stripMargin
 
+  // ───────── calendar-month order seasonality (round 7, wave 7) ─────────
+
+  /** Month-of-year order seasonality — the warehouse-side twin of
+    * q_evt_seasonality's hour-of-day profile: per calendar month
+    * (pooled across years), total orders, the peak month (argmax count,
+    * min-month tiebreak — exact ints via the same min-struct trick),
+    * its ppm share, and active-month coverage. One bounded 12-key
+    * aggregate; no window.
+    */
+  def qOrderSeasonality(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("n_orders"),
+        max(struct(col("cnt"), (-col("mo")).as("nm"))).as("pk"),
+        count(lit(1)).as("n_active_months"))
+      .select(col("n_orders"),
+        (-col("pk.nm")).cast("long").as("peak_month"),
+        col("pk.cnt").as("peak_cnt"),
+        expr("CAST(pk.cnt * 1000000 div n_orders AS BIGINT)")
+          .as("peak_share_ppm"),
+        col("n_active_months"))
+      .orderBy("n_orders")
+
+  val qOrderSeasonalitySql: String =
+    """WITH m AS (SELECT month(o_orderdate) AS mo, count(*) AS cnt
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT sum(cnt) AS n, count(*) AS nm FROM m),
+      |pk AS (SELECT mo, cnt FROM m ORDER BY cnt DESC, mo LIMIT 1)
+      |SELECT CAST(a.n AS BIGINT) AS n_orders,
+      |  CAST(pk.mo AS BIGINT) AS peak_month,
+      |  CAST(pk.cnt AS BIGINT) AS peak_cnt,
+      |  CAST(pk.cnt * 1000000 // a.n AS BIGINT) AS peak_share_ppm,
+      |  CAST(a.nm AS BIGINT) AS n_active_months
+      |FROM a, pk ORDER BY n_orders""".stripMargin
+
   // ───────── repeat-customer rate (round 7, wave 3) ─────────
 
   /** Repeat-customer audit: how many customers ordered 2+ times, and
