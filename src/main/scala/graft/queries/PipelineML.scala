@@ -28,17 +28,29 @@ object PipelineML {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  /** Seed vectors (k = 3): vec_ids 0/1/2 — deterministic on any engine.
-    * A bounded dimension table → always broadcast. */
-  private def seeds(spark: SparkSession, sfDir: String): DataFrame =
-    vecs(spark, sfDir).filter(col("vec_id") < 3)
+  /** Seed vectors: the first k = max(3, n div 256) vec_ids, so the
+    * cluster COUNT grows with the corpus and the expected cluster SIZE
+    * stays bounded (~256) — SemDeDup's own regime (k ∝ n). With fixed k
+    * the within-cluster pair stage is quadratic in the corpus (round-7
+    * verdict); with k ∝ n it is O(n·256) = linear. k is a scalar
+    * subquery both engines compute identically (count div is exact
+    * integer math, non-negative → Spark div ≡ DuckDB //); the seed
+    * relation stays O(k) rows → always broadcast. */
+  private def seeds(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vecs(spark, sfDir)
+    val k = v.agg(greatest(lit(3L), expr("count(*) div 256")).as("k"))
+    v.crossJoin(broadcast(k)).filter(col("vec_id") < col("k"))
       .select(col("vec_id").as("seed_id"), col("v").as("c"))
+  }
 
   /** Nearest-seed assignment by cosine: rank the k candidate rows per
     * vector (cos desc, seed asc tiebreak) and keep rank 1. The rank
     * window partitions on vec_id with exactly k rows per partition —
     * skew-free at any scale. */
-  private def assign(spark: SparkSession, sfDir: String): DataFrame = {
+  // private[graft]: PlanAuditSpec pins the broadcast assignment shape
+  // here — the localCheckpoint in qSemdedup is a LogicalRDD wall that
+  // hides the subtree from the main query's plan (minhashSig precedent).
+  private[graft] def semdedupAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val byVec = Window.partitionBy("vec_id")
       .orderBy(desc("cos"), asc("seed_id"))
     vecs(spark, sfDir)
@@ -56,9 +68,10 @@ object PipelineML {
     """ed AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
+      |kk AS (SELECT greatest(3, count(*) // 256) AS k FROM embeddings),
       |vc AS (SELECT e.vec_id, e.v, s.vec_id AS seed_id,
       |    list_cosine_similarity(e.v, s.v) AS cos
-      |  FROM ed e, ed s WHERE s.vec_id < 3),
+      |  FROM ed e, ed s, kk WHERE s.vec_id < kk.k),
       |asg AS (SELECT vec_id, v, seed_id AS cluster
       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY cos DESC, seed_id) AS rk FROM vc)
@@ -67,9 +80,13 @@ object PipelineML {
   /** SemDeDup (Abbas et al. 2023 shape): cluster by nearest seed, then
     * rank pairwise cosine WITHIN each cluster only and emit the top-5
     * most-redundant pairs per cluster (drop side = higher vec_id). The
-    * pairwise stage is quadratic only in the cluster, never the corpus —
-    * at 100 TB, k grows ∝ n so cluster sizes stay bounded; the
-    * within-cluster join is an equi-join on the cluster key.
+    * pairwise stage is quadratic only in the cluster, never the corpus:
+    * k = max(3, n div 256) seeds (see [[seeds]]) keep the expected
+    * cluster size at ~256, so total pairs ≈ k·256²/2 = O(n·128) —
+    * linear in the corpus. The within-cluster join is an equi-join on
+    * the cluster key; the assign stage is n·k broadcast cosines, the
+    * accepted SemDeDup assignment cost (k-means assignment is the same
+    * n·k), partitionable over n with no shuffle.
     */
   def qSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
     // Both pair-join sides alias the assignment relation; without a
@@ -77,10 +94,10 @@ object PipelineML {
     // k cosines + rank window) TWICE per run. Lazy checkpoint: the pair
     // join's own action materializes it once, both sides scan the cache.
     // Measured-neutral at sf0.1 (2k vectors — the stage is launch-bound
-    // locally and the 667k-pair stage dominates), but at corpus scale
+    // locally and the pair stage dominates), but at corpus scale
     // assign IS a full scan, and O(n)×(d+2) spills under MEMORY_AND_DISK
     // rather than re-scanning — the doc-vector-index trade.
-    val asg = assign(spark, sfDir).localCheckpoint(false)
+    val asg = semdedupAssign(spark, sfDir).localCheckpoint(false)
     val a = asg.select(col("cluster"), col("vec_id").as("keep_id"),
       col("v").as("va"))
     val b = asg.select(col("cluster"), col("vec_id").as("drop_id"),
@@ -142,12 +159,13 @@ object PipelineML {
       |SELECT CAST(dim AS BIGINT) AS dim, round(w / nrm, 4) AS pc
       |FROM d, n ORDER BY dim""".stripMargin
 
-  /** One k-means Lloyd step from the k = 3 deterministic seeds:
+  /** One k-means Lloyd step from the k = max(3, n div 256) deterministic
+    * seeds (shared with [[qSemdedup]]):
     * nearest-seed assignment (cosine), then the new centroid mean per
     * (cluster, dim) — a k×d = 192-group partial aggregate — reporting
     * cluster sizes and the first 4 centroid coordinates. */
   def qKmeansIter(spark: SparkSession, sfDir: String): DataFrame = {
-    val sizes = assign(spark, sfDir)
+    val sizes = semdedupAssign(spark, sfDir)
       .select(col("cluster"), col("v"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
@@ -175,10 +193,14 @@ object PipelineML {
     * Ranking key is round(4) (grid-aligned; the 3-term sum's association
     * order differs across engines) with did as tiebreak.
     */
-  def qMaxsim(spark: SparkSession, sfDir: String): DataFrame =
+  def qMaxsim(spark: SparkSession, sfDir: String): DataFrame = {
+    // the 3-vector QUERY is fixed by the retrieval request — unlike the
+    // [[seeds]] cluster count it must NOT grow with the corpus
+    val query = vecs(spark, sfDir).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("seed_id"), col("v").as("c"))
     vecs(spark, sfDir)
       .withColumn("did", col("vec_id") % 50)
-      .crossJoin(broadcast(seeds(spark, sfDir)))
+      .crossJoin(broadcast(query))
       .withColumn("cos", VectorOps.cosine(col("v"), col("c")))
       .groupBy("did", "seed_id")
       .agg(max("cos").as("mx"))
@@ -186,6 +208,7 @@ object PipelineML {
       .agg(round(sum("mx"), 4).as("maxsim"))
       .orderBy(desc("maxsim"), asc("did"))
       .limit(10)
+  }
 
   val qMaxsimSql: String =
     s"""WITH ed AS (SELECT vec_id,
@@ -544,7 +567,7 @@ object PipelineML {
     */
   def qClusterPurity(spark: SparkSession, sfDir: String): DataFrame = {
     val lbl = Tables.t(spark, sfDir, "embeddings").select("vec_id", "label")
-    val cl = assign(spark, sfDir).select("vec_id", "cluster")
+    val cl = semdedupAssign(spark, sfDir).select("vec_id", "cluster")
       .join(lbl, "vec_id")
       .groupBy("cluster", "label").agg(count(lit(1)).as("nl"))
     val byCl = Window.partitionBy("cluster")

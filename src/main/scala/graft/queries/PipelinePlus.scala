@@ -274,19 +274,44 @@ object PipelinePlus {
 
   // ───────────────────── embedding-cosine near-dup ─────────────────────
 
-  /** Near-duplicate vectors: top-20 pairs by cosine over the vec_id%5
-    * sample (pairs within LSH/IVF cells at scale; deterministic sample
-    * here). All math in double (§2 rule C). */
+  /** Embedding near-dup candidates: top-20 pairs by exact double cosine
+    * among MULTI-PROBE sign-LSH candidates — pairs whose 8-bit sign
+    * buckets ([[PipelineExtra.lshBucket]]) agree exactly or differ in
+    * one bit (Hamming ≤ 1, the q_multi_probe_lsh probe set applied
+    * pairwise). Candidate generation is a bucket equi-join (probe key =
+    * bucket key), so cost is O(9·Σ bucket²), never the round-7 all-pairs
+    * BNLJ; the exact re-score touches candidates only.
+    *
+    * Why the oracle is LOCKSTEP (same probe set in DuckDB), not
+    * all-pairs: this corpus has no planted vector near-dups — the
+    * all-pairs top cosine is 0.51 at sf0.1 (measured), the random
+    * regime, where a Hamming≤1 probe of 8 sign bits has ~15% per-pair
+    * recall, so NO bucketed method can reproduce the exact top-20 and
+    * an all-pairs oracle would be dishonest. In the true dedup regime
+    * (cos ≥ 0.99) the same probe set recalls ≈95% per pair
+    * (p = 1 − θ/π = .955; p⁸ + 8p⁷(1−p)); the recall audit for this
+    * index family is q_ann_recall / q_multi_probe_lsh. */
   def qDedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.t(spark, sfDir, "embeddings")
-      .filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-    val withNorm = e.withColumn("n",
-      graft.functions.VectorOps.l2norm(col("v")))
-    val a = withNorm.toDF("v1", "va", "na")
-    val b = withNorm.toDF("v2", "vb", "nb")
-    a.join(b, col("v1") < col("v2"))
+      .withColumn("bucket", PipelineExtra.lshBucket(col("v")))
+      .withColumn("n", graft.functions.VectorOps.l2norm(col("v")))
+    // own bucket + the 8 single-bit flips: a pair at Hamming ≤ 1 matches
+    // on exactly ONE probe (flip the one differing bit; H=0 matches the
+    // unflipped probe only), so the equi-join emits each pair once.
+    val probeCols: Seq[org.apache.spark.sql.Column] =
+      col("bucket") +: (1 to 8).map { i =>
+        concat(substring(col("bucket"), 1, i - 1),
+          when(substring(col("bucket"), i, 1) === "1", lit("0"))
+            .otherwise(lit("1")),
+          substring(col("bucket"), i + 1, 8 - i))
+      }
+    val a = e.select(col("vec_id").as("v1"), col("v").as("va"),
+      col("n").as("na"), explode(array(probeCols: _*)).as("probe"))
+    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"),
+      col("n").as("nb"), col("bucket"))
+    a.join(b, col("probe") === col("bucket") && col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
         round(graft.functions.VectorOps.dot(col("va"), col("vb")) /
           (col("na") * col("nb")), 4)
@@ -301,12 +326,30 @@ object PipelinePlus {
   // sampled pairs at sf0.1) — today those pairs rank outside the top-20
   // cut, so a result-only cast passes by luck.
   val qDedupEmbedSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-      |  FROM embeddings WHERE vec_id % 5 = 0)
-      |SELECT a.vec_id AS v1, b.vec_id AS v2,
-      |  round(CAST(list_cosine_similarity(a.emb, b.emb)
-      |    AS DOUBLE), 4) AS cos
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |sig AS (SELECT vec_id,
+      |    string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+      |               ORDER BY p) AS bucket
+      |  FROM (SELECT vec_id, p,
+      |      sum(v[d] * (((p * 31 + d * 17) % 7) - 3)) AS dot
+      |    FROM e, unnest(generate_series(0, 7)) t1(p),
+      |      unnest(generate_series(1, len(v))) t2(d)
+      |    GROUP BY vec_id, p)
+      |  GROUP BY vec_id),
+      |probes AS (
+      |  SELECT vec_id, bucket AS probe FROM sig
+      |  UNION ALL
+      |  SELECT vec_id, substr(bucket, 1, i - 1)
+      |    || (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+      |    || substr(bucket, i + 1, 8 - i) AS probe
+      |  FROM sig, unnest(generate_series(1, 8)) t(i))
+      |SELECT p.vec_id AS v1, s.vec_id AS v2,
+      |  round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 4) AS cos
+      |FROM probes p JOIN sig s ON p.probe = s.bucket
+      |  AND p.vec_id < s.vec_id
+      |JOIN e a ON a.vec_id = p.vec_id
+      |JOIN e b ON b.vec_id = s.vec_id
       |ORDER BY cos DESC, v1, v2 LIMIT 20""".stripMargin
 
   // ──────────────────────────── IVF-style ANN ────────────────────────────

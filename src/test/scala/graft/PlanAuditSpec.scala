@@ -968,4 +968,41 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate(keys=[lang"),
       s"no per-lang distinct aggregate below the pair join:\n$p")
   }
+
+  // ── round-8 pins: the two former quadratic shapes stay bucketed ──
+
+  test("q_dedup_embed candidates come from a bucket equi-join, never all-pairs") {
+    // round-7 verdict: the old shape was a BroadcastNestedLoopJoin over
+    // a proportional sample — O((n/5)²). The fix joins 9 probe keys
+    // against the 8-bit sign bucket, an equi-join; the v1<v2 cut is a
+    // post-filter, not a theta-join condition.
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"embed dedup regressed to all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"no bucket equi-join in the candidate stage:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 is a full sort, not TakeOrdered:\n$p")
+  }
+
+  test("q_dedup_semantic pair stage is a cluster equi-join; seeds broadcast") {
+    // k = max(3, n div 256) seeds: the ONLY non-equi join allowed is the
+    // O(k)-row broadcast seed cross (assignment); the pair stage must be
+    // an equi-join on the cluster key. The checkpoint wall hides the
+    // assign subtree, so pin the pre-checkpoint assignment separately.
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup grew a cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"pair stage lost its cluster equi-join:\n$p")
+    val asg = queries.PipelineML.semdedupAssign(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(asg.contains("BroadcastNestedLoopJoin"),
+      s"seed side of the assignment is not broadcast:\n$asg")
+    assert(!asg.contains("SortMergeJoin") && !asg.contains("CartesianProduct"),
+      s"assignment shuffles the corpus against the seeds:\n$asg")
+  }
 }
