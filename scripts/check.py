@@ -95,15 +95,21 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        def fetch_once(q):
+            # ONE execution per query (round-8 advice): Arrow gives both
+            # the pandas view (dtype check) and native-python row tuples
+            # (value compare, fetchall-equivalent: Decimal/datetime/None)
+            tbl = con.execute(q).arrow()
+            df = tbl.to_pandas()
+            cols = list(tbl.column_names)
+            rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+            return df, cols, rows
+
         try:
             check_hashable(con, out_dir, name)
-            exp_df = con.execute(sql).df()
-            exp_cols = list(exp_df.columns)
-            exp_rows = list(con.execute(sql).fetchall())
+            exp_df, exp_cols, exp_rows = fetch_once(sql)
             got_q = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            got_df = con.execute(got_q).df()
-            got_cols = list(got_df.columns)
-            got_rows = list(con.execute(got_q).fetchall())
+            got_df, got_cols, got_rows = fetch_once(got_q)
         except Exception as e:
             print(f"FAIL {name}: error: {e}")
             n_fail += 1

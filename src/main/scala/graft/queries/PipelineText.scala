@@ -158,10 +158,13 @@ object PipelineText {
   // ───────────────────────── vocabulary build ─────────────────────────
 
   /** Corpus vocabulary with a min-count floor and cumulative token
-    * coverage — the tokenizer-training prerequisite. The running-share
-    * window is ordered over the VOCABULARY (≪ corpus, bounded like a
-    * broadcast dim), not the token stream; at 100 TB the vocab for a
-    * min-count floor still fits one partition comfortably.
+    * coverage — the tokenizer-training prerequisite. The top-100 cut is
+    * pushed BELOW the windows (round 8): orderBy+limit compiles to a
+    * distributed TakeOrderedAndProject, so the rank/cumsum windows run
+    * over exactly 100 rows instead of the whole vocabulary (~10⁸ terms
+    * at 100 TB through one task under the round-7 form). The (tf desc,
+    * term) order key is unique, so the top-100 ranks and their running
+    * shares are identical to the global-window formulation.
     */
   def qTokVocab(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = Tables.tokens(spark, sfDir)
@@ -170,6 +173,8 @@ object PipelineText {
     val w = Window.orderBy(desc("tf"), asc("term"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tf.filter(col("tf") >= 5)
+      .orderBy(desc("tf"), asc("term"))
+      .limit(100)
       .crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("tf"), asc("term"))).cast("long"))
@@ -177,7 +182,6 @@ object PipelineText {
         round(sum("tf").over(w).cast("double") / col("total"), 4))
       .select("term", "tf", "rank", "cum_share")
       .orderBy("rank")
-      .limit(100)
   }
 
   val qTokVocabSql: String =

