@@ -375,7 +375,7 @@ object PipelineML {
     * The centroid is a 64-row broadcast (partial-aggregable posexplode
     * avg, per-position round(4) — the q_sim_centroids determinism
     * precedent); scoring is one narrow codegen'd pass. */
-  private def centScored(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def centScored(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.t(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -391,7 +391,7 @@ object PipelineML {
 
   /** DuckDB mirror of [[centScored]] — CTE prologue ending in
     * `scored(label, score)`. */
-  private val centScoredCte: String =
+  private[queries] val centScoredCte: String =
     """ed AS (SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
