@@ -1825,4 +1825,154 @@ object EventsPlus {
       |    // 86400000000 AS recency_days,
       |  count(DISTINCT d) AS active_days
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ───────────── round-8 wave: ops telemetry time series ─────────────
+
+  /** Daily exact p50/p95 of event value — the latency-dashboard
+    * percentile time series. Percentiles are EXPLICIT rank picks on the
+    * exact cents grid (idx = ⌈q·n⌉ via integer ceiling division), not an
+    * engine-defined quantile_disc/percentile_cont whose tie/interpolation
+    * rules differ — so both engines pick the identical row. The rank
+    * window partitions per day (30 bounded partitions here; day-keyed
+    * partitions at any scale).
+    */
+  def qEvtPercentileTs(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDay = Window.partitionBy("d").orderBy("cents", "event_id")
+    Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).as("d"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(byDay))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("d")))
+      .filter(col("rn") === expr("(n * 50 + 99) div 100") ||
+        col("rn") === expr("(n * 95 + 99) div 100"))
+      .groupBy(col("d"))
+      .agg(max("n").as("n"),
+        min(when(col("rn") === expr("(n * 50 + 99) div 100"),
+          col("cents"))).as("p50_cents"),
+        min(when(col("rn") === expr("(n * 95 + 99) div 100"),
+          col("cents"))).as("p95_cents"))
+      .orderBy("d")
+  }
+
+  val qEvtPercentileTsSql: String =
+    """WITH e AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+      |    event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (SELECT d, cents,
+      |    row_number() OVER (PARTITION BY d ORDER BY cents, event_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY d) AS n
+      |  FROM e)
+      |SELECT CAST(d AS TIMESTAMP) AS d, CAST(max(n) AS BIGINT) AS n,
+      |  min(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END)
+      |    AS p50_cents,
+      |  min(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END)
+      |    AS p95_cents
+      |FROM r WHERE rn = (n * 50 + 99) // 100 OR rn = (n * 95 + 99) // 100
+      |GROUP BY d ORDER BY d""".stripMargin
+
+  /** Per-user event-type TRIGRAMS (the order-2 extension of
+    * q_evt_markov's bigram transition matrix): top-20 three-step
+    * behavioral paths by count. Two leads inside the per-user window —
+    * one shuffle on user_id, bounded |types|³ key space out.
+    */
+  def qEvtTrigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("t2", lead("event_type", 1).over(byUser))
+      .withColumn("t3", lead("event_type", 2).over(byUser))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("t1"), asc("t2"), asc("t3"))
+      .limit(20)
+  }
+
+  val qEvtTrigramSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |t AS (SELECT event_type AS t1,
+      |    lead(event_type, 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS t3
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT t1, t2, t3, count(*) AS n FROM t WHERE t3 IS NOT NULL
+      |GROUP BY t1, t2, t3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
+
+  /** Daily new-vs-returning split — the growth-accounting companion to
+    * q_cum_users: per day, how many active users saw their first-ever
+    * event that day, how many returned, and the new share in ppm. The
+    * first-seen relation is one user-keyed aggregate (broadcast-sized
+    * per day-join side is the bounded day×2 grid).
+    */
+  def qEvtNewReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min("d").as("d0"))
+    ud.join(first, "user_id")
+      .groupBy("d")
+      .agg(sum((col("d") === col("d0")).cast("long")).as("new_users"),
+        sum((col("d") =!= col("d0")).cast("long")).as("returning"))
+      .withColumn("new_ppm",
+        expr("(new_users * 1000000) div (new_users + returning)"))
+      .orderBy("d")
+  }
+
+  val qEvtNewReturningSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+      |f AS (SELECT user_id, min(d) AS d0 FROM ud GROUP BY user_id)
+      |SELECT CAST(d AS TIMESTAMP) AS d,
+      |  CAST(sum(CASE WHEN ud.d = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS new_users,
+      |  CAST(sum(CASE WHEN ud.d <> f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS returning,
+      |  CAST((sum(CASE WHEN ud.d = f.d0 THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS new_ppm
+      |FROM ud JOIN f USING (user_id)
+      |GROUP BY d ORDER BY d""".stripMargin
+
+  /** Weekly churn: of the users active in ISO-week w, how many are
+    * absent in w+1 (the backward-looking complement of q_evt_retention's
+    * forward cohort curve). Week keys are exact integer day-number
+    * divisions (epoch-µs div), the membership probe is a LEFT anti-ish
+    * join of the bounded (week, user) relation against its own
+    * week-shifted alias, and churn is integer ppm.
+    */
+  def qUserChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+    val nxt = uw.select(col("user_id"), (col("wk") - 1).as("wk"),
+      lit(1L).as("active_next"))
+    val last = uw.agg(max("wk").as("max_wk"))
+    uw.join(nxt, Seq("user_id", "wk"), "left")
+      .crossJoin(broadcast(last))
+      .filter(col("wk") < col("max_wk"))
+      .groupBy("wk")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("active_next").isNull, 1L).otherwise(0L))
+          .as("n_churned"))
+      .withColumn("churn_ppm",
+        expr("(n_churned * 1000000) div n_active"))
+      .orderBy("wk")
+  }
+
+  val qUserChurnSql: String =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+      |  FROM events),
+      |nxt AS (SELECT user_id, wk - 1 AS wk, 1 AS active_next FROM uw),
+      |mx AS (SELECT max(wk) AS max_wk FROM uw)
+      |SELECT uw.wk AS wk, count(*) AS n_active,
+      |  CAST(sum(CASE WHEN nxt.active_next IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_churned,
+      |  CAST((sum(CASE WHEN nxt.active_next IS NULL THEN 1 ELSE 0 END)
+      |    * 1000000) // count(*) AS BIGINT) AS churn_ppm
+      |FROM uw LEFT JOIN nxt ON uw.user_id = nxt.user_id
+      |  AND uw.wk = nxt.wk, mx
+      |WHERE uw.wk < mx.max_wk
+      |GROUP BY uw.wk ORDER BY uw.wk""".stripMargin
 }

@@ -397,4 +397,40 @@ object PipelineGraph {
       |  WHERE w.hop < 3)
       |SELECT node AS doc_id, CAST(min(hop) AS BIGINT) AS hop
       |FROM walk GROUP BY node ORDER BY hop, doc_id""".stripMargin
+
+  // ───────────────── similarity-graph degree distribution ─────────────────
+
+  /** Degree distribution of the MinHash high-confidence candidate graph
+    * (the q_dedup_near edge set): how many sampled docs have 0, 1, 2 …
+    * near-dup candidates — the graph-shape telemetry that predicts
+    * whether connected-component dedup (q_dedup_cluster) will see a few
+    * giant families or a long isolated tail. Edges come from the shared
+    * memoized LSH candidate relation (bounded by bucket collisions,
+    * never all-pairs); the degree aggregate is doc-keyed and the output
+    * is the ≤max-degree histogram.
+    */
+  def qGraphDegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = PipelinePlus.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= PipelinePlus.RescoreThreshold)
+      .select("d1", "d2")
+    val ends = edges.select(col("d1").as("d"))
+      .unionAll(edges.select(col("d2").as("d")))
+    val deg = ends.groupBy("d").agg(count(lit(1)).as("degree"))
+    val uni = graft.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("d"))
+    uni.join(deg, Seq("d"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  val qGraphDegreeDistSql: String =
+    s"""WITH ${PipelinePlus.lshCandHiCte},
+      |ends AS (SELECT d1 AS d FROM cand_hi
+      |  UNION ALL SELECT d2 FROM cand_hi),
+      |deg AS (SELECT d, count(*) AS degree FROM ends GROUP BY d),
+      |uni AS (SELECT doc_id AS d FROM documents WHERE doc_id % 10 = 0)
+      |SELECT coalesce(deg.degree, 0) AS degree, count(*) AS n_docs
+      |FROM uni LEFT JOIN deg USING (d)
+      |GROUP BY 1 ORDER BY degree""".stripMargin
 }

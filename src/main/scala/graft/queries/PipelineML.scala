@@ -667,4 +667,103 @@ object PipelineML {
       |    AS variance
       |FROM embeddings, unnest(generate_series(1, 64)) t(i)
       |GROUP BY i ORDER BY dim""".stripMargin
+
+  // ───────────────── 1-bit binary embeddings + Hamming pairs ─────────────────
+
+  /** Binary (1-bit) embedding compression + Hamming near-dup pairs: the
+    * 64 coordinate signs pack into ONE BIGINT word (64× smaller than
+    * float32 — the storage tier under q_embed_quant's int8), and the
+    * top-20 most-similar pairs by Hamming distance come from a low-byte
+    * bucket EQUI-join (the coordinate-sign LSH: pairs agreeing on the
+    * low 8 sign bits), re-scored with the codegen'd bit_count(xor) —
+    * never all-pairs. The packed word, the bucket, and the distance are
+    * all exact integers on both engines (two's-complement &, ^,
+    * bit_count agree bit-for-bit).
+    */
+  def qBinaryEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val packed = vecs(spark, sfDir)
+      .withColumn("h", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          |  (acc, i) -> acc + IF(element_at(v, i + 1) >= 0D,
+          |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
+          .stripMargin))
+      .withColumn("bucket", expr("h & CAST(255 AS BIGINT)"))
+      .select("vec_id", "h", "bucket")
+    val a = packed.select(col("vec_id").as("v1"), col("h").as("h1"),
+      col("bucket"))
+    val b = packed.select(col("vec_id").as("v2"), col("h").as("h2"),
+      col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        expr("CAST(bit_count(h1 ^ h2) AS BIGINT)").as("hamming"))
+      .orderBy(asc("hamming"), asc("v1"), asc("v2"))
+      .limit(20)
+  }
+
+  val qBinaryEmbedSql: String =
+    """WITH ed AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |packed AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(generate_series(0, 63),
+      |      i -> CASE WHEN v[i + 1] < 0 THEN 0
+      |           WHEN i = 63 THEN -9223372036854775808
+      |           ELSE 1::BIGINT << i END)) AS BIGINT) AS h
+      |  FROM ed),
+      |bk AS (SELECT vec_id, h, h & 255 AS bucket FROM packed)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+      |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |ORDER BY hamming, v1, v2 LIMIT 20""".stripMargin
+
+  // ───────────────── embedding drift between corpus halves ─────────────────
+
+  /** Embedding drift audit: per label, the squared L2 distance between
+    * the round(4) centroids of the two vec_id-parity halves of the
+    * corpus — the embedding-space twin of q_drift_psi's scalar check (a
+    * re-embedded or shifted batch shows up as centroid movement long
+    * before downstream metrics do). Centroid components land on the e4
+    * grid first (the q_sim_ivf argmax-stability precedent), so the
+    * 64-term squared sum is an exact e8 integer — order-free on both
+    * engines. Bounded key space: |labels| × 64 dims.
+    */
+  def qEmbedDrift(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir)
+      .join(Tables.t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+      .select(col("label"), (col("vec_id") % 2 === 0).as("even"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(col("even").cast("long")).as("n_a"),
+        sum((!col("even")).cast("long")).as("n_b"),
+        expr("CAST(round(avg(CASE WHEN even THEN x END) * 10000) AS BIGINT)")
+          .as("a4"),
+        expr("CAST(round(avg(CASE WHEN NOT even THEN x END) * 10000) AS BIGINT)")
+          .as("b4"))
+      .groupBy("label")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum((col("a4") - col("b4")) * (col("a4") - col("b4")))
+          .as("drift_e8"))
+      .orderBy("label")
+
+  val qEmbedDriftSql: String =
+    """WITH ed AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    vec_id % 2 = 0 AS even,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |px AS (SELECT label, even, i AS pos, v[i + 1] AS x
+      |  FROM ed, unnest(generate_series(0, len(v) - 1)) AS t(i)),
+      |c AS (SELECT label, pos,
+      |    sum(CASE WHEN even THEN 1 ELSE 0 END) AS n_a,
+      |    sum(CASE WHEN NOT even THEN 1 ELSE 0 END) AS n_b,
+      |    CAST(round(avg(CASE WHEN even THEN x END) * 10000) AS BIGINT)
+      |      AS a4,
+      |    CAST(round(avg(CASE WHEN NOT even THEN x END) * 10000)
+      |      AS BIGINT) AS b4
+      |  FROM px GROUP BY label, pos)
+      |SELECT label, CAST(max(n_a) AS BIGINT) AS n_a,
+      |  CAST(max(n_b) AS BIGINT) AS n_b,
+      |  CAST(sum((a4 - b4) * (a4 - b4)) AS BIGINT) AS drift_e8
+      |FROM c GROUP BY label ORDER BY label""".stripMargin
 }

@@ -326,4 +326,69 @@ object PipelineSketch {
        |FROM t CROSS JOIN n
        |GROUP BY term, n HAVING count(*) * $HhK > n
        |ORDER BY cnt DESC, term""".stripMargin
+
+  // ───────────────── KMV (k-minimum-values) distinct sketch ─────────────────
+
+  /** KMV distinct-count sketch vs exact truth: per event_type, the 64
+    * minimum 60-bit md5 hashes of the distinct (user_id, day) activity
+    * keys give the estimate (k−1)·2⁶⁰ / h₍ₖ₎ (exact count when fewer
+    * than k values) — the third mergeable-sketch family next to HLL
+    * (q_agg_hll) and CMS (q_agg_cms), and unlike those the hash grid is
+    * ENGINE-PORTABLE (md5Bucket), so the estimate itself is
+    * oracle-checked, not unit-checked. Scale: the rank-window filter
+    * (rn ≤ 64) compiles to Spark's WindowGroupLimit — a per-partition
+    * top-64 prune BEFORE the per-type sort (the q_dedup_priority
+    * optimization), so nothing corpus-sized is globally sorted; the
+    * (k−1)·2⁶⁰ numerator is DECIMAL(38,0) ↔ HUGEINT (it overflows
+    * BIGINT), the quotient is back on the exact integer grid.
+    */
+  def qKmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit("/"),
+          to_date(col("ts")).cast("string")).as("item"))
+      .distinct()
+      .withColumn("h", Tables.md5Bucket(col("item")))
+    val wT = Window.partitionBy("event_type").orderBy("h")
+    val kept = items.withColumn("rn", row_number().over(wT))
+      .filter(col("rn") <= 64)
+    val sk = kept.groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth"))
+    val exact = items.groupBy("event_type")
+      .agg(count(lit(1)).as("n_exact"))
+    exact.join(sk, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        expr("""CASE WHEN n_kept < 64 THEN n_exact
+          |ELSE CAST((CAST(63 AS DECIMAL(38,0)) * 1152921504606846976)
+          |  div greatest(kth, 1) AS BIGINT) END""".stripMargin)
+          .as("kmv_est"))
+      .withColumn("err_ppm",
+        expr("(abs(kmv_est - n_exact) * 1000000) div n_exact"))
+      .orderBy("event_type")
+  }
+
+  val qKmvDistinctSql: String =
+    """WITH items AS (SELECT DISTINCT event_type,
+      |    user_id || '/' || CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+      |      AS VARCHAR) AS item
+      |  FROM events),
+      |h AS (SELECT event_type,
+      |    ('0x' || substr(md5(item), 1, 15))::BIGINT AS h FROM items),
+      |kept AS (SELECT event_type, h FROM (SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h) WHERE rn <= 64),
+      |sk AS (SELECT event_type, count(*) AS n_kept, max(h) AS kth
+      |  FROM kept GROUP BY event_type),
+      |ex AS (SELECT event_type, count(*) AS n_exact FROM h
+      |  GROUP BY event_type),
+      |est AS (SELECT ex.event_type, ex.n_exact,
+      |    CASE WHEN sk.n_kept < 64 THEN ex.n_exact
+      |      ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
+      |        // greatest(sk.kth, 1) AS BIGINT) END AS kmv_est
+      |  FROM ex JOIN sk USING (event_type))
+      |SELECT event_type, n_exact, kmv_est,
+      |  CAST((abs(kmv_est - n_exact) * 1000000) // n_exact AS BIGINT)
+      |    AS err_ppm
+      |FROM est ORDER BY event_type""".stripMargin
 }
