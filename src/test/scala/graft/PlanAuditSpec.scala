@@ -1037,4 +1037,47 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(acWin.nonEmpty && acWin.forall(_.contains("prefix")),
       s"q_autocomplete rank window lost its prefix partition:\n$ac")
   }
+
+  // ── round-8 wave pins ──
+
+  test("q_idx_skiplist: positions window partitions per term, top cut is TakeOrdered") {
+    val p = plan("q_idx_skiplist")
+    val posLine = p.linesIterator
+      .find(l => l.contains("row_number()")).getOrElse("")
+    assert(posLine.contains("term"),
+      s"positions window lost its term partition:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 df cut is a full sort:\n$p")
+  }
+
+  test("q_kmv_distinct: the rn<=64 filter compiles to WindowGroupLimit") {
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"),
+      s"KMV min-64 prune lost the per-partition group limit:\n$p")
+  }
+
+  test("q_binary_embed and q_source_overlap pair via equi-joins, never all-pairs") {
+    Seq("q_binary_embed", "q_source_overlap").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q regressed to an all-pairs join:\n$p")
+    }
+  }
+
+  test("q_bm25f and q_search_pl2 push term predicates to the scan; stats broadcast") {
+    Seq("q_bm25f", "q_search_pl2").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q corpus stats are not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
+  }
+
+  test("q_eval_pr_curve windows only the distinct-score aggregate") {
+    val p = plan("q_eval_pr_curve")
+    assert(p.contains("HashAggregate(keys=[score"),
+      s"PR curve lost its score-domain aggregate below the cumsums:\n$p")
+  }
 }
