@@ -1975,4 +1975,134 @@ object EventsPlus {
       |  AND uw.wk = nxt.wk, mx
       |WHERE uw.wk < mx.max_wk
       |GROUP BY uw.wk ORDER BY uw.wk""".stripMargin
+
+  /** Additive time-series decomposition of daily revenue cents:
+    * trend = centered 7-day moving average (full windows only — the 3
+    * edge days on each side are excluded), seasonal = per-day-of-week
+    * mean residual, remainder = residual − seasonal. EVERY component is
+    * exact integer cents (moving average and DOW mean via truncating
+    * integer division — identical on both engines for these
+    * non-negative/derived values), so no float accumulates across the
+    * three stages. The day series is calendar-bounded at any corpus
+    * scale; dow is aligned to DuckDB's Sunday=0 convention.
+    */
+  def qEvtDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("d"))
+      .agg(expr("sum(CAST(round(value * 100) AS BIGINT))").as("total_cents"))
+    val wMa = Window.orderBy("d").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n_win", count(lit(1)).over(wMa))
+      .withColumn("trend_cents",
+        expr("sum(total_cents) over (order by d rows between 3 preceding and 3 following) div 7"))
+      .filter(col("n_win") === 7)
+      .withColumn("resid", col("total_cents") - col("trend_cents"))
+      .withColumn("dow", (dayofweek(col("d")) - 1).cast("long"))
+    val seasonal = trended.groupBy("dow")
+      .agg(expr("sum(resid) div count(*)").as("seasonal_cents"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("d"), col("total_cents"), col("trend_cents"), col("dow"),
+        col("seasonal_cents"),
+        (col("resid") - col("seasonal_cents")).as("remainder_cents"))
+      .orderBy("d")
+  }
+
+  val qEvtDecomposeSql: String =
+    """WITH daily AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS total_cents
+      |  FROM events GROUP BY d),
+      |t AS (SELECT d, total_cents,
+      |    count(*) OVER w AS n_win,
+      |    CAST(sum(total_cents) OVER w // 7 AS BIGINT) AS trend_cents
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |r AS (SELECT *, total_cents - trend_cents AS resid,
+      |    CAST(dayofweek(d) AS BIGINT) AS dow
+      |  FROM t WHERE n_win = 7),
+      |se AS (SELECT dow, CAST(sum(resid) // count(*) AS BIGINT)
+      |    AS seasonal_cents FROM r GROUP BY dow)
+      |SELECT CAST(r.d AS TIMESTAMP) AS d, r.total_cents, r.trend_cents,
+      |  r.dow, se.seasonal_cents,
+      |  r.resid - se.seasonal_cents AS remainder_cents
+      |FROM r JOIN se USING (dow) ORDER BY d""".stripMargin
+
+  /** Nearest-in-time join: for every purchase event, the user's nearest
+    * click in EITHER direction by |Δt| (backward as-of ∪ forward as-of,
+    * closer side wins, backward on ties) — the two-sided completion of
+    * the q_join_asof family. One interleaved per-user window with
+    * IGNORE-NULLS last/first supplies both candidates without a range
+    * join; output is |purchases|-sized.
+    */
+  def qEvtNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+      .withColumn("click_ts",
+        when(col("event_type") === "click", col("ts_us")))
+    val cand = ev
+      .withColumn("prev_id", last("click_id", ignoreNulls = true)
+        .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("prev_ts", last("click_ts", ignoreNulls = true)
+        .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_id", first("click_id", ignoreNulls = true)
+        .over(byUser.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("next_ts", first("click_ts", ignoreNulls = true)
+        .over(byUser.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("event_type") === "purchase")
+    cand.select(col("user_id"), col("event_id").as("purchase_id"),
+      expr("""CASE
+        | WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+        | WHEN prev_id IS NULL THEN next_id
+        | WHEN next_id IS NULL THEN prev_id
+        | WHEN ts_us - prev_ts <= next_ts - ts_us THEN prev_id
+        | ELSE next_id END""".stripMargin).as("nearest_click_id"),
+      expr("""CASE
+        | WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+        | WHEN prev_id IS NULL THEN next_ts - ts_us
+        | WHEN next_id IS NULL THEN ts_us - prev_ts
+        | WHEN ts_us - prev_ts <= next_ts - ts_us THEN ts_us - prev_ts
+        | ELSE next_ts - ts_us END""".stripMargin).as("delta_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val qEvtNearestSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+      |    CASE WHEN event_type = 'click' THEN
+      |      epoch_us(CAST(ts AS TIMESTAMP)) END AS click_ts
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |c AS (SELECT *,
+      |    last_value(click_id IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+      |    last_value(click_ts IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ts,
+      |    first_value(click_id IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id
+      |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id,
+      |    first_value(click_ts IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id
+      |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+      |  FROM e)
+      |SELECT user_id, event_id AS purchase_id,
+      |  CASE
+      |   WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+      |   WHEN prev_id IS NULL THEN next_id
+      |   WHEN next_id IS NULL THEN prev_id
+      |   WHEN ts_us - prev_ts <= next_ts - ts_us THEN prev_id
+      |   ELSE next_id END AS nearest_click_id,
+      |  CASE
+      |   WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+      |   WHEN prev_id IS NULL THEN next_ts - ts_us
+      |   WHEN next_id IS NULL THEN ts_us - prev_ts
+      |   WHEN ts_us - prev_ts <= next_ts - ts_us THEN ts_us - prev_ts
+      |   ELSE next_ts - ts_us END AS delta_us
+      |FROM c WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_id""".stripMargin
 }

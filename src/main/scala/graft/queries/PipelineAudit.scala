@@ -767,4 +767,65 @@ object PipelineAudit {
       |  round(pow(v1/n1 + v2/n2, 2) / (pow(v1/n1, 2) / (n1 - 1)
       |    + pow(v2/n2, 2) / (n2 - 1)), 4) AS df
       |FROM a ORDER BY n_click""".stripMargin
+
+  // ───────────────── hash-bootstrap confidence interval ─────────────────
+
+  /** Bootstrap-style confidence interval for the mean order value
+    * WITHOUT RNG state: 30 deterministic replicates driven by ONE
+    * content hash per order — replicate b keeps orders whose 60-bit
+    * md5Bucket has a non-zero bit-pair at position 2b (an exact
+    * Bernoulli(3/4) subsample per replicate, independent across b by
+    * hash-bit independence; the q_split_train hash-gate convention with
+    * one md5 per row instead of one per (row, replicate)). Each
+    * replicate's mean is exact integer cents; the CI is the EXPLICIT
+    * 2nd/29th rank pick of the 30 sorted means (the
+    * q_evt_percentile_ts ceiling-index rule). Scale: one fact pass
+    * fanned ×30 in-row (bounded constant, one hash amortized across
+    * all replicates), partial-aggregable into 30 groups; the CI window
+    * runs over exactly 30 rows.
+    */
+  def qStatsBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables
+    val o = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("h", Tables.md5Bucket(col("o_orderkey").cast("string")))
+    val reps = o
+      .select(col("h"), col("cents"),
+        explode(sequence(lit(0), lit(29))).as("b"))
+      .filter(expr("(shiftright(h, 2 * b) & 3) != 0"))
+      .groupBy("b")
+      .agg(expr("sum(cents) div count(*)").as("rep_mean"))
+    val w = Window.orderBy("rep_mean", "b")
+    val ranked = reps.withColumn("rn", row_number().over(w))
+    val full = o.agg(count(lit(1)).as("n_orders"),
+      expr("sum(cents) div count(*)").as("mean_cents"))
+    full.crossJoin(broadcast(
+        ranked.filter(col("rn") === 2)
+          .select(col("rep_mean").as("boot_lo_cents"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("rn") === 29)
+          .select(col("rep_mean").as("boot_hi_cents"))))
+      .select("n_orders", "mean_cents", "boot_lo_cents", "boot_hi_cents")
+  }
+
+  val qStatsBootstrapSql: String =
+    """WITH o AS (SELECT
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+      |      ::BIGINT AS h
+      |  FROM orders),
+      |reps AS (SELECT b, CAST(sum(cents) // count(*) AS BIGINT)
+      |    AS rep_mean
+      |  FROM o, unnest(generate_series(0, 29)) AS t(b)
+      |  WHERE ((h >> (2 * b)) & 3) <> 0
+      |  GROUP BY b),
+      |r AS (SELECT rep_mean,
+      |    row_number() OVER (ORDER BY rep_mean, b) AS rn FROM reps),
+      |f AS (SELECT count(*) AS n_orders,
+      |    CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents FROM o)
+      |SELECT f.n_orders, f.mean_cents,
+      |  (SELECT rep_mean FROM r WHERE rn = 2) AS boot_lo_cents,
+      |  (SELECT rep_mean FROM r WHERE rn = 29) AS boot_hi_cents
+      |FROM f ORDER BY n_orders""".stripMargin
 }

@@ -397,4 +397,101 @@ object PipelineGov {
       |  CAST((tp * 1000000) // greatest((SELECT p_total FROM t), 1)
       |    AS BIGINT) AS recall_ppm
       |FROM c ORDER BY score DESC""".stripMargin
+
+  // ───────────────── deterministic span-corruption stats ─────────────────
+
+  /** T5-style span-corruption statistics under a DETERMINISTIC mask:
+    * token (doc, pos) is masked iff its 60-bit md5 bucket ≡ 0 (mod 5) —
+    * a content-addressed 20% rate both engines reproduce exactly, the
+    * q_split_train hash-gate convention. Adjacent masked tokens merge
+    * into spans (a span starts where masked ∧ ¬masked-predecessor — one
+    * per-doc lag window). Emits per doc: tokens, masked count/ppm, span
+    * count, mean span length e3 — the noise-schedule audit a span-
+    * corruption pretraining pipeline records.
+    */
+  def qSpanMask(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("arr")).as(Seq("pos", "term")))
+      .withColumn("m",
+        (Tables.md5Bucket(concat(col("doc_id"), lit(":"), col("pos")))
+          % 5 === 0).cast("long"))
+      .withColumn("start",
+        (col("m") === 1 &&
+          coalesce(lag("m", 1).over(byDoc), lit(0L)) === 0L).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("m").as("n_masked"),
+        sum("start").as("n_spans"))
+      .select(col("doc_id"), col("n_tok"), col("n_masked"), col("n_spans"),
+        expr("(n_masked * 1000000) div n_tok").as("masked_ppm"),
+        expr("CASE WHEN n_spans = 0 THEN 0 ELSE " +
+          "(n_masked * 1000) div n_spans END").as("mean_span_e3"))
+      .orderBy("doc_id")
+  }
+
+  val qSpanMaskSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+      |  FROM documents),
+      |p AS (SELECT doc_id, i - 1 AS pos FROM d,
+      |  unnest(generate_series(1, len(arr))) AS t(i)),
+      |m AS (SELECT doc_id, pos,
+      |    CASE WHEN ('0x' || substr(md5(doc_id || ':' || pos), 1, 15))
+      |      ::BIGINT % 5 = 0 THEN 1 ELSE 0 END AS m
+      |  FROM p),
+      |st AS (SELECT doc_id, m,
+      |    CASE WHEN m = 1 AND coalesce(lag(m) OVER (PARTITION BY doc_id
+      |      ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS start
+      |  FROM m),
+      |a AS (SELECT doc_id, count(*) AS n_tok,
+      |    CAST(sum(m) AS BIGINT) AS n_masked,
+      |    CAST(sum(start) AS BIGINT) AS n_spans
+      |  FROM st GROUP BY doc_id)
+      |SELECT doc_id, n_tok, n_masked, n_spans,
+      |  CAST((n_masked * 1000000) // n_tok AS BIGINT) AS masked_ppm,
+      |  CAST(CASE WHEN n_spans = 0 THEN 0
+      |    ELSE (n_masked * 1000) // n_spans END AS BIGINT) AS mean_span_e3
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  // ───────────────── log loss on the exact probability grid ─────────────────
+
+  /** Log loss (cross-entropy) of the centroid classifier next to
+    * [[qEvalBrier]]: the round(4) cosine maps to the e4 probability
+    * grid, clamps to [1, 9999] (the standard eps-clip — ln(0) guard),
+    * and each row's loss is ROUNDED TO INTEGER MICRONATS BEFORE the
+    * corpus sum — ln of the same exact double is bit-identical on both
+    * engines, and integer sums are order-free (the multi-addend
+    * double-sum hazard never arises). One narrow pass + a global sum.
+    */
+  def qEvalLogloss(spark: SparkSession, sfDir: String): DataFrame =
+    PipelineML.centScored(spark, sfDir)
+      .select(
+        expr("""least(greatest(
+          |  (CAST(round(score * 10000) AS BIGINT) + 10000) div 2,
+          |  1), 9999)""".stripMargin).as("p4"),
+        (col("label") === 1).cast("long").as("y"))
+      .withColumn("loss_e6", expr(
+        """CAST(round(CASE WHEN y = 1
+          |  THEN -ln(CAST(p4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))
+          |  ELSE -ln(CAST(10000 - p4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))
+          |  END * CAST(1000000.0 AS DOUBLE)) AS BIGINT)""".stripMargin))
+      .agg(count(lit(1)).as("n"), sum("loss_e6").as("sum_loss_e6"))
+      .select(col("n"), col("sum_loss_e6"),
+        expr("sum_loss_e6 div n").as("logloss_e6"))
+
+  val qEvalLoglossSql: String =
+    s"""WITH ${PipelineML.centScoredCte},
+      |pe AS (SELECT least(greatest(
+      |    (CAST(round(score * 10000) AS BIGINT) + 10000) // 2, 1), 9999)
+      |      AS p4,
+      |    CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+      |  FROM scored),
+      |l AS (SELECT CAST(round(CASE WHEN y = 1
+      |    THEN -ln(CAST(p4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))
+      |    ELSE -ln(CAST(10000 - p4 AS DOUBLE) / CAST(10000.0 AS DOUBLE))
+      |    END * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS loss_e6
+      |  FROM pe)
+      |SELECT count(*) AS n, CAST(sum(loss_e6) AS BIGINT) AS sum_loss_e6,
+      |  CAST(sum(loss_e6) // count(*) AS BIGINT) AS logloss_e6
+      |FROM l ORDER BY n""".stripMargin
 }

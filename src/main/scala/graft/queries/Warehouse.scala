@@ -613,4 +613,48 @@ object Warehouse {
       |  UNION ALL SELECT 'custkey_fk_customer', CAST(n AS BIGINT),
       |    CAST(v AS BIGINT) FROM fk
       |) ORDER BY rule""".stripMargin
+
+  // ───────────────── SCD type-3: current + previous state ─────────────────
+
+  /** SCD type-3 readout from the shared [[scd2Intervals]] relation: per
+    * user, the CURRENT state, the PREVIOUS state column (type-3 keeps
+    * exactly one history column instead of type-2's full interval
+    * table), when the current state began, and the total change count.
+    * One rank window over the per-user interval relation (already
+    * |changes|-sized, not event-sized).
+    */
+  def qScd3(spark: SparkSession, sfDir: String): DataFrame = {
+    val byGrpDesc = Window.partitionBy("user_id").orderBy(desc("grp"))
+    scd2Intervals(spark, sfDir)
+      .withColumn("rn", row_number().over(byGrpDesc))
+      .filter(col("rn") <= 2)
+      .groupBy("user_id")
+      .agg(max(when(col("rn") === 1, col("state"))).as("state"),
+        max(when(col("rn") === 2, col("state"))).as("prev_state"),
+        max(when(col("rn") === 1, col("valid_from"))).as("changed_at"),
+        max("grp").as("n_intervals"))
+      .orderBy("user_id")
+  }
+
+  val qScd3Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    CAST(ts AS TIMESTAMP) AS tss FROM events),
+      |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END
+      |    AS chg FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |g AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS BIGINT) AS grp FROM c),
+      |iv AS (SELECT user_id, grp, event_type AS state,
+      |    min(tss) AS valid_from FROM g GROUP BY user_id, grp, event_type),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY grp DESC) AS rn FROM iv)
+      |SELECT user_id,
+      |  max(CASE WHEN rn = 1 THEN state END) AS state,
+      |  max(CASE WHEN rn = 2 THEN state END) AS prev_state,
+      |  max(CASE WHEN rn = 1 THEN valid_from END) AS changed_at,
+      |  max(grp) AS n_intervals
+      |FROM r WHERE rn <= 2 GROUP BY user_id ORDER BY user_id""".stripMargin
 }
