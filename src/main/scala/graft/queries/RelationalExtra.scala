@@ -1217,4 +1217,84 @@ object RelationalExtra {
       |  round(r.o_totalprice, 4) AS boundary_price
       |FROM pos JOIN r ON r.rn = pos.p
       |ORDER BY decile""".stripMargin
+
+  // ───────────── round-8: price dispersion across suppliers ─────────────
+
+  /** Per-part cross-supplier price dispersion: each (part, supplier)'s
+    * mean unit price in exact integer micro-cents (sum·1e4 div qty-sum
+    * — one truncating division per pair), then per part the min/max
+    * supplier mean and the spread in ppm of the min — top-20 arbitrage
+    * candidates. Two partial-aggregable rollups on bounded key spaces
+    * (|parts|×|suppliers|, then |parts|); no self-join of the fact.
+    */
+  def qPriceDispersion(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = t(spark, sfDir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(expr("""(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        | * 100) div sum(CAST(l_quantity AS BIGINT)))""".stripMargin)
+        .as("unit_ucents"))
+    ps.groupBy(col("l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min("unit_ucents").as("min_ucents"),
+        max("unit_ucents").as("max_ucents"))
+      .filter(col("n_suppliers") >= 2)
+      .withColumn("spread_ppm",
+        expr("((max_ucents - min_ucents) * 1000000) div min_ucents"))
+      .orderBy(desc("spread_ppm"), asc("partkey"))
+      .limit(20)
+  }
+
+  val qPriceDispersionSql: String =
+    """WITH ps AS (SELECT l_partkey, l_suppkey,
+      |    (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+      |     // sum(CAST(l_quantity AS BIGINT))) AS unit_ucents
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+      |p AS (SELECT l_partkey AS partkey, count(*) AS n_suppliers,
+      |    min(unit_ucents) AS min_ucents, max(unit_ucents) AS max_ucents
+      |  FROM ps GROUP BY l_partkey HAVING count(*) >= 2)
+      |SELECT partkey, n_suppliers,
+      |  CAST(min_ucents AS BIGINT) AS min_ucents,
+      |  CAST(max_ucents AS BIGINT) AS max_ucents,
+      |  CAST(((max_ucents - min_ucents) * 1000000) // min_ucents
+      |    AS BIGINT) AS spread_ppm
+      |FROM p ORDER BY spread_ppm DESC, partkey LIMIT 20""".stripMargin
+
+  // ───────────── round-8: return-rate lift by brand ─────────────
+
+  /** Return-rate lift per brand: each brand's 'R'-flag line share vs the
+    * corpus rate, as exact integer ppm and a cross-multiplied integer
+    * lift (brand_ret·total_n vs total_ret·brand_n — the q_basket_lift
+    * no-double-division discipline). The quality-control readout a
+    * merchandiser sorts by. One fact pass, broadcast part dim, bounded
+    * |brands| grid out.
+    */
+  def qReturnRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .join(broadcast(t(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        (col("l_returnflag") === "R").cast("long").as("ret"))
+    val brand = li.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("ret").as("n_ret"))
+    val tot = brand.agg(sum("n").as("tn"), sum("n_ret").as("tr"))
+    brand.crossJoin(broadcast(tot))
+      .select(col("p_brand"), col("n"), col("n_ret"),
+        expr("(n_ret * 1000000) div n").as("ret_ppm"),
+        expr("(n_ret * tn * 1000) div greatest(tr * n, 1)").as("lift_e3"))
+      .orderBy(desc("lift_e3"), asc("p_brand"))
+  }
+
+  val qReturnRateSql: String =
+    """WITH li AS (SELECT p.p_brand,
+      |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |b AS (SELECT p_brand, count(*) AS n,
+      |    CAST(sum(ret) AS BIGINT) AS n_ret FROM li GROUP BY p_brand),
+      |t AS (SELECT sum(n) AS tn, sum(n_ret) AS tr FROM b)
+      |SELECT p_brand, n, n_ret,
+      |  CAST((n_ret * 1000000) // n AS BIGINT) AS ret_ppm,
+      |  CAST((n_ret * t.tn * 1000) // greatest(t.tr * n, 1) AS BIGINT)
+      |    AS lift_e3
+      |FROM b, t ORDER BY lift_e3 DESC, p_brand""".stripMargin
 }

@@ -301,19 +301,15 @@ object SearchStats {
     v.join(broadcast(bounds), "b")
       .withColumn("prev",
         coalesce(lag("term", 1).over(wIn), col("prev_bmax")))
-      .withColumn("lcp", expr(
-        // the explicit < 1 branch pins the empty-term edge: Spark's
-        // sequence(1, 0) is the DESCENDING [1, 0] (i=0 then "matches"
-        // via zero-length substrings → lcp 1) where DuckDB's
-        // generate_series(1, 0) is empty (lcp 0). The corpus contract
-        // says no empty tokens, but the guard makes the divergence
-        // impossible rather than merely unexercised.
-        """CASE WHEN prev IS NULL THEN 0
-          |WHEN least(length(term), length(prev)) < 1 THEN 0
-          |ELSE size(filter(
-          |  sequence(1, int(least(length(term), length(prev)))),
-          |  i -> substring(term, 1, i) = substring(prev, 1, i))) END"""
-          .stripMargin))
+      // native codegen'd byte-loop LCP (graft.functions.Lcp) — same
+      // answer as the HOF filter-count formulation the oracle keeps
+      // (prefix matching is monotone), without the ~5 s one-shot codegen
+      // of a 3-level interpreted lambda at every fresh JVM. NULL prev
+      // (the global first term) coalesces to 0 like the old CASE arm;
+      // the empty-term edge is byte-loop-natural (lcp 0), where the HOF
+      // needed an explicit sequence(1, 0) guard.
+      .withColumn("lcp",
+        coalesce(graft.functions.Lcp.of(col("term"), col("prev")), lit(0)))
       .agg(count(lit(1)).as("n_terms"),
         sum(length(col("term"))).cast("long").as("raw_bytes"),
         sum(length(col("term")) - col("lcp")).cast("long").as("coded_bytes"),

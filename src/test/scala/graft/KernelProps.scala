@@ -172,4 +172,40 @@ object KernelProps extends Properties("graft.kernels") {
       val hexes = ss.map(md5hex)
       bucket60(hexes.min) == hexes.map(bucket60).min
     }
+
+  // ───────────────── Lcp (round 8) ─────────────────
+
+  private def refLcp(a: String, b: String): Int = {
+    // character-level reference: count of i where the i-char prefixes
+    // match — exactly the HOF formulation the oracle keeps
+    val n = math.min(a.length, b.length)  // UTF-16 — safe for BMP gens
+    var i = 0
+    while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+    i
+  }
+
+  private val lcpStr: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(4)),
+    Gen.oneOf("ü", "中", "☃", ""))).map(_.mkString.take(16))
+
+  property("Lcp matches the char-level reference on BMP strings") =
+    Prop.forAll(lcpStr, lcpStr) { (a, b) =>
+      functions.Lcp.lcp(UTF8String.fromString(a),
+        UTF8String.fromString(b)) == refLcp(a, b)
+    }
+
+  property("Lcp(a, a) = numChars(a); Lcp with empty = 0") =
+    Prop.forAll(lcpStr) { a =>
+      val u = UTF8String.fromString(a)
+      functions.Lcp.lcp(u, u) == u.numChars() &&
+        functions.Lcp.lcp(u, UTF8String.fromString("")) == 0
+    }
+
+  property("Lcp never splits a multi-byte char (boundary backoff)") =
+    Prop.forAll(lcpStr, lcpStr) { (a, b) =>
+      val l = functions.Lcp.lcp(UTF8String.fromString(a),
+        UTF8String.fromString(b))
+      // the l-char prefixes must be equal strings
+      a.take(l) == b.take(l)
+    }
 }
