@@ -681,12 +681,12 @@ object PipelineML {
     * bit_count agree bit-for-bit).
     */
   def qBinaryEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    // native codegen'd sign-packing kernel (graft.functions.PackSignBits)
+    // — same answer as the 64-step aggregate(sequence(...)) HOF the
+    // oracle keeps (distinct bits: the sum IS the bitwise OR), one tight
+    // loop per row instead of 64 interpreted lambda steps
     val packed = vecs(spark, sfDir)
-      .withColumn("h", expr(
-        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-          |  (acc, i) -> acc + IF(element_at(v, i + 1) >= 0D,
-          |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
-          .stripMargin))
+      .withColumn("h", graft.functions.PackSignBits.of(col("v")))
       .withColumn("bucket", expr("h & CAST(255 AS BIGINT)"))
       .select("vec_id", "h", "bucket")
     val a = packed.select(col("vec_id").as("v1"), col("h").as("h1"),

@@ -208,4 +208,21 @@ object KernelProps extends Properties("graft.kernels") {
       // the l-char prefixes must be equal strings
       a.take(l) == b.take(l)
     }
+
+  // ───────────────── PackSignBits (round 8) ─────────────────
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.containerOfN[Array, Double](n,
+        Gen.oneOf(Gen.chooseNum(-5.0, 5.0), Gen.const(0.0),
+          Gen.const(-0.0))))
+
+  property("PackSignBits matches the bit-by-bit reference") =
+    Prop.forAll(vecGen) { v =>
+      val ref = v.take(64).zipWithIndex.foldLeft(0L) { case (h, (x, i)) =>
+        if (x >= 0) h | (1L << i) else h
+      }
+      functions.PackSignBits.pack(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)) == ref
+    }
 }

@@ -102,7 +102,7 @@ class UnitResultsReporter extends Reporter {
     val json =
       s"""{
          |  "comment": "per-unit-row ScalaTest evidence for the oracle=unit queries (no DuckDB oracle); written by graft.UnitResultsReporter on a full sbt test run",
-         |  "count_note": "tests_succeeded counts ScalaTest events only; a full sbt test additionally runs 15 ScalaCheck KernelProps properties under the ScalaCheck framework (invisible to a ScalaTest Reporter), so sbt's own total is tests_succeeded + 15",
+         |  "count_note": "tests_succeeded counts ScalaTest events only; a full sbt test additionally runs 16 ScalaCheck KernelProps properties under the ScalaCheck framework (invisible to a ScalaTest Reporter), so sbt's own total is tests_succeeded + 16",
          |  "tests_succeeded": $totalSucceeded,
          |  "tests_failed": $totalFailed,
          |  "unit_rows": {
