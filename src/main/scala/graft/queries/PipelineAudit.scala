@@ -828,4 +828,120 @@ object PipelineAudit {
       |  (SELECT rep_mean FROM r WHERE rn = 2) AS boot_lo_cents,
       |  (SELECT rep_mean FROM r WHERE rn = 29) AS boot_hi_cents
       |FROM f ORDER BY n_orders""".stripMargin
+
+  // ───────────── hash-permutation test (purchase vs click) ─────────────
+
+  /** Permutation test for the purchase-vs-click mean-value difference
+    * WITHOUT RNG: 30 deterministic label permutations — permutation b
+    * swaps an event's group iff bit b of its 60-bit md5 content hash is
+    * set (expected half the labels flip, the standard approximate
+    * permutation) — and the p-value is the exact rank of the observed
+    * |difference| among the permuted ones ((#{|perm| ≥ |obs|} + 1) /
+    * (B + 1), in ppm). Means are exact integer cents (div); ONE hash
+    * per event amortizes across all 30 permutations (the
+    * q_stats_bootstrap convention). One fact pass fanned ×30 in-row,
+    * partial-aggregable into 30×2 groups.
+    */
+  def qStatsPermutation(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").cast("long").as("g"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        Tables.md5Bucket(col("event_id").cast("string")).as("h"))
+    val obs = ev.groupBy("g")
+      .agg(expr("sum(cents) div count(*)").as("m"))
+      .agg(expr("abs(max(CASE WHEN g = 1 THEN m END) - " +
+        "max(CASE WHEN g = 0 THEN m END))").as("obs_diff"))
+    val perm = ev
+      .select(col("g"), col("cents"), col("h"),
+        explode(sequence(lit(0), lit(29))).as("b"))
+      .withColumn("gp", expr("(g + (shiftright(h, b) & 1)) % 2"))
+      .groupBy("b", "gp")
+      .agg(expr("sum(cents) div count(*)").as("m"))
+      .groupBy("b")
+      .agg(expr("abs(max(CASE WHEN gp = 1 THEN m END) - " +
+        "max(CASE WHEN gp = 0 THEN m END))").as("pd"))
+    perm.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum((col("pd") >= col("obs_diff")).cast("long")).as("n_ge"),
+        max("obs_diff").as("obs_diff_cents"))
+      .select(col("n_perms"), col("obs_diff_cents"), col("n_ge"),
+        expr("((n_ge + 1) * 1000000) div (n_perms + 1)").as("p_ppm"))
+
+  }
+
+  val qStatsPermutationSql: String =
+    """WITH ev AS (SELECT
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT AS h
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |o AS (SELECT abs(max(CASE WHEN g = 1 THEN m END) -
+      |    max(CASE WHEN g = 0 THEN m END)) AS obs_diff
+      |  FROM (SELECT g, CAST(sum(cents) // count(*) AS BIGINT) AS m
+      |    FROM ev GROUP BY g)),
+      |pm AS (SELECT b, abs(max(CASE WHEN gp = 1 THEN m END) -
+      |    max(CASE WHEN gp = 0 THEN m END)) AS pd
+      |  FROM (SELECT b, (g + ((h >> b) & 1)) % 2 AS gp,
+      |      CAST(sum(cents) // count(*) AS BIGINT) AS m
+      |    FROM ev, unnest(generate_series(0, 29)) AS t(b)
+      |    GROUP BY b, gp) GROUP BY b)
+      |SELECT count(*) AS n_perms,
+      |  CAST(max(o.obs_diff) AS BIGINT) AS obs_diff_cents,
+      |  CAST(sum(CASE WHEN pd >= o.obs_diff THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ge,
+      |  CAST(((sum(CASE WHEN pd >= o.obs_diff THEN 1 ELSE 0 END) + 1)
+      |    * 1000000) // (count(*) + 1) AS BIGINT) AS p_ppm
+      |FROM pm, o ORDER BY n_perms""".stripMargin
+
+  // ───────────── Hill tail-index estimator ─────────────
+
+  /** Hill estimator of the order-value tail exponent over the top
+    * k = 100 values: α̂ = 1 / mean(ln(x_i / x_(k+1))) — the
+    * heavy-tail diagnostic next to q_zipf_fit's rank-frequency slope
+    * and q_pareto_cut's 80/20 readout (α ≈ how fast the tail decays;
+    * α < 2 means infinite variance, the regime where mean-based SLAs
+    * lie). The top-(k+1) cut is a distributed TakeOrdered; each ln
+    * ratio of exact integer cents is rounded to integer MICRONATS
+    * before the 100-term mean (order-free).
+    */
+  def qHillTail(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables
+    val top = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .orderBy(desc("cents"), asc("o_orderkey"))
+      .limit(101)
+    val w = Window.orderBy(desc("cents"), asc("o_orderkey"))
+    val ranked = top.withColumn("rn", row_number().over(w))
+    val xk1 = ranked.filter(col("rn") === 101)
+      .select(col("cents").as("xk1"))
+    ranked.filter(col("rn") <= 100)
+      .crossJoin(broadcast(xk1))
+      .select(expr("""CAST(round(ln(CAST(cents AS DOUBLE) / xk1)
+        | * CAST(1000000.0 AS DOUBLE)) AS BIGINT)""".stripMargin)
+        .as("ln_e6"), col("xk1"))
+      .agg(count(lit(1)).as("k"), max("xk1").as("xk1_cents"),
+        expr("sum(ln_e6) div count(*)").as("mean_ln_e6"))
+      .select(col("k"), col("xk1_cents"), col("mean_ln_e6"),
+        expr("1000000000 div greatest(mean_ln_e6, 1)").as("alpha_e3"))
+  }
+
+  val qHillTailSql: String =
+    """WITH top AS (SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders ORDER BY cents DESC, o_orderkey LIMIT 101),
+      |r AS (SELECT cents, row_number() OVER
+      |    (ORDER BY cents DESC, o_orderkey) AS rn FROM top),
+      |k1 AS (SELECT cents AS xk1 FROM r WHERE rn = 101),
+      |l AS (SELECT CAST(round(ln(CAST(cents AS DOUBLE) / xk1)
+      |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS ln_e6, xk1
+      |  FROM r, k1 WHERE rn <= 100)
+      |SELECT count(*) AS k, CAST(max(xk1) AS BIGINT) AS xk1_cents,
+      |  CAST(sum(ln_e6) // count(*) AS BIGINT) AS mean_ln_e6,
+      |  CAST(1000000000 // greatest(sum(ln_e6) // count(*), 1) AS BIGINT)
+      |    AS alpha_e3
+      |FROM l ORDER BY k""".stripMargin
 }

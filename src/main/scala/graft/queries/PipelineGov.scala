@@ -494,4 +494,111 @@ object PipelineGov {
       |SELECT count(*) AS n, CAST(sum(loss_e6) AS BIGINT) AS sum_loss_e6,
       |  CAST(sum(loss_e6) // count(*) AS BIGINT) AS logloss_e6
       |FROM l ORDER BY n""".stripMargin
+
+  // ───────────── CCNet-style LM quality buckets ─────────────
+
+  /** CCNet-shaped perplexity bucketing: an interpolated
+    * bigram+add-one-unigram LM is trained on the trusted source (src0),
+    * every doc is scored by its mean transition surprisal, and the
+    * corpus splits into head/middle/tail quality buckets at the
+    * (grid-resolution) terciles — the classic LM-filtering stage of a
+    * web-scale curation pipeline. Exactness: each transition's
+    * surprisal is rounded to integer MICRONATS before any sum (ln of
+    * identically-spelled exact-rational doubles — bit-identical across
+    * engines); the tercile thresholds come from cumulative counts over
+    * the e4-grid of doc means (a bounded ≤~2k-row domain, the
+    * q_eval_auc argument), NOT from a corpus-sized rank sort. LM tables
+    * are |src0| bounded; scoring joins are bigram/unigram equi-joins.
+    */
+  def qCcnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+    // (doc_id, w1, w2) transitions via the in-row zip — no per-doc
+    // window shuffle of the token stream (the q_ngram_lm shape)
+    val trans = docs.select(col("doc_id"),
+      explode(Tables.bigramsArr(col("arr"))(
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val lmTok = docs.filter(col("source") === "src0")
+      .select(explode(col("arr")).as("w"))
+    val uni = lmTok.groupBy("w").agg(count(lit(1)).as("c2"))
+    val tot = lmTok.agg(count(lit(1)).as("t"),
+      countDistinct("w").as("v"))
+    val bi = docs.filter(col("source") === "src0")
+      .select(explode(Tables.bigramsArr(col("arr"))(
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(sum("c12").as("c1"))
+    val scored = trans
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("s_e6", expr(
+        """CAST(round(-ln(
+          |  CAST(0.7 AS DOUBLE) * (CAST(coalesce(c12, 0) AS DOUBLE)
+          |    / greatest(c1, 1)) +
+          |  CAST(0.3 AS DOUBLE) * (CAST(coalesce(c2, 0) + 1 AS DOUBLE)
+          |    / (t + v))
+          |) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)""".stripMargin))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(expr("sum(s_e6) div count(*)").as("mean_e6"))
+      .withColumn("g4", expr("mean_e6 div 10000"))
+    val grid = perDoc.groupBy("g4").agg(count(lit(1)).as("gn"))
+    val wg = Window.orderBy("g4")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = perDoc.agg(count(lit(1)).as("n"))
+    val cums = grid.withColumn("cum", sum("gn").over(wg))
+      .crossJoin(broadcast(n))
+    val t1 = cums.filter(expr("cum * 3 >= n"))
+      .agg(min("g4").as("t1"))
+    val t2 = cums.filter(expr("cum * 3 >= 2 * n"))
+      .agg(min("g4").as("t2"))
+    perDoc.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .withColumn("bucket",
+        when(col("g4") <= col("t1"), "head")
+          .when(col("g4") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("mean_e6").as("lo_e6"), max("mean_e6").as("hi_e6"))
+      .orderBy("bucket")
+  }
+
+  val qCcnetBucketsSql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS arr
+      |  FROM documents),
+      |tr AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+      |  FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)),
+      |lt AS (SELECT unnest(arr) AS w FROM d WHERE source = 'src0'),
+      |uni AS (SELECT w, count(*) AS c2 FROM lt GROUP BY w),
+      |tot AS (SELECT count(*) AS t, count(DISTINCT w) AS v FROM lt),
+      |bi AS (SELECT arr[i] AS w1, arr[i+1] AS w2, count(*) AS c12
+      |  FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+      |  WHERE source = 'src0' GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY w1),
+      |sc AS (SELECT tr.doc_id,
+      |    CAST(round(-ln(
+      |      CAST(0.7 AS DOUBLE) * (CAST(coalesce(bi.c12, 0) AS DOUBLE)
+      |        / greatest(c1.c1, 1)) +
+      |      CAST(0.3 AS DOUBLE) * (CAST(coalesce(uni.c2, 0) + 1 AS DOUBLE)
+      |        / (tot.t + tot.v))
+      |    ) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS s_e6
+      |  FROM tr LEFT JOIN bi USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |  LEFT JOIN uni ON uni.w = tr.w2 CROSS JOIN tot),
+      |pd AS (SELECT doc_id, CAST(sum(s_e6) // count(*) AS BIGINT)
+      |    AS mean_e6 FROM sc GROUP BY doc_id),
+      |pg AS (SELECT doc_id, mean_e6, mean_e6 // 10000 AS g4 FROM pd),
+      |grid AS (SELECT g4, count(*) AS gn FROM pg GROUP BY g4),
+      |n AS (SELECT count(*) AS n FROM pg),
+      |cums AS (SELECT g4, sum(gn) OVER (ORDER BY g4
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM grid),
+      |t1 AS (SELECT min(g4) AS t1 FROM cums, n WHERE cum * 3 >= n.n),
+      |t2 AS (SELECT min(g4) AS t2 FROM cums, n WHERE cum * 3 >= 2 * n.n)
+      |SELECT CASE WHEN g4 <= t1.t1 THEN 'head'
+      |    WHEN g4 <= t2.t2 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  count(*) AS n_docs, min(mean_e6) AS lo_e6, max(mean_e6) AS hi_e6
+      |FROM pg, t1, t2 GROUP BY bucket ORDER BY bucket""".stripMargin
 }

@@ -766,4 +766,61 @@ object PipelineML {
       |  CAST(max(n_b) AS BIGINT) AS n_b,
       |  CAST(sum((a4 - b4) * (a4 - b4)) AS BIGINT) AS drift_e8
       |FROM c GROUP BY label ORDER BY label""".stripMargin
+
+  // ───────────── Matryoshka truncation-quality audit ─────────────
+
+  /** Matryoshka-style truncated-dimension retrieval audit: for the 5
+    * probe queries, the top-10 by cosine over the FIRST d dims
+    * (d ∈ {16, 32, 64}) is compared against the full-64-dim top-10 —
+    * the measurement that tells an ANN store how many prefix dims it
+    * can serve (MRL embeddings degrade gracefully; random ones don't —
+    * this op is the check). The query side broadcasts (q_ann_recall
+    * shape); per-(query, d) rankings are round(4)-grid-aligned with
+    * cid tiebreaks; output is the bounded 5×3 grid.
+    */
+  def qEmbedMrl(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val dims = spark.range(0, 1)
+      .select(explode(typedLit(Seq(16, 32, 64))).as("d"))
+    val scored = c.crossJoin(broadcast(q)).crossJoin(broadcast(dims))
+      .withColumn("cos", round(VectorOps.cosine(
+        slice(col("cv"), lit(1), col("d")),
+        slice(col("qv"), lit(1), col("d"))), 4))
+    val w = Window.partitionBy("qid", "d").orderBy(desc("cos"), asc("cid"))
+    val top = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select("qid", "d", "cid")
+    // localCheckpoint cuts the self-join lineage: both the full-dim
+    // reference set and the per-d lists derive from the same `top`
+    // relation, and Spark's attribute dedup otherwise mis-resolves the
+    // equi-keys (0-row semi-join observed at sf0.001)
+    val topM = top.localCheckpoint(false)
+    val full = topM.filter(col("d") === 64).select("qid", "cid")
+    topM.join(full, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid"), col("d").cast("long").as("d"))
+      .agg(count(lit(1)).as("n_hit"))
+      .orderBy("qid", "d")
+  }
+
+  val qEmbedMrlSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 5),
+      |dims AS (SELECT unnest([16, 32, 64]) AS d),
+      |sc AS (SELECT qid, cid, d,
+      |    round(CAST(list_cosine_similarity(cv[1:d], qv[1:d])
+      |      AS DOUBLE), 4) AS cos
+      |  FROM c, q, dims),
+      |top AS (SELECT qid, d, cid FROM (SELECT qid, d, cid,
+      |    row_number() OVER (PARTITION BY qid, d
+      |      ORDER BY cos DESC, cid) AS rn FROM sc) WHERE rn <= 10),
+      |f AS (SELECT qid, cid FROM top WHERE d = 64)
+      |SELECT t.qid AS qid, CAST(t.d AS BIGINT) AS d, count(*) AS n_hit
+      |FROM top t JOIN f ON t.qid = f.qid AND t.cid = f.cid
+      |GROUP BY t.qid, t.d ORDER BY t.qid, d""".stripMargin
 }
