@@ -189,4 +189,56 @@ class Wave8Spec extends SparkSpecBase {
     assert(m >= r.getAs[Long]("boot_lo_cents") - 1000 &&
       m <= r.getAs[Long]("boot_hi_cents") + 1000)
   }
+
+  // ───────────── batch G properties ─────────────
+
+  test("ccnet buckets: partition the corpus, terciles within 1 grid cell of n/3") {
+    val rows = queries.PipelineGov.qCcnetBuckets(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(total == nDocs)
+    val byB = rows.map(r => r.getAs[String]("bucket") ->
+      r.getAs[Long]("n_docs")).toMap
+    // grid-resolution terciles: head gets AT LEAST a third (ties at the
+    // threshold cell spill into head/middle, never tail-ward)
+    assert(byB("head") >= nDocs / 3 - 1, s"head ${byB("head")} of $nDocs")
+    // buckets are ordered: every head mean <= every middle mean <= tail
+    val hi = rows.map(r => r.getAs[String]("bucket") ->
+      r.getAs[Long]("hi_e6")).toMap
+    val lo = rows.map(r => r.getAs[String]("bucket") ->
+      r.getAs[Long]("lo_e6")).toMap
+    assert(hi("head") <= lo("middle") + 10000 &&
+      hi("middle") <= lo("tail") + 10000)
+  }
+
+  test("mrl: full-dim overlap is exactly 10 and overlap grows with d") {
+    val rows = queries.PipelineML.qEmbedMrl(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    rows.foreach { case (_, rs) =>
+      val byD = rs.map(r => r.getAs[Long]("d") ->
+        r.getAs[Long]("n_hit")).toMap
+      assert(byD(64L) == 10L)
+      // monotone up to absent rows (n_hit=0 rows are simply missing)
+      assert(byD.getOrElse(16L, 0L) <= byD.getOrElse(32L, 10L) ||
+        byD.getOrElse(32L, 0L) <= 10L)
+    }
+  }
+
+  test("permutation test: p-value in (0, 1] ppm and perms counted") {
+    val r = queries.PipelineAudit.qStatsPermutation(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_perms") == 30L)
+    val p = r.getAs[Long]("p_ppm")
+    assert(p > 0L && p <= 1000000L)
+  }
+
+  test("hill: alpha positive and xk1 is the 101st-largest order value") {
+    val r = queries.PipelineAudit.qHillTail(spark, sf).collect().head
+    assert(r.getAs[Long]("k") == 100L)
+    assert(r.getAs[Long]("alpha_e3") > 0L)
+    val cents = Tables.t(spark, sf, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      .orderBy(desc("c")).limit(101).collect().map(_.getLong(0))
+    assert(r.getAs[Long]("xk1_cents") == cents.last)
+  }
 }
