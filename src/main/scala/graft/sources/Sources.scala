@@ -279,4 +279,95 @@ object Sources {
       |  CAST(regexp_extract(x, '<text[^>]*>(.*)</text>', 1) = text AS INT)
       |    AS roundtrip_ok
       |FROM xml ORDER BY doc_id""".stripMargin
+
+  // ───────────── binaryFile source (multimodal ingest path) ─────────────
+
+  /** binaryFile-source ingest — the multimodal ingestion path: the
+    * q_mm_* payloads enter a real pipeline as FILES (one blob per
+    * object), and `spark.read.format("binaryFile")` is the scan that
+    * lifts them into the (path, length, content) relation the decode
+    * stage consumes. Here 32 deterministic payloads (doc_id-derived
+    * byte patterns, one file each) are written, read back through the
+    * binaryFile source, and re-aggregated: per length-bucket file
+    * counts, total bytes, and an order-free integer checksum (sum of
+    * per-file FNV-style byte folds mod 2⁶³ is overkill — the sum of
+    * (doc_id·length) products re-derives from the ORIGINAL table, which
+    * is what the oracle checks; content fidelity is asserted per file
+    * against the generating formula inside the Spark plan itself via
+    * chk_ok). Scale: binaryFile scans parallelize per file, the decode
+    * family's partitioning story.
+    */
+  def qSourceBinary(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("srcbin")
+    val docs = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 32)
+      .select(col("doc_id"), col("n_chars")).collect()
+    // harness-only driver loop: writes the 32 fixture FILES the source
+    // under test reads (the file system IS the input here)
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val len = (r.getLong(1) % 64 + 16).toInt
+      val bytes = Array.tabulate(len)(i => ((id * 31 + i * 7) % 251).toByte)
+      Files.write(java.nio.file.Paths.get(dir, f"blob_$id%05d.bin"), bytes)
+    }
+    val bin = spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "blob_([0-9]+)\\.bin", 1)
+          .cast("long").as("doc_id"),
+        col("length"), col("content"))
+      // content fidelity proven INSIDE the Spark plan (hex view vs the
+      // generating formula; Spark has no array<byte>→binary cast); the
+      // oracle pins that the per-bucket ok-count equals the file count
+      .withColumn("chk_ok",
+        (hex(col("content")) === expr(
+          """array_join(transform(sequence(0, CAST(length AS INT) - 1),
+            |  i -> lpad(hex((doc_id * 31 + i * 7) % 251), 2, '0')), '')"""
+            .stripMargin)).cast("long"))
+    bin.groupBy((col("length") / 16).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_files"), sum("length").as("total_bytes"),
+        sum(col("doc_id") * col("length")).as("chk_idlen"),
+        sum("chk_ok").as("n_content_ok"))
+      .orderBy("len_bucket")
+  }
+
+  val qSourceBinarySql: String =
+    """WITH b AS (SELECT doc_id, n_chars % 64 + 16 AS len
+      |  FROM documents WHERE doc_id < 32)
+      |SELECT CAST(len // 16 AS BIGINT) AS len_bucket,
+      |  count(*) AS n_files,
+      |  CAST(sum(len) AS BIGINT) AS total_bytes,
+      |  CAST(sum(doc_id * len) AS BIGINT) AS chk_idlen,
+      |  count(*) AS n_content_ok
+      |FROM b GROUP BY len_bucket ORDER BY len_bucket""".stripMargin
+
+  // ───────────── raw text source ─────────────
+
+  /** Raw-text-source ingest: documents serialized as tab-delimited
+    * lines, read back with `spark.read.text` (the schema-free scan a
+    * crawl dump arrives through) and split in the plan — the parse
+    * stage a text-format corpus always needs. The roundtripped rows
+    * must re-aggregate exactly to the original table per language.
+    */
+  def qSourceText(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("srctext")
+    Tables.t(spark, sfDir, "documents")
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("text"))
+        .as("value"))
+      .write.mode("overwrite").text(dir)
+    spark.read.text(dir)
+      .select(split(col("value"), "\t", 3).as("p"))
+      .select(col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("lang"), col("p").getItem(2).as("text"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("chk_chars"),
+        sum(col("doc_id")).as("chk_ids"))
+      .orderBy("lang")
+  }
+
+  val qSourceTextSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS chk_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS chk_ids
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }
