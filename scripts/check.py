@@ -102,7 +102,12 @@ def main():
             tbl = con.execute(q).arrow()
             df = tbl.to_pandas()
             cols = list(tbl.column_names)
-            rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+            # build rows POSITIONALLY from the Arrow columns: to_pylist()
+            # dicts are keyed by column name, so duplicate column names
+            # would silently collapse to the last column's value on both
+            # sides, weakening the compare (round-8 advice)
+            rows = list(zip(*[col.to_pylist() for col in tbl.columns])) \
+                if len(tbl.columns) else []
             return df, cols, rows
 
         try:

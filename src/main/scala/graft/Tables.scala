@@ -104,6 +104,37 @@ object Tables {
   def shingles3(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     shingles3Arr(split(text, " "), text)
 
+  // The distinct shingle relation feeds ≥6 §2.10 consumers (boilerplate,
+  // source-overlap, decontam, ngram-dedup×2, fingerprint, novelty,
+  // contamination); without the memo the explode+distinct runs once per
+  // consumer — it was the slowest row of the round-8 graded bench
+  // (q_boilerplate computed it in two plan branches).
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Distinct (doc_id, source, sh) 3-token-shingle relation over the
+    * corpus, persisted once per (session, sfDir) — the [[tokens]]
+    * discipline. `doc_id` is unique, so the distinct over
+    * (doc_id, source, sh) is exactly the distinct over (doc_id, sh) with
+    * the functional `source` carried along; consumers that need
+    * (source, sh) or a doc_id-sample re-distinct/filter the CACHED rows
+    * instead of re-exploding the corpus. At cluster scale this is the
+    * "materialize the shared shingle table once" move a real pipeline
+    * makes; locally `.persist()` (memory-and-disk) bounds the cost to
+    * one explode + one distinct shuffle per session.
+    */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}:$sfDir"
+    memo(shingleCache, key) {
+      t(spark, sfDir, "documents")
+        .withColumn("arr", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          explode(shingles3Arr(col("arr"), col("text"))).as("sh"))
+        .distinct()
+        .persist()
+    }
+  }
+
   /** Variant taking a pre-bound token-array column. Callers on a hot path
     * must `withColumn("arr", split(...))` first and pass that attribute:
     * inlining the split here puts it inside the transform lambda, where

@@ -1981,8 +1981,10 @@ object EventsPlus {
     * edge days on each side are excluded), seasonal = per-day-of-week
     * mean residual, remainder = residual − seasonal. EVERY component is
     * exact integer cents (moving average and DOW mean via truncating
-    * integer division — identical on both engines for these
-    * non-negative/derived values), so no float accumulates across the
+    * integer division — Spark `div` and DuckDB `//` BOTH truncate toward
+    * zero, verified, so even the routinely-NEGATIVE seasonal residual
+    * sums divide identically; do NOT "fix" either side to floor
+    * semantics), so no float accumulates across the
     * three stages. The day series is calendar-bounded at any corpus
     * scale; dow is aligned to DuckDB's Sunday=0 convention.
     */

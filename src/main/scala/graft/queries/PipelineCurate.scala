@@ -22,21 +22,30 @@ object PipelineCurate {
     * 3-token shingles that are "common" (appear in ≥20 docs). Two key
     * shuffles — (doc, shingle) distinct + shingle df — then one rejoin on
     * shingle; never doc×doc. At 100 TB the df side is the small one
-    * (vocab-bounded) and broadcasts.
+    * (vocab-bounded) and broadcasts. The shingle relation is the
+    * memoized [[Tables.shingles]] persist: it feeds BOTH plan branches
+    * (the df aggregate and the rejoin), so without the cache the
+    * explode+distinct ran twice — the round-8 board's slowest row.
     */
   def qBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.t(spark, sfDir, "documents")
-      .withColumn("arr", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(Tables.shingles3Arr(col("arr"), col("text"))).as("sh"))
-      .distinct()
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(df, "sh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") >= 20, 1L).otherwise(0L)).as("n_common"),
-        expr("(sum(CASE WHEN df >= 20 THEN 1 ELSE 0 END) * 1000000)" +
-          " div count(1)").as("boiler_ppm"))
+    val sh = Tables.shingles(spark, sfDir).select("doc_id", "sh")
+    // Only the COMMON shingles (df ≥ 20 — the boilerplate vocabulary, a
+    // tiny fraction of the shingle space) participate in the rejoin:
+    // per-doc totals come straight off the cached relation, and the
+    // common-set join is a broadcast probe instead of a full
+    // |shingles|-row sort-merge. Values are identical to joining the
+    // full df table (every shingle has df ≥ 1, so the inner join kept
+    // all rows and only the df ≥ 20 flag mattered).
+    val common = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 20).select("sh")
+    val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(broadcast(common), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("(coalesce(n_common, 0) * 1000000) div n_shingles")
+          .as("boiler_ppm"))
       .orderBy("doc_id")
   }
 
@@ -204,11 +213,7 @@ object PipelineCurate {
     * probe-shaped left join; top-50 most contaminated docs.
     */
   def qDecontamNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.t(spark, sfDir, "documents")
-      .withColumn("arr", split(col("text"), " "))
-      .select(col("doc_id"), col("source"),
-        explode(Tables.shingles3Arr(col("arr"), col("text"))).as("sh"))
-      .distinct()
+    val sh = Tables.shingles(spark, sfDir)
     val bench = sh.filter(col("source") === "src0")
       .select("sh").distinct().withColumn("hit", lit(1L))
     sh.filter(col("source") =!= "src0")
@@ -409,12 +414,13 @@ object PipelineCurate {
     * aggregate.
     */
   def qNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.t(spark, sfDir, "documents")
-      .withColumn("arr", split(col("text"), " "))
+    // Distinct-after-hash over the memoized distinct-shingle relation is
+    // exactly the old per-doc array_distinct-of-hashes (a multiset and
+    // its set hash to the same distinct hash set) — oracle unchanged.
+    val sh = Tables.shingles(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(transform(
-          Tables.shingles3Arr(col("arr"), col("text")),
-          s => Tables.md5Bucket(s)))).as("sh"))
+        Tables.md5Bucket(col("sh")).as("sh"))
+      .distinct()
     val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
     sh.join(first, "sh")
       .groupBy("doc_id", "source")

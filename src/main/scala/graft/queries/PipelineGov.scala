@@ -241,11 +241,10 @@ object PipelineGov {
     * 190-row source-pair grid.
     */
   def qSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.t(spark, sfDir, "documents")
-      .withColumn("arr", split(col("text"), " "))
-      .select(col("source"),
-        explode(Tables.shingles3Arr(col("arr"), col("text"))).as("sh"))
-      .distinct()
+    // Re-distinct of the CACHED (doc_id, source, sh) rows — one shuffle
+    // over the memoized relation instead of a second corpus explode.
+    val sh = Tables.shingles(spark, sfDir)
+      .select("source", "sh").distinct()
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source").as("s1"), col("sh"))
     val b = sh.select(col("source").as("s2"), col("sh"))

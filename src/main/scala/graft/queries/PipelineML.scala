@@ -706,7 +706,12 @@ object PipelineML {
       |  FROM embeddings),
       |packed AS (SELECT vec_id,
       |    CAST(list_sum(list_transform(generate_series(0, 63),
-      |      i -> CASE WHEN v[i + 1] < 0 THEN 0
+      |      -- bit set ⟺ v[i] exists, is a number, and is ≥ 0: the NULL
+      |      -- (dim < 64) and NaN guards pin the kernel's semantics
+      |      -- (PackSignBits leaves both unset) instead of relying on the
+      |      -- fixed-64-dim non-null data contract
+      |      i -> CASE WHEN v[i + 1] IS NULL OR isnan(v[i + 1])
+      |                  OR v[i + 1] < 0 THEN 0
       |           WHEN i = 63 THEN -9223372036854775808
       |           ELSE 1::BIGINT << i END)) AS BIGINT) AS h
       |  FROM ed),

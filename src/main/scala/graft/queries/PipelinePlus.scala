@@ -493,13 +493,13 @@ object PipelinePlus {
   /** Document fingerprint: lexicographic min-md5 over 3-token shingles —
     * a winnowing-style content signature that survives local edits. */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.t(spark, sfDir, "documents")
-      .withColumn("arr", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(Tables.shingles3Arr(col("arr"), col("text"))).as("sh"))
+    // The memoized relation is already distinct per (doc_id, sh), so
+    // countDistinct collapses to a plain count (no Expand) and min over
+    // the set equals min over the old multiset — oracle unchanged.
+    Tables.shingles(spark, sfDir)
       .groupBy("doc_id")
       .agg(min(md5(col("sh"))).as("fingerprint"),
-        countDistinct("sh").as("n_shingles"))
+        count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
 
   val qFingerprintSql: String =

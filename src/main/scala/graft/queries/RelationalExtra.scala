@@ -1281,7 +1281,13 @@ object RelationalExtra {
     brand.crossJoin(broadcast(tot))
       .select(col("p_brand"), col("n"), col("n_ret"),
         expr("(n_ret * 1000000) div n").as("ret_ppm"),
-        expr("(n_ret * tn * 1000) div greatest(tr * n, 1)").as("lift_e3"))
+        // the triple product n_ret·tn·1000 overflows BIGINT around
+        // sf300 (tn ~ 2e9 lines) — widen to DECIMAL(38,0) ↔ HUGEINT
+        // (the q_kmv_distinct precedent) so the at-scale exactness
+        // claim actually holds; `div` on decimals returns BIGINT
+        expr("CAST(CAST(n_ret AS DECIMAL(38,0)) * tn * 1000 AS DECIMAL(38,0))" +
+          " div CAST(greatest(CAST(tr AS DECIMAL(38,0)) * n, 1) AS DECIMAL(38,0))")
+          .as("lift_e3"))
       .orderBy(desc("lift_e3"), asc("p_brand"))
   }
 
@@ -1294,7 +1300,7 @@ object RelationalExtra {
       |t AS (SELECT sum(n) AS tn, sum(n_ret) AS tr FROM b)
       |SELECT p_brand, n, n_ret,
       |  CAST((n_ret * 1000000) // n AS BIGINT) AS ret_ppm,
-      |  CAST((n_ret * t.tn * 1000) // greatest(t.tr * n, 1) AS BIGINT)
-      |    AS lift_e3
+      |  CAST((n_ret::HUGEINT * t.tn * 1000)
+      |    // greatest(t.tr::HUGEINT * n, 1) AS BIGINT) AS lift_e3
       |FROM b, t ORDER BY lift_e3 DESC, p_brand""".stripMargin
 }

@@ -57,6 +57,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(Tables.tokens(spark, sf) eq t)
   }
 
+  test("distinct shingle relation is persisted and reused across the family") {
+    val s = Tables.shingles(spark, sf)
+    assert(s.storageLevel.useMemory || s.storageLevel.useDisk,
+      "shingle relation is not persisted")
+    assert(Tables.shingles(spark, sf) eq s)
+    // and the round-8 weak row actually consumes it: both plan branches
+    // of q_boilerplate read the cache, not a re-exploded corpus
+    val p = plan("q_boilerplate")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"boilerplate no longer reads the shared shingle cache twice:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"boilerplate common-set probe is not a broadcast join:\n$p")
+  }
+
   test("q_agg_basic aggregates partially before the shuffle") {
     val p = plan("q_agg_basic")
     // two-phase hash aggregation: partial_ function forms below the
@@ -184,11 +198,17 @@ class PlanAuditSpec extends SparkSpecBase {
 
   // ───────────────────────── round-3 shapes ─────────────────────────
 
-  test("q_contamination is a single pass — one documents scan, no self-join") {
+  test("q_contamination is a single pass — one shingle scan, no self-join") {
     val p = plan("q_contamination")
-    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
-      s"fingerprint scan evaluated more than once:\n$p")
-    assert(!p.contains("Join"), s"pair generation regressed to a join:\n$p")
+    // The fingerprint source is the memoized Tables.shingles persist:
+    // exactly ONE cache scan (FileScan lines inside the InMemoryRelation
+    // subtree are its definition — the AQE initial+final sections print
+    // it up to twice — not extra evaluations) and NEVER a doc×doc join.
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) == 1,
+      s"fingerprint source evaluated more than once:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Join") && !l.contains("InMemoryRelation")),
+      s"pair generation regressed to a join:\n$p")
   }
 
   test("q_decontam_ngram probes a BROADCAST benchmark set, no BNLJ") {

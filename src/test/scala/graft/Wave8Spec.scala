@@ -40,9 +40,19 @@ class Wave8Spec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val bm = queries.Search.qSearchBm25(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // both are top-10 of the same {spark, join} conjunctive docs — the
-    // universes match even if the rankings differ
+    // both are top-10 of the same {spark, join} conjunctive docs — every
+    // returned doc must actually contain BOTH terms, even when the two
+    // rankings order them differently
+    import org.apache.spark.sql.functions._
+    val universe = Tables.docTerms(spark, sf)
+      .filter(col("term").isin("spark", "join"))
+      .groupBy("doc_id").count().filter(col("count") === 2)
+      .collect().map(_.getLong(0)).toSet
     assert(pl2.nonEmpty && bm.nonEmpty)
+    assert(pl2.subsetOf(universe),
+      s"PL2 returned docs outside the conjunctive set: ${pl2 -- universe}")
+    assert(bm.subsetOf(universe),
+      s"BM25 returned docs outside the conjunctive set: ${bm -- universe}")
   }
 
   test("filter cascade: pass counts never exceed n and ordering is by reject_per_cost") {
