@@ -30,11 +30,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark)
     // JVM/codegen warmup outside the timed loop (the first timed query
-    // otherwise absorbs ~3 s of JIT + codegen compilation)
+    // otherwise absorbs ~3 s of JIT + codegen compilation), PLUS one
+    // footer-read + metadata count per table: cold parquet footers/IO
+    // otherwise land on whichever timed query first touches each table —
+    // q_scan_count (a headline shape, unions counts over all 10) read
+    // 2.7 s median vs 0.6 s min in the round-8 driver run for exactly
+    // this reason.
     try {
-      val w = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val w = Tables.t(spark, sfDir, "lineitem")
       w.groupBy("l_returnflag").count().count()
-      w.limit(1).count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        Tables.t(spark, sfDir, t).count()
+      }
+      Tables.events(spark, sfDir).count()
     } catch { case _: Throwable => () }
     // 3-run-median protocol (round-3 advice): BASELINE.md documents a
     // 138–204 s run-to-run spread from external box load with no code

@@ -82,6 +82,40 @@ object Sources {
     pruned
   }
 
+  /** Dynamic partition pruning (DPP) on the dominant warehouse shape:
+    * a fact table PARTITIONED ON THE JOIN KEY joined to a dim filtered
+    * on a NON-key attribute. Static pruning (q_sink_partitioned) can't
+    * help — the qualifying keys are only known after the dim filter
+    * runs — so Catalyst injects a DynamicPruningExpression into the
+    * fact scan's PartitionFilters, reusing the dim's broadcast to skip
+    * whole partition directories at run time. At 100 TB this is the
+    * difference between scanning 5/25 of the fact and scanning all of
+    * it. PlanAuditSpec pins `dynamicpruning` in the scan; the checked
+    * aggregate re-derives from the ORIGINAL tables (q_source_orc
+    * precedent), so the sink+join is fully DuckDB-oracled.
+    */
+  def qJoinDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tmpDir("graft_dpp_")
+    Tables.t(spark, sfDir, "customer")
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.t(spark, sfDir, "nation")
+      .filter(col("n_regionkey") === 0)
+    fact.join(dim, fact("c_nationkey") === dim("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+      .orderBy("n_name")
+  }
+
+  val qJoinDppSql: String =
+    """SELECT n_name, count(*) AS n_cust,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_regionkey = 0
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** CSV sink → source roundtrip: write orders as headered CSV, re-read
     * with explicit schema, verify the aggregate survives the text
     * representation (timestamps/floats are the lossy suspects). The

@@ -71,6 +71,19 @@ class PlanAuditSpec extends SparkSpecBase {
       s"boilerplate common-set probe is not a broadcast join:\n$p")
   }
 
+  test("q_join_dpp fires dynamic partition pruning on the fact scan") {
+    // the one Catalyst scale feature static pins can't cover: the fact
+    // is partitioned ON the join key and the dim filter is on a NON-key
+    // attribute, so only a runtime DynamicPruningExpression can skip
+    // partition directories — assert it landed in the scan, not a plain
+    // post-scan data filter
+    val p = plan("q_join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in the partitioned fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim side not broadcast (DPP reuses the broadcast):\n$p")
+  }
+
   test("q_agg_basic aggregates partially before the shuffle") {
     val p = plan("q_agg_basic")
     // two-phase hash aggregation: partial_ function forms below the
