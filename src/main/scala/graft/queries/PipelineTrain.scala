@@ -1,0 +1,620 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-9 training-prep wave (SURVEY.md §2.20): the operators a team
+  * runs between "curated corpus" and "training job" — budgeted source
+  * selection, an in-engine naive-Bayes classifier (train + score +
+  * confusion in one plan), a distributed logistic-regression gradient
+  * step, embedding whitening/outlier detection, hashdiff change capture,
+  * and the raw `spark.sql` front-end surface.
+  *
+  * Determinism: corpus-sized accumulations are exact integers (token
+  * counts, micronat-rounded log-probabilities — the q_ccnet_buckets
+  * discipline — and micro-unit-rounded gradient terms); floats appear
+  * only in bounded-table math or closing per-row expressions on the
+  * round(4)/round(6) grid.
+  */
+object PipelineTrain {
+
+  // ─────────────── token-budget greedy source selection ───────────────
+
+  private val BudgetChars = 30000L
+
+  /** Greedy per-source selection under a character budget: rank each
+    * source's docs by length (quality proxy) with a doc_id tiebreak,
+    * keep while the running total stays ≤ 30k chars — the "fill each
+    * source's token quota with its best documents" mixing step that
+    * runs after q_mix_sample decides the quotas. The running sum is a
+    * window PARTITIONED by source (never global); at cluster scale the
+    * same statement range-partitions per source, and the
+    * q_shard_pack bucket-offset rewrite applies if one source
+    * dominates. Output: |sources| exact-integer rows.
+    */
+  def qTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum", sum("n_chars").over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cum") <= BudgetChars, 1L).otherwise(0L))
+          .as("kept_docs"),
+        sum(when(col("cum") <= BudgetChars, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy("source")
+  }
+
+  val qTokenBudgetSql: String =
+    s"""WITH c AS (SELECT source, n_chars,
+       |    sum(n_chars) OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN cum <= $BudgetChars THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS kept_docs,
+       |  CAST(sum(CASE WHEN cum <= $BudgetChars THEN n_chars ELSE 0 END)
+       |    AS BIGINT) AS kept_chars
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  // ─────────────── multinomial naive Bayes language classifier ──────────
+
+  /** Multinomial naive-Bayes language classifier, trained AND scored in
+    * one plan: add-one-smoothed per-(lang, term) token likelihoods +
+    * doc-count priors train on the whole corpus, every doc is scored
+    * against all 5 language models, and the output is the 5×5 confusion
+    * matrix (resubstitution). The model is VOCAB×LANGS rows — a
+    * broadcast dim table; scoring is one tokens⋈model broadcast join
+    * and a per-(doc, candidate) exact-integer sum: each log-probability
+    * is rounded to integer MICRONATS before summation (the
+    * q_ccnet_buckets discipline), so per-doc totals and the argmax are
+    * exact on both engines, with a lang-name tiebreak. Scale: one token
+    * pass for counts, one broadcast-join pass to score; no corpus
+    * self-join.
+    */
+  def qNaiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+    val counts = toks.groupBy("lang", "term").agg(count(lit(1)).as("c"))
+    val langTotals = toks.groupBy("lang").agg(count(lit(1)).as("tl"))
+    val vocab = toks.select("term").distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    // model grid: every (candidate lang, term), zero-count terms included
+    val model = vocab.crossJoin(
+        broadcast(langTotals.select(col("lang").as("cand"), col("tl"))))
+      .join(counts.select(col("lang").as("cand"), col("term"), col("c")),
+        Seq("cand", "term"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("cand"), col("term"),
+        round(log((coalesce(col("c"), lit(0L)) + 1L).cast("double") /
+          (col("tl") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("lp"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val priors = docs.groupBy(col("lang").as("cand"))
+      .agg(count(lit(1)).as("dl"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("cand"),
+        round(log(col("dl").cast("double") / col("nd").cast("double")) * 1e6)
+          .cast("long").as("prior"))
+    val scores = toks.join(broadcast(model), "term")
+      .groupBy("doc_id", "lang", "cand")
+      .agg(sum("lp").as("s"))
+      .join(broadcast(priors), "cand")
+      .withColumn("total", col("s") + col("prior"))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("total").desc, col("cand"))
+    scores.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang"), col("cand").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  val qNaiveBayesSql: String =
+    """WITH toks AS (SELECT doc_id, lang,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |counts AS (SELECT lang, term, count(*) AS c
+      |  FROM toks GROUP BY lang, term),
+      |lt AS (SELECT lang, count(*) AS tl FROM toks GROUP BY lang),
+      |vocab AS (SELECT DISTINCT term FROM toks),
+      |vs AS (SELECT count(*) AS v FROM vocab),
+      |model AS (SELECT lt.lang AS cand, vocab.term,
+      |    CAST(round(ln((coalesce(c, 0) + 1)
+      |      / CAST(tl + v AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+      |  FROM vocab CROSS JOIN lt CROSS JOIN vs
+      |  LEFT JOIN counts ON counts.lang = lt.lang
+      |    AND counts.term = vocab.term),
+      |nd AS (SELECT count(*) AS nd FROM documents),
+      |priors AS (SELECT lang AS cand,
+      |    CAST(round(ln(count(*) / CAST((SELECT nd FROM nd) AS DOUBLE))
+      |      * 1000000) AS BIGINT) AS prior
+      |  FROM documents GROUP BY lang),
+      |scores AS (SELECT t.doc_id, t.lang, m.cand,
+      |    sum(m.lp) + any_value(p.prior) AS total
+      |  FROM toks t JOIN model m USING (term)
+      |  JOIN priors p ON p.cand = m.cand
+      |  GROUP BY t.doc_id, t.lang, m.cand),
+      |best AS (SELECT doc_id, lang, cand,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY total DESC, cand) AS rk
+      |  FROM scores)
+      |SELECT lang, cand AS pred, count(*) AS n
+      |FROM best WHERE rk = 1
+      |GROUP BY lang, cand ORDER BY lang, pred""".stripMargin
+
+  // ───────── distributed logistic-regression gradient step ─────────
+
+  /** One exact distributed gradient-descent step for logistic
+    * regression (y = label ≥ 5, x = the 64-dim embedding, w₀ = 0): at
+    * the zero vector σ(w·x) = ½ exactly, so the batch gradient
+    * gⱼ = Σᵢ(½ − yᵢ)xᵢⱼ = ½·Σᵢ(1 − 2yᵢ)xᵢⱼ. Each coordinate is rounded
+    * to integer MICRO-UNITS (qᵢⱼ = round(10⁶·xᵢⱼ)) so the gradient sum
+    * is an exact BIGINT on both engines — no float accumulation across
+    * rows — and the weight update w₁ⱼ = −lr·gⱼ/n is one closing
+    * division. Output: the 8 strongest coordinates. This is the
+    * gradient-aggregation pattern (partial-aggregable per-dim sums); a
+    * multi-step loop re-broadcasts w each round, the q_kmeans_iter
+    * discipline.
+    */
+  def qLogregGd(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        when(col("label") >= 5, 1L).otherwise(0L).as("y"),
+        posexplode(col("embedding")).as(Seq("p", "xv")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("dim"),
+        (lit(1L) - lit(2L) * col("y")).as("sgn"),
+        round(col("xv").cast("double") * 1e6).cast("long").as("q"))
+    val n = Tables.t(spark, sfDir, "embeddings").agg(count(lit(1)).as("n"))
+    x.groupBy("dim")
+      .agg(sum(col("sgn") * col("q")).as("gsum"))
+      .crossJoin(broadcast(n))
+      .select(col("dim"), col("n"), col("gsum"),
+        // w₁ = −lr·g/n with lr = 1, g = gsum/(2·10⁶)
+        round(-col("gsum").cast("double") /
+          (lit(2e6) * col("n").cast("double")), 6).as("w1"))
+      .orderBy(abs(col("gsum")).desc, col("dim"))
+      .limit(8)
+  }
+
+  val qLogregGdSql: String =
+    """WITH x AS (SELECT vec_id,
+      |    CASE WHEN label >= 5 THEN -1 ELSE 1 END AS sgn,
+      |    i AS dim,
+      |    CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+      |      * 1000000) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, 64)) t(i)),
+      |n AS (SELECT count(*) AS n FROM embeddings),
+      |g AS (SELECT dim, CAST(sum(sgn * q) AS BIGINT) AS gsum FROM x
+      |  GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) AS dim, n.n, gsum,
+      |  round(-gsum / (2000000.0 * n.n), 6) AS w1
+      |FROM g, n
+      |ORDER BY abs(gsum) DESC, dim LIMIT 8""".stripMargin
+
+  // ───────── embedding whitening + Mahalanobis outliers ─────────
+
+  /** Diagonal-whitening outlier detection over the embedding corpus:
+    * per-dimension mean/stddev (the q_embed_dim_var moment pass —
+    * 64 bounded rows, broadcast back), each vector's diagonal
+    * Mahalanobis distance Σⱼ((xⱼ−mⱼ)/sⱼ)², and the top-10 outliers —
+    * the "which embeddings don't belong?" audit run before training on
+    * them. The presentation sort keys on the ROUNDED distance with a
+    * vec_id tiebreak, so the cross-engine rank is stable wherever the
+    * round(4) values agree. Scale: two narrow passes + a 64-row
+    * broadcast; the top-k is a TakeOrdered, never a global sort.
+    */
+  def qEmbedWhiten(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("dim"),
+        col("v").cast("double").as("v"))
+    val st = x.groupBy("dim")
+      .agg(avg("v").as("m"), expr("stddev_samp(v)").as("s"))
+    x.join(broadcast(st), "dim")
+      .groupBy("vec_id")
+      .agg(sum(pow((col("v") - col("m")) / col("s"), 2)).as("d2"))
+      .select(col("vec_id"), round(col("d2"), 4).as("maha_sq"))
+      .orderBy(col("maha_sq").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val qEmbedWhitenSql: String =
+    """WITH x AS (SELECT vec_id, i AS dim,
+      |    CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(generate_series(1, 64)) t(i)),
+      |st AS (SELECT dim, avg(v) AS m, stddev_samp(v) AS s
+      |  FROM x GROUP BY dim),
+      |d AS (SELECT vec_id, sum(pow((v - m) / s, 2)) AS d2
+      |  FROM x JOIN st USING (dim) GROUP BY vec_id)
+      |SELECT vec_id, round(d2, 4) AS maha_sq
+      |FROM d ORDER BY round(d2, 4) DESC, vec_id LIMIT 10""".stripMargin
+
+  // ───────── hashdiff change-data-capture classification ─────────
+
+  /** Data-vault-style hashdiff change detection between two order
+    * snapshots: the new snapshot drops every 13th key (deletes), bumps
+    * every 7th key's total by 500 cents (updates), and re-keys every
+    * 17th key above a 10¹⁰ offset (inserts); ONE md5 over the
+    * pipe-joined attribute tuple per row then classifies each full-
+    * outer-joined key as added / removed / changed / unchanged without
+    * comparing columns individually — the satellite-update pattern that
+    * stays one hash column wide no matter how wide the row gets.
+    * Per-class counts and the exact-cents delta close the audit. Scale:
+    * one equi-join on the key, hash computed in the row pass.
+    */
+  def qCdcHashdiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_orderpriority").as("pr"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    def hashed(df: DataFrame): DataFrame =
+      df.withColumn("hd",
+        md5(concat_ws("|", col("st"), col("pr"),
+          col("cents").cast("string"))))
+    val old = hashed(o)
+    val upd = o.filter(col("k") % 13 =!= 0)
+      .withColumn("cents",
+        when(col("k") % 7 === 0, col("cents") + 500L).otherwise(col("cents")))
+    val ins = o.filter(col("k") % 17 === 0)
+      .select((col("k") + 10000000000L).as("k"), col("st"), col("pr"),
+        col("cents"))
+    val nw = hashed(upd.unionByName(ins))
+    old.select(col("k"), col("hd").as("h_old"), col("cents").as("c_old"))
+      .join(nw.select(col("k"), col("hd").as("h_new"),
+        col("cents").as("c_new")), Seq("k"), "full_outer")
+      .select(
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("cls"),
+        (coalesce(col("c_new"), lit(0L)) - coalesce(col("c_old"), lit(0L)))
+          .as("delta"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n"), sum("delta").as("delta_cents"))
+      .orderBy("cls")
+  }
+
+  val qCdcHashdiffSql: String =
+    """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    o_orderpriority AS pr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |old AS (SELECT k, cents,
+      |    md5(st || '|' || pr || '|' || CAST(cents AS VARCHAR)) AS hd
+      |  FROM o),
+      |upd AS (SELECT k, st, pr,
+      |    CASE WHEN k % 7 = 0 THEN cents + 500 ELSE cents END AS cents
+      |  FROM o WHERE k % 13 <> 0),
+      |ins AS (SELECT k + 10000000000 AS k, st, pr, cents
+      |  FROM o WHERE k % 17 = 0),
+      |nw AS (SELECT k, cents,
+      |    md5(st || '|' || pr || '|' || CAST(cents AS VARCHAR)) AS hd
+      |  FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)),
+      |j AS (SELECT
+      |    CASE WHEN old.hd IS NULL THEN 'added'
+      |      WHEN nw.hd IS NULL THEN 'removed'
+      |      WHEN old.hd <> nw.hd THEN 'changed'
+      |      ELSE 'unchanged' END AS cls,
+      |    coalesce(nw.cents, 0) - coalesce(old.cents, 0) AS delta
+      |  FROM old FULL OUTER JOIN nw USING (k))
+      |SELECT cls, count(*) AS n,
+      |  CAST(sum(delta) AS BIGINT) AS delta_cents
+      |FROM j GROUP BY cls ORDER BY cls""".stripMargin
+
+  // ───────── raw SQL front-end surface ─────────
+
+  /** The SAME ANSI SQL text runs on both engines: Spark executes it via
+    * `spark.sql` over [[Tables.registerViews]] temp views, DuckDB over
+    * its parquet views — pinning that a reference user can bring plain
+    * SQL (CTEs, multi-way joins, window rank) to this engine unchanged.
+    * The query itself is the top-2-nations-per-region revenue board:
+    * exact integer cents, a broadcastable dim chain, one window over
+    * the |nations|-row aggregate.
+    */
+  val qSqlApiSql: String =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name),
+      |ranked AS (
+      |  SELECT r_name, n_name, cents,
+      |    row_number() OVER (PARTITION BY r_name
+      |      ORDER BY cents DESC, n_name) AS rn
+      |  FROM rev)
+      |SELECT r_name, n_name, cents, CAST(rn AS BIGINT) AS rn
+      |FROM ranked WHERE rn <= 2
+      |ORDER BY r_name, rn""".stripMargin
+
+  def qSqlApi(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerViews(spark, sfDir)
+    spark.sql(qSqlApiSql)
+  }
+
+  // ───────── class-balanced deterministic downsampling ─────────
+
+  /** Class-balanced downsampling of the embedding corpus: every label
+    * keeps exactly min-class-size rows, chosen by content-hash order
+    * (the q_split_train engine-portable convention) with a vec_id
+    * tiebreak — the oversampled-class trim before training a classifier
+    * on skewed labels. The per-label rank window partitions on label
+    * (bounded groups); the kept-set is PROVEN deterministic by shipping
+    * its exact vec_id checksum per label. Scale: one narrow pass + a
+    * label-partitioned window + a 1-row broadcast cap.
+    */
+  def qSampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.t(spark, sfDir, "embeddings").select("vec_id", "label")
+    val cap = e.groupBy("label").agg(count(lit(1)).as("cn"))
+      .agg(min("cn").as("cap"))
+    val w = Window.partitionBy("label")
+      .orderBy(Tables.md5Bucket(col("vec_id").cast("string")), col("vec_id"))
+    e.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("rn") <= col("cap"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("rn") <= col("cap"), col("vec_id")).otherwise(0L))
+          .as("kept_vecsum"))
+      .orderBy("label")
+  }
+
+  val qSampleBalancedSql: String =
+    """WITH cap AS (SELECT min(cn) AS cap FROM (
+      |    SELECT label, count(*) AS cn FROM embeddings GROUP BY label)),
+      |r AS (SELECT label, vec_id,
+      |    row_number() OVER (PARTITION BY label ORDER BY
+      |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      |      vec_id) AS rn
+      |  FROM embeddings)
+      |SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+      |  CAST(sum(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+      |  CAST(sum(CASE WHEN rn <= cap THEN vec_id ELSE 0 END) AS BIGINT)
+      |    AS kept_vecsum
+      |FROM r, cap GROUP BY label ORDER BY label""".stripMargin
+
+  // ───────── C4-style line-level duplication audit ─────────
+
+  /** Line-level duplication audit (the C4 move, adapted to the
+    * newline-free corpus): docs split into non-overlapping 8-token
+    * segments, a segment is "duplicated" when its text appears in ≥ 2
+    * DISTINCT documents, and each source reports its duplicated-segment
+    * instance share — the granularity BETWEEN q_dedup_exact (whole doc)
+    * and the 3-token shingle family. One explode pass (|tokens|/8
+    * rows), one segment-keyed aggregate, one equi-join back — the
+    * exact-dedup shuffle shape, never all-pairs. Exact-integer output.
+    */
+  def qLineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          sequence(lit(0), expr("(size(arr) - 1) div 8")),
+          i => concat_ws(" ", slice(col("arr"), i * 8 + 1, lit(8))))).as("seg"))
+    val dup = segs.groupBy("seg")
+      .agg(countDistinct("doc_id").as("nd"))
+    segs.join(dup, "seg")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_inst"))
+      .select(col("source"), col("n_seg"), col("dup_inst"),
+        expr("dup_inst * 1000000 div n_seg").as("dup_ppm"))
+      .orderBy("source")
+  }
+
+  val qLineDedupSql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS arr
+      |  FROM documents),
+      |segs AS (SELECT doc_id, source,
+      |    array_to_string(arr[i * 8 + 1 : i * 8 + 8], ' ') AS seg
+      |  FROM d, unnest(generate_series(0, (len(arr) - 1) // 8)) t(i)),
+      |dup AS (SELECT seg, count(DISTINCT doc_id) AS nd
+      |  FROM segs GROUP BY seg)
+      |SELECT source, count(*) AS n_seg,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_inst,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS dup_ppm
+      |FROM segs JOIN dup USING (seg)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ───────── RAKE keyphrase extraction ─────────
+
+  /** RAKE keyphrase extraction over the corpus: candidate phrases are
+    * maximal stopword-free token runs (stopwords {a, the} — the
+    * corpus's function words), each word scores degree/frequency
+    * (degree = Σ lengths of phrases containing it), and a phrase scores
+    * the sum of its word scores — the phrase-level companion to
+    * q_keywords' unigram TF-IDF tags. EVERY score is an exact integer:
+    * word score in micro-units via one integer division
+    * (deg·10⁶ div freq), phrase score an exact sum of those — no float
+    * anywhere, so the top-20 ranking can't fork on ulps. Scale: one
+    * token pass; phrase segmentation is a per-doc window (gaps-islands
+    * on the stopword flag); word table is vocab-bounded and broadcast
+    * back.
+    */
+  def qKeyphraseRake(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "tok")))
+      .withColumn("stop", col("tok").isin("a", "the"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val seg = toks
+      .withColumn("grp",
+        sum(when(col("stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("stop"))
+    val wPhrase = Window.partitionBy("doc_id", "grp")
+    val withLen = seg.withColumn("plen", count(lit(1)).over(wPhrase))
+    val words = withLen.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("tok"),
+        expr("deg * 1000000 div freq").as("wscore"))
+    val phrases = withLen.join(broadcast(words), "tok")
+      .groupBy("doc_id", "grp")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("phrase"),
+        sum("wscore").as("score_e6"))
+    phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occur"), max("score_e6").as("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase"))
+      .limit(20)
+  }
+
+  val qKeyphraseRakeSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr
+      |  FROM documents),
+      |toks AS (SELECT doc_id, i AS pos, arr[CAST(i AS INTEGER)] AS tok,
+      |    arr[CAST(i AS INTEGER)] IN ('a', 'the') AS stop
+      |  FROM d, unnest(generate_series(1, len(arr))) t(i)),
+      |seg AS (SELECT doc_id, pos, tok,
+      |    sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM toks QUALIFY NOT stop),
+      |wl AS (SELECT doc_id, grp, pos, tok,
+      |    count(*) OVER (PARTITION BY doc_id, grp) AS plen
+      |  FROM seg),
+      |words AS (SELECT tok,
+      |    sum(plen) * 1000000 // count(*) AS wscore
+      |  FROM wl GROUP BY tok),
+      |phrases AS (SELECT doc_id, grp,
+      |    string_agg(wl.tok, ' ' ORDER BY pos) AS phrase,
+      |    sum(wscore) AS score_e6
+      |  FROM wl JOIN words ON wl.tok = words.tok
+      |  GROUP BY doc_id, grp)
+      |SELECT phrase, count(*) AS n_occur,
+      |  CAST(max(score_e6) AS BIGINT) AS score_e6
+      |FROM phrases GROUP BY phrase
+      |ORDER BY score_e6 DESC, phrase LIMIT 20""".stripMargin
+
+  // ───────── kNN label-agreement (label-noise) audit ─────────
+
+  /** Label-noise audit via nearest-neighbor agreement: each embedding's
+    * nearest OTHER vector (cosine) inside its 8-bit coordinate-sign LSH
+    * bucket votes on the label; per label, the share of agreeing votes —
+    * low agreement flags mislabeled or boundary examples before they
+    * poison training (confident-learning's core signal). Candidates
+    * come from a bucket EQUI-join (the q_binary_embed sign-LSH shape,
+    * never all-pairs); the re-score is the codegen'd ArrayDot cosine on
+    * the round(4) grid with a neighbor-id tiebreak, so the chosen
+    * neighbor is engine-stable. Scale: O(Σ bucket²) candidate pairs,
+    * one row-number window per probe vector.
+    */
+  def qKnnLabelAgree(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val bucketed = e.withColumn("bucket",
+      (0 until 8).map(i =>
+        when(element_at(col("v"), i + 1) >= 0.0, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _))
+    val a = bucketed.select(col("vec_id").as("v1"), col("label").as("l1"),
+      col("v").as("va"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("v2"), col("label").as("l2"),
+      col("v").as("vb"), col("bucket"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("v1") =!= col("v2"))
+      .withColumn("cos",
+        round(graft.functions.VectorOps.cosine(col("va"), col("vb")), 4))
+    val wNn = Window.partitionBy("v1")
+      .orderBy(col("cos").desc, col("v2"))
+    pairs.withColumn("rn", row_number().over(wNn))
+      .filter(col("rn") === 1)
+      .groupBy(col("l1").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("l1") === col("l2"), 1L).otherwise(0L)).as("agree"))
+      .select(col("label"), col("n_scored"), col("agree"),
+        expr("agree * 1000000 div n_scored").as("agree_ppm"))
+      .orderBy("label")
+  }
+
+  val qKnnLabelAgreeSql: String =
+    """WITH ed AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |bk AS (SELECT vec_id, label, v,
+      |    CAST(list_sum(list_transform(generate_series(0, 7),
+      |      i -> CASE WHEN v[i + 1] >= 0 THEN 1 << i ELSE 0 END))
+      |      AS BIGINT) AS bucket
+      |  FROM ed),
+      |pairs AS (SELECT a.vec_id AS v1, a.label AS l1,
+      |    b.vec_id AS v2, b.label AS l2,
+      |    round(list_cosine_similarity(a.v, b.v), 4) AS cos
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket
+      |    AND a.vec_id <> b.vec_id),
+      |nn AS (SELECT l1, l2,
+      |    row_number() OVER (PARTITION BY v1
+      |      ORDER BY cos DESC, v2) AS rn
+      |  FROM pairs)
+      |SELECT CAST(l1 AS BIGINT) AS label, count(*) AS n_scored,
+      |  CAST(sum(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+      |  CAST(sum(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) * 1000000 // count(*)
+      |    AS BIGINT) AS agree_ppm
+      |FROM nn WHERE rn = 1 GROUP BY l1 ORDER BY label""".stripMargin
+
+  // ───────── temperature-scaling calibration grid ─────────
+
+  /** Temperature-scaling calibration: the centScored one-vs-rest
+    * classifier's log-loss evaluated over a 6-point temperature grid
+    * (the single-parameter post-hoc calibration fit, chosen by exact
+    * grid argmin rather than a gradient) — "which softening makes the
+    * scores honest probabilities?". The score is ALREADY on the exact
+    * e4 grid, so σ(score/T) is bit-identical on both engines; each
+    * row's log-loss is rounded to integer MICRONATS before the sum (the
+    * q_ccnet_buckets discipline), making per-temperature totals and the
+    * argmin exact. The ×6 fan-out is in-row (the q_stats_bootstrap
+    * convention) into 6 partial-agg groups. Scale: one pass, 6 rows.
+    */
+  def qEvalTempScale(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = PipelineML.centScored(spark, sfDir)
+      .select(when(col("label") === 1, 1L).otherwise(0L).as("y"),
+        col("score"))
+    val grid = scored.withColumn("t_e2",
+      explode(array(Seq(50, 75, 100, 150, 200, 300).map(lit): _*)))
+      .withColumn("p",
+        lit(1.0) / (lit(1.0) +
+          exp(-col("score") * lit(100.0) / col("t_e2"))))
+      .withColumn("ll_micro",
+        round(-log(when(col("y") === 1L, col("p"))
+          .otherwise(lit(1.0) - col("p"))) * 1e6).cast("long"))
+      .groupBy("t_e2")
+      .agg(count(lit(1)).as("n"), sum("ll_micro").as("ll_total"))
+    val wBest = Window.orderBy(col("ll_total"), col("t_e2"))
+    grid.withColumn("rk", row_number().over(wBest))
+      .select((col("t_e2").cast("double") / 100.0).as("temperature"),
+        col("n"), expr("ll_total div n").as("mean_ll_micro"),
+        when(col("rk") === 1, 1L).otherwise(0L).as("is_best"))
+      .orderBy("temperature")
+  }
+
+  val qEvalTempScaleSql: String =
+    s"""WITH ${PipelineML.centScoredCte},
+      |y AS (SELECT CASE WHEN label = 1 THEN 1 ELSE 0 END AS y, score
+      |  FROM scored),
+      |g AS (SELECT y.y, y.score, t.t_e2,
+      |    1.0 / (1.0 + exp(-y.score * 100.0 / t.t_e2)) AS p
+      |  FROM y, unnest([50, 75, 100, 150, 200, 300]) t(t_e2)),
+      |ll AS (SELECT t_e2, count(*) AS n,
+      |    sum(CAST(round(-ln(CASE WHEN y = 1 THEN p ELSE 1.0 - p END)
+      |      * 1000000) AS BIGINT)) AS ll_total
+      |  FROM g GROUP BY t_e2),
+      |r AS (SELECT *, row_number() OVER (ORDER BY ll_total, t_e2) AS rk
+      |  FROM ll)
+      |SELECT t_e2 / 100.0 AS temperature, n,
+      |  CAST(ll_total // n AS BIGINT) AS mean_ll_micro,
+      |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+      |FROM r ORDER BY temperature""".stripMargin
+}

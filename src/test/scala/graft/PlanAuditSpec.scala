@@ -1113,4 +1113,72 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate(keys=[score"),
       s"PR curve lost its score-domain aggregate below the cumsums:\n$p")
   }
+
+  test("§2.20 stats family: bounded-table math only — no corpus window, no cartesian") {
+    // ANOVA/Levene/JB broadcast their 5-row group tables back; Kruskal
+    // windows only the round(2) value grid; rolling corr windows the
+    // per-day grid. None may sort or window the raw fact stream.
+    Seq("q_stats_anova", "q_stats_levene", "q_stats_jb").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q group table is not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.contains("Window"), s"$q windows the corpus:\n$p")
+    }
+    Seq("q_stats_kruskal", "q_evt_rolling_corr").foreach { q =>
+      val p = plan(q)
+      val winIdx = p.linesIterator.indexWhere(_.contains("Window"))
+      val aggBelow = p.linesIterator.drop(winIdx + 1)
+        .exists(_.contains("HashAggregate"))
+      assert(winIdx < 0 || aggBelow,
+        s"$q window is not above an aggregate (runs on the corpus?):\n$p")
+    }
+  }
+
+  test("q_naive_bayes scores via a broadcast model join — no corpus self-join") {
+    val p = plan("q_naive_bayes")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"),
+      s"naive bayes shuffled or crossed the corpus:\n$p")
+  }
+
+  test("q_knn_label_agree candidates come from a bucket equi-join, never all-pairs") {
+    val p = plan("q_knn_label_agree")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("bucket")),
+      s"no bucket equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"label-agree regressed to an all-pairs join:\n$p")
+  }
+
+  test("q_embed_whiten and q_logreg_gd close with TakeOrdered, dims broadcast") {
+    Seq("q_embed_whiten", "q_logreg_gd").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrdered"), s"$q top-k is a global sort:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
+  }
+
+  test("q_line_dedup joins on the segment key only — the exact-dedup shape") {
+    val p = plan("q_line_dedup")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("seg")),
+      s"no segment-keyed equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup regressed to an all-pairs join:\n$p")
+  }
+
+  test("q_sql_api: the SQL front-end plans the dim chain as broadcast joins") {
+    val p = plan("q_sql_api")
+    assert(p.contains("BroadcastHashJoin"),
+      s"SQL front-end lost the broadcast dim chain:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in sql api:\n$p")
+  }
 }
