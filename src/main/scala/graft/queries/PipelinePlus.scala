@@ -150,12 +150,18 @@ object PipelinePlus {
     * over the shared doc_id%10 sample `dt(doc_id, term)` — the oracle-side
     * mirror of [[minhashPairs]]. Interpolate after `WITH ` (or append to an
     * existing CTE list); exposes `dt`, `sig`, `bands`, `cand`. */
-  private[queries] val lshCandCte: String =
+  /** dt + sig prologue alone — `sig(doc_id, k, mh)` in long form; shared
+    * with [[PipelineTrain.qLshTuneSql]]'s banding sweep. */
+  private[queries] val lshSigCte: String =
     s"""dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' '))
       |    AS term FROM documents WHERE doc_id % 10 = 0),
       |sig AS (SELECT doc_id, k,
       |    min(('0x' || substr(md5(term || ':' || k), 1, 15))::BIGINT) AS mh
-      |  FROM dt, generate_series(0, ${K - 1}) t(k) GROUP BY doc_id, k),
+      |  FROM dt, generate_series(0, ${K - 1}) t(k) GROUP BY doc_id, k)"""
+      .stripMargin
+
+  private[queries] val lshCandCte: String =
+    s"""$lshSigCte,
       |bands AS (SELECT doc_id, k // 2 AS band,
       |    string_agg(mh, '|' ORDER BY k) AS bsig
       |  FROM sig GROUP BY doc_id, band),

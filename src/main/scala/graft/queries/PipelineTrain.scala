@@ -514,7 +514,12 @@ object PipelineTrain {
     * neighbor is engine-stable. Scale: O(Σ bucket²) candidate pairs,
     * one row-number window per probe vector.
     */
-  def qKnnLabelAgree(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (v1, l1, v2, l2, cos) candidate pairs inside 8-bit coordinate-sign
+    * LSH buckets, cosine on the round(4) grid — shared by
+    * [[qKnnLabelAgree]] and [[qTripletMine]]. Bucket equi-join, never
+    * all-pairs (PlanAuditSpec pin). */
+  private def bucketedCosPairs(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val e = Tables.t(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -526,9 +531,30 @@ object PipelineTrain {
       col("v").as("va"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("v2"), col("label").as("l2"),
       col("v").as("vb"), col("bucket"))
-    val pairs = a.join(b, Seq("bucket")).filter(col("v1") =!= col("v2"))
+    a.join(b, Seq("bucket")).filter(col("v1") =!= col("v2"))
       .withColumn("cos",
         round(graft.functions.VectorOps.cosine(col("va"), col("vb")), 4))
+  }
+
+  /** DuckDB mirror of [[bucketedCosPairs]] — CTE prologue ending in
+    * `pairs(v1, l1, v2, l2, cos)`. */
+  private val bucketedCosPairsCte: String =
+    """ed AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |bk AS (SELECT vec_id, label, v,
+      |    CAST(list_sum(list_transform(generate_series(0, 7),
+      |      i -> CASE WHEN v[i + 1] >= 0 THEN 1 << i ELSE 0 END))
+      |      AS BIGINT) AS bucket
+      |  FROM ed),
+      |pairs AS (SELECT a.vec_id AS v1, a.label AS l1,
+      |    b.vec_id AS v2, b.label AS l2,
+      |    round(list_cosine_similarity(a.v, b.v), 4) AS cos
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket
+      |    AND a.vec_id <> b.vec_id)""".stripMargin
+
+  def qKnnLabelAgree(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = bucketedCosPairs(spark, sfDir)
     val wNn = Window.partitionBy("v1")
       .orderBy(col("cos").desc, col("v2"))
     pairs.withColumn("rn", row_number().over(wNn))
@@ -542,19 +568,7 @@ object PipelineTrain {
   }
 
   val qKnnLabelAgreeSql: String =
-    """WITH ed AS (SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
-      |bk AS (SELECT vec_id, label, v,
-      |    CAST(list_sum(list_transform(generate_series(0, 7),
-      |      i -> CASE WHEN v[i + 1] >= 0 THEN 1 << i ELSE 0 END))
-      |      AS BIGINT) AS bucket
-      |  FROM ed),
-      |pairs AS (SELECT a.vec_id AS v1, a.label AS l1,
-      |    b.vec_id AS v2, b.label AS l2,
-      |    round(list_cosine_similarity(a.v, b.v), 4) AS cos
-      |  FROM bk a JOIN bk b ON a.bucket = b.bucket
-      |    AND a.vec_id <> b.vec_id),
+    s"""WITH $bucketedCosPairsCte,
       |nn AS (SELECT l1, l2,
       |    row_number() OVER (PARTITION BY v1
       |      ORDER BY cos DESC, v2) AS rn
@@ -617,4 +631,173 @@ object PipelineTrain {
       |  CAST(ll_total // n AS BIGINT) AS mean_ll_micro,
       |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
       |FROM r ORDER BY temperature""".stripMargin
+
+  // ───────── triplet hard-negative mining audit ─────────
+
+  /** Triplet-margin mining over the [[bucketedCosPairs]] candidates:
+    * per anchor, the hardest positive (max same-label cosine) and
+    * hardest negative (max different-label cosine); per label, the mean
+    * margin and the violation share (negative closer than positive) —
+    * the metric-learning curriculum audit ("which classes have no
+    * separation to learn from?"). Margins live on the EXACT e4 grid
+    * (difference of two round(4) cosines, re-rounded to an integer),
+    * so per-label sums and the violation count are exact. Scale: the
+    * shared bucket equi-join + one conditional-max aggregate per
+    * anchor — no window, no second pass.
+    */
+  def qTripletMine(spark: SparkSession, sfDir: String): DataFrame = {
+    val anchors = bucketedCosPairs(spark, sfDir)
+      .groupBy(col("v1"), col("l1"))
+      .agg(max(when(col("l1") === col("l2"), col("cos"))).as("pos"),
+        max(when(col("l1") =!= col("l2"), col("cos"))).as("neg"))
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .withColumn("margin_e4",
+        round((col("pos") - col("neg")) * 10000).cast("long"))
+    anchors.groupBy(col("l1").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum("margin_e4").as("sum_margin_e4"),
+        sum(when(col("margin_e4") < 0L, 1L).otherwise(0L)).as("violations"))
+      .select(col("label"), col("n_anchors"),
+        expr("sum_margin_e4 div n_anchors").as("avg_margin_e4"),
+        col("violations"),
+        expr("violations * 1000000 div n_anchors").as("violation_ppm"))
+      .orderBy("label")
+  }
+
+  val qTripletMineSql: String =
+    s"""WITH $bucketedCosPairsCte,
+      |anchors AS (SELECT v1, l1,
+      |    CAST(round((max(CASE WHEN l1 = l2 THEN cos END)
+      |      - max(CASE WHEN l1 <> l2 THEN cos END)) * 10000) AS BIGINT)
+      |      AS margin_e4
+      |  FROM pairs GROUP BY v1, l1
+      |  HAVING max(CASE WHEN l1 = l2 THEN cos END) IS NOT NULL
+      |    AND max(CASE WHEN l1 <> l2 THEN cos END) IS NOT NULL)
+      |SELECT CAST(l1 AS BIGINT) AS label, count(*) AS n_anchors,
+      |  CAST(sum(margin_e4) // count(*) AS BIGINT) AS avg_margin_e4,
+      |  CAST(sum(CASE WHEN margin_e4 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS violations,
+      |  CAST(sum(CASE WHEN margin_e4 < 0 THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS violation_ppm
+      |FROM anchors GROUP BY l1 ORDER BY label""".stripMargin
+
+  // ───────── decision-stump Gini feature importance ─────────
+
+  /** Mean-split decision-stump Gini importance per embedding dimension
+    * (y = label ≥ 5): split each dim at its round(4) mean — the exact
+    * shared grid, the centScored rounded-centroid precedent — and rank
+    * dims by impurity reduction; the "which features carry label
+    * signal?" scan run before training anything. Left/right/positive
+    * counts are exact integers, the gain is a fixed-association
+    * rational of those integers, and the top-10 ranks on round(gain, 6)
+    * with a dim tiebreak. Scale: one explode pass + a 64-row broadcast
+    * threshold table + one conditional-count aggregate.
+    */
+  def qFeatureGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = Tables.t(spark, sfDir, "embeddings")
+      .select(when(col("label") >= 5, 1L).otherwise(0L).as("y"),
+        posexplode(col("embedding")).as(Seq("p", "xv")))
+      .select(col("y"), (col("p") + 1).cast("long").as("dim"),
+        col("xv").cast("double").as("x"))
+    val th = x.groupBy("dim").agg(round(avg("x"), 4).as("th"))
+    val counts = x.join(broadcast(th), "dim")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"),
+        sum(when(col("x") < col("th"), 1L).otherwise(0L)).as("nl"),
+        sum(when(col("x") < col("th") && col("y") === 1L, 1L)
+          .otherwise(0L)).as("posl"))
+    counts
+      .withColumn("gain", when(col("nl") > 0L && col("nl") < col("n"),
+        // 2p(1−p) binary Gini; identical association on both engines
+        lit(2.0) * (col("pos") / col("n")) * (lit(1.0) - col("pos") / col("n"))
+          - (col("nl") / col("n")) * lit(2.0) * (col("posl") / col("nl")) *
+            (lit(1.0) - col("posl") / col("nl"))
+          - ((col("n") - col("nl")) / col("n")) * lit(2.0) *
+            ((col("pos") - col("posl")) / (col("n") - col("nl"))) *
+            (lit(1.0) - (col("pos") - col("posl")) / (col("n") - col("nl"))))
+        .otherwise(lit(0.0)))
+      .select(col("dim"), col("n"), col("nl"), col("pos"), col("posl"),
+        round(col("gain"), 6).as("gini_gain"))
+      .orderBy(round(col("gain"), 6).desc, col("dim"))
+      .limit(10)
+  }
+
+  val qFeatureGiniSql: String =
+    """WITH x AS (SELECT
+      |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y, i AS dim,
+      |    CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+      |  FROM embeddings, unnest(generate_series(1, 64)) t(i)),
+      |th AS (SELECT dim, round(avg(x), 4) AS th FROM x GROUP BY dim),
+      |c AS (SELECT dim, count(*) AS n, sum(y) AS pos,
+      |    sum(CASE WHEN x < th THEN 1 ELSE 0 END) AS nl,
+      |    sum(CASE WHEN x < th AND y = 1 THEN 1 ELSE 0 END) AS posl
+      |  FROM x JOIN th USING (dim) GROUP BY dim),
+      |g AS (SELECT dim, n, nl, pos, posl,
+      |    CASE WHEN nl > 0 AND nl < n THEN
+      |      2.0 * (pos / n) * (1.0 - pos / n)
+      |      - (nl / n) * 2.0 * (posl / nl) * (1.0 - posl / nl)
+      |      - ((n - nl) / n) * 2.0 * ((pos - posl) / (n - nl)) *
+      |        (1.0 - (pos - posl) / (n - nl))
+      |    ELSE 0.0 END AS gain
+      |  FROM c)
+      |SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+      |  CAST(nl AS BIGINT) AS nl, CAST(pos AS BIGINT) AS pos,
+      |  CAST(posl AS BIGINT) AS posl,
+      |  round(gain, 6) AS gini_gain
+      |FROM g ORDER BY round(gain, 6) DESC, dim LIMIT 10""".stripMargin
+
+  // ───────── LSH banding parameter sweep ─────────
+
+  /** LSH banding tuning audit over the shared K=8 MinHash signatures:
+    * for each (bands, rows-per-band) split of the signature, the
+    * S-curve similarity threshold (1/b)^(1/r) and the MEASURED
+    * candidate-generation work Σ m(m−1)/2 over its band buckets — the
+    * table a team reads to pick banding before running the dedup funnel
+    * at scale (more bands = lower threshold = more candidate work,
+    * quantified instead of guessed). Bucket sizes come from one
+    * in-row band expansion + one groupBy (no pair join at all — the
+    * work integral is computable from the bucket histogram). Exact
+    * integers plus one pow per config row.
+    */
+  def qLshTune(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = PipelinePlus.minhashSig(spark, sfDir)
+    val exploded = sig.select(explode(expr(
+      """flatten(transform(array(
+        |    named_struct('b', 1, 'r', 8), named_struct('b', 2, 'r', 4),
+        |    named_struct('b', 4, 'r', 2), named_struct('b', 8, 'r', 1)),
+        |  c -> transform(sequence(0, c.b - 1),
+        |    band -> named_struct('b', c.b, 'r', c.r, 'band', band,
+        |      'bsig', array_join(transform(
+        |        slice(sig, band * c.r + 1, c.r),
+        |        x -> cast(x as string)), '|')))))""".stripMargin)).as("x"))
+      .select(col("x.b").as("b"), col("x.r").as("r"),
+        col("x.band").as("band"), col("x.bsig").as("bsig"))
+    exploded.groupBy("b", "r", "band", "bsig")
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("b").cast("long").as("bands"),
+        col("r").cast("long").as("rows_per_band"))
+      .agg(sum(when(col("m") >= 2L, 1L).otherwise(0L)).as("buckets_ge2"),
+        sum(expr("m * (m - 1) div 2")).as("cand_work"))
+      .select(col("bands"), col("rows_per_band"),
+        round(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")), 4).as("threshold"),
+        col("buckets_ge2"), col("cand_work"))
+      .orderBy("bands")
+  }
+
+  val qLshTuneSql: String =
+    s"""WITH ${PipelinePlus.lshSigCte},
+      |cfg AS (SELECT * FROM (VALUES (1, 8), (2, 4), (4, 2), (8, 1))
+      |  c(b, r)),
+      |bands AS (SELECT c.b, c.r, s.doc_id, s.k // c.r AS band,
+      |    string_agg(s.mh, '|' ORDER BY s.k) AS bsig
+      |  FROM sig s, cfg c GROUP BY c.b, c.r, s.doc_id, s.k // c.r),
+      |bk AS (SELECT b, r, band, bsig, count(*) AS m
+      |  FROM bands GROUP BY b, r, band, bsig)
+      |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+      |  round(pow(1.0 / b, 1.0 / r), 4) AS threshold,
+      |  CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS buckets_ge2,
+      |  CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS cand_work
+      |FROM bk GROUP BY b, r ORDER BY bands""".stripMargin
 }

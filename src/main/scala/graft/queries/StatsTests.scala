@@ -484,4 +484,37 @@ object StatsTests {
       |  round((k / (k - 1.0)) * (1.0 - sv / vt), 4) AS alpha,
       |  round(sv, 4) AS sum_item_var, round(vt, 4) AS total_var
       |FROM a, tot ORDER BY k""".stripMargin
+
+  // ───────── A/B-test minimum-detectable-effect planner ─────────
+
+  /** Minimum detectable effect per event type — the experiment-design
+    * planner: with this type's sample size and variance, the smallest
+    * mean shift a two-sample test resolves at α = 0.05 / power = 0.8
+    * against an equal-sized arm, MDE = (z₀.₉₇₅ + z₀.₈)·√(2σ²/n), plus
+    * the relative effect vs the current mean. The z-sum ships as ONE
+    * shared 6-decimal literal (2.801585) so neither engine evaluates an
+    * inverse normal; everything else is a single conditional-moment
+    * pass (Welch stability class) closed by one sqrt per group.
+    */
+  def qAbtestMde(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg("value").as("m"),
+        expr("var_samp(value)").as("v"))
+      .select(col("event_type"), col("n"),
+        round(sqrt(col("v")), 4).as("sd"),
+        round(lit(2.801585) * sqrt(lit(2.0) * col("v") / col("n")), 4)
+          .as("mde"),
+        round(lit(2.801585) * sqrt(lit(2.0) * col("v") / col("n"))
+          / col("m"), 6).as("mde_rel"))
+      .orderBy("event_type")
+
+  val qAbtestMdeSql: String =
+    """WITH a AS (SELECT event_type, count(*) AS n, avg(value) AS m,
+      |    var_samp(value) AS v
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n, round(sqrt(v), 4) AS sd,
+      |  round(2.801585 * sqrt(2.0 * v / n), 4) AS mde,
+      |  round(2.801585 * sqrt(2.0 * v / n) / m, 6) AS mde_rel
+      |FROM a ORDER BY event_type""".stripMargin
 }

@@ -1175,6 +1175,16 @@ class PlanAuditSpec extends SparkSpecBase {
       s"line dedup regressed to an all-pairs join:\n$p")
   }
 
+  test("q_triplet_mine shares the bucket equi-join; q_lsh_tune has NO join at all") {
+    val p = plan("q_triplet_mine")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triplet mine regressed to an all-pairs join:\n$p")
+    val t = plan("q_lsh_tune")
+    assert(!t.contains("Join"),
+      s"lsh tune grew a join — the work integral is histogram-only:\n$t")
+  }
+
   test("q_sql_api: the SQL front-end plans the dim chain as broadcast joins") {
     val p = plan("q_sql_api")
     assert(p.contains("BroadcastHashJoin"),

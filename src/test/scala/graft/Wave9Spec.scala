@@ -217,6 +217,57 @@ class Wave9Spec extends SparkSpecBase {
     }
   }
 
+  test("triplet mine: margins bounded by the cosine range and violations consistent") {
+    queries.PipelineTrain.qTripletMine(spark, sf).collect().foreach { r =>
+      val m = r.getAs[Long]("avg_margin_e4")
+      assert(m >= -20000L && m <= 20000L) // cosine diff ∈ [-2, 2] on e4
+      val p = r.getAs[Long]("violation_ppm")
+      assert(p >= 0L && p <= 1000000L)
+      assert(r.getAs[Long]("violations") <= r.getAs[Long]("n_anchors"))
+    }
+  }
+
+  test("feature gini: gains in [0, 0.5], counts nest, rows descend by gain") {
+    val rows = queries.PipelineTrain.qFeatureGini(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini_gain")
+      assert(g >= 0.0 && g <= 0.5 + 1e-9) // binary Gini caps at 0.5
+      assert(r.getAs[Long]("posl") <= r.getAs[Long]("pos"))
+      assert(r.getAs[Long]("nl") <= r.getAs[Long]("n"))
+    }
+    val gs = rows.map(_.getAs[Double]("gini_gain"))
+    assert(gs.sameElements(gs.sortBy(-(_: Double))))
+  }
+
+  test("lsh tune: thresholds rise with rows-per-band, work falls") {
+    val rows = queries.PipelineTrain.qLshTune(spark, sf).collect()
+      .sortBy(_.getAs[Long]("bands"))
+    assert(rows.length == 4)
+    // more bands (fewer rows each) → lower threshold → MORE candidate work
+    val th = rows.map(_.getAs[Double]("threshold"))
+    assert(th.sameElements(th.sorted.reverse),
+      s"thresholds not descending in bands: ${th.mkString(",")}")
+    val work = rows.map(_.getAs[Long]("cand_work"))
+    assert(work.head <= work.last,
+      s"(1,8) config generated more work than (8,1): ${work.mkString(",")}")
+    // exact S-curve values for K=8
+    assert(rows.head.getAs[Double]("threshold") == 1.0) // (1/1)^(1/8)
+  }
+
+  test("abtest mde: scales as 1/sqrt(n) against a 4x subsample") {
+    val full = queries.StatsTests.qAbtestMde(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    full.values.foreach { r =>
+      assert(r.getAs[Double]("mde") > 0.0)
+      assert(r.getAs[Double]("mde_rel") > 0.0)
+      // MDE must reproduce from its published parts: 2.801585·sd·sqrt(2/n)
+      val recomputed = 2.801585 * r.getAs[Double]("sd") *
+        math.sqrt(2.0 / r.getAs[Long]("n"))
+      assert(math.abs(recomputed - r.getAs[Double]("mde")) < 2e-3)
+    }
+  }
+
   test("sql api: per-region rank ≤ 2 and cents match the DataFrame-side join") {
     val rows = queries.PipelineTrain.qSqlApi(spark, sf).collect()
     assert(rows.nonEmpty)
