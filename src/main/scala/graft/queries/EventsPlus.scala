@@ -2107,4 +2107,109 @@ object EventsPlus {
       |   ELSE next_ts - ts_us END AS delta_us
       |FROM c WHERE event_type = 'purchase'
       |ORDER BY user_id, purchase_id""".stripMargin
+
+  // ───────── exact Shapley-value channel attribution (round 9) ─────────
+
+  /** Data-driven multi-touch attribution with EXACT Shapley values over
+    * the 4 non-purchase channels, at SESSION granularity (user-level
+    * conversion is ~1 in this corpus — degenerate; sessions convert or
+    * don't): each session's pre-first-purchase exposure set becomes a
+    * 4-bit mask, the coalition value v(S) = P(session converts |
+    * exposure ⊆ S) comes from the 16-cell mask histogram, and each
+    * channel's Shapley credit is the standard weighted marginal sum
+    * Σ w(\|S\|)·(v(S∪{i})−v(S)) — computable in closed form because
+    * the channel set is BOUNDED (2⁴ coalitions), the trick that makes
+    * game-theoretic attribution tractable at any corpus size.
+    * Corpus-scale work is the shared [[Events.sessionized]] relation +
+    * one session-windowed min + one bit_or aggregate; everything after
+    * the 16-row histogram is bounded-grid math (containment join
+    * 16×16, marginal table 4×8). Weights are exact rationals (¼,
+    * 1/12) written identically on both engines; v(S) is a rational of
+    * exact counts.
+    */
+  /** (mask, conv) per session — the exposure/conversion relation the
+    * Shapley computation aggregates; package-visible so Wave9Spec can
+    * verify the efficiency axiom against it independently. */
+  private[graft] def shapleySessions(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val wSess = Window.partitionBy("user_id", "session_id")
+    Events.sessionized(spark, sfDir)
+      .withColumn("fp",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(wSess))
+      .groupBy("user_id", "session_id")
+      .agg(
+        coalesce(expr(
+          """bit_or(CASE WHEN event_type <> 'purchase'
+            |    AND (fp IS NULL OR ts_us < fp)
+            |  THEN CASE event_type WHEN 'click' THEN 1L
+            |    WHEN 'signup' THEN 2L WHEN 'error' THEN 4L
+            |    ELSE 8L END END)""".stripMargin), lit(0L)).as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+  }
+
+  def qAttribShapley(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = shapleySessions(spark, sfDir)
+    val m = sessions.groupBy("mask")
+      .agg(count(lit(1)).as("nu"), sum("conv").as("nc"))
+    val v = spark.range(16).select(col("id").as("s"))
+      .join(broadcast(m), expr("(mask & s) = mask"))
+      .groupBy("s")
+      .agg(sum("nu").as("u"), sum("nc").as("c"))
+      .select(col("s"),
+        when(col("u") > 0L, col("c") / col("u")).otherwise(lit(0.0))
+          .as("vv"))
+    val ch = {
+      import spark.implicits._
+      Seq(("click", 1L), ("signup", 2L), ("error", 4L), ("view", 8L))
+        .toDF("channel", "bit")
+    }
+    ch.crossJoin(broadcast(v.select(col("s"), col("vv").as("v0"))))
+      .filter(expr("(s & bit) = 0"))
+      .join(broadcast(v.select(col("s").as("s1"), col("vv").as("v1"))),
+        expr("s1 = s + bit"))
+      .select(col("channel"),
+        (when(expr("bit_count(s)") === 0, lit(0.25))
+          .when(expr("bit_count(s)") === 3, lit(0.25))
+          .otherwise(lit(1.0) / 12.0) * (col("v1") - col("v0"))).as("t"))
+      .groupBy("channel")
+      .agg(round(sum("t"), 6).as("shapley"))
+      .orderBy("channel")
+  }
+
+  val qAttribShapleySql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |flagged AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w
+      |    > 1800000000 OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END
+      |    AS gap
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (SELECT *, sum(gap) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS session_id FROM flagged),
+      |wfp AS (SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts_us
+      |    END) OVER (PARTITION BY user_id, session_id) AS fp FROM sess),
+      |sm AS (SELECT user_id, session_id,
+      |    coalesce(bit_or(CASE WHEN event_type <> 'purchase'
+      |        AND (fp IS NULL OR ts_us < fp)
+      |      THEN CASE event_type WHEN 'click' THEN 1 WHEN 'signup' THEN 2
+      |        WHEN 'error' THEN 4 ELSE 8 END END), 0) AS mask,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM wfp GROUP BY user_id, session_id),
+      |m AS (SELECT mask, count(*) AS nu, sum(conv) AS nc
+      |  FROM sm GROUP BY mask),
+      |v AS (SELECT ss.s, CASE WHEN sum(nu) > 0
+      |      THEN sum(nc) / CAST(sum(nu) AS DOUBLE) ELSE 0.0 END AS vv
+      |  FROM generate_series(0, 15) ss(s)
+      |  JOIN m ON (m.mask & ss.s) = m.mask GROUP BY ss.s),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('signup', 2),
+      |    ('error', 4), ('view', 8)) c(channel, bit)),
+      |terms AS (SELECT ch.channel,
+      |    (CASE WHEN bit_count(v0.s) = 0 THEN 0.25
+      |      WHEN bit_count(v0.s) = 3 THEN 0.25
+      |      ELSE 1.0 / 12.0 END) * (v1.vv - v0.vv) AS t
+      |  FROM ch JOIN v v0 ON (v0.s & ch.bit) = 0
+      |  JOIN v v1 ON v1.s = v0.s + ch.bit)
+      |SELECT channel, round(sum(t), 6) AS shapley
+      |FROM terms GROUP BY channel ORDER BY channel""".stripMargin
 }

@@ -433,4 +433,56 @@ object PipelineGraph {
       |SELECT coalesce(deg.degree, 0) AS degree, count(*) AS n_docs
       |FROM uni LEFT JOIN deg USING (d)
       |GROUP BY 1 ORDER BY degree""".stripMargin
+
+  // ───────── HITS hubs/authorities on the co-purchase graph (round 9) ─────
+
+  /** Two full HITS iterations on the bipartite customer→part co-purchase
+    * graph (hubs = customers, authorities = parts) — the link-analysis
+    * companion to [[qGraphPagerank]] for the "which parts does the
+    * buying core endorse?" ranking. The unnormalized HITS recursion on
+    * a bipartite graph is PURELY INTEGER: a⁰ ≡ 1 gives h¹(c) = deg(c),
+    * a¹(p) = Σ_c deg(c), h²(c) = Σ_p a¹(p), a²(p) = Σ_c h²(c) — exact
+    * BIGINTs end to end (normalization only rescales ranks, so the
+    * top-10 ships the exact integer score and a per-mille share of the
+    * max instead of a float eigenvector). Scale: one \|edges\| shuffle
+    * per half-iteration — the qGraphPagerank envelope — with bounded
+    * degrees keeping scores ~10⁶ at any SF.
+    */
+  def qGraphHits(spark: SparkSession, sfDir: String): DataFrame = {
+    // the edge list feeds FIVE plan positions (4 joins + the base);
+    // without materialization the lineitem⋈orders join and distinct
+    // re-run per branch — the qGraphPagerank localCheckpoint discipline
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    val h1 = edges.groupBy("c").agg(count(lit(1)).as("h1"))
+    val a1 = edges.join(h1, "c").groupBy("p").agg(sum("h1").as("a1"))
+    val h2 = edges.join(a1, "p").groupBy("c").agg(sum("a1").as("h2"))
+    val a2 = edges.join(h2, "c").groupBy("p").agg(sum("h2").as("a2"))
+    val mx = a2.agg(max("a2").as("mx"))
+    a2.crossJoin(broadcast(mx))
+      .select(col("p").as("partkey"), col("a2").as("authority"),
+        expr("a2 * 1000 div mx").as("share_pm"))
+      .orderBy(col("authority").desc, col("partkey"))
+      .limit(10)
+  }
+
+  val qGraphHitsSql: String =
+    """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |h1 AS (SELECT c, count(*) AS h1 FROM edges GROUP BY c),
+      |a1 AS (SELECT p, sum(h1) AS a1 FROM edges JOIN h1 USING (c)
+      |  GROUP BY p),
+      |h2 AS (SELECT c, sum(a1) AS h2 FROM edges JOIN a1 USING (p)
+      |  GROUP BY c),
+      |a2 AS (SELECT p, sum(h2) AS a2 FROM edges JOIN h2 USING (c)
+      |  GROUP BY p),
+      |mx AS (SELECT max(a2) AS mx FROM a2)
+      |SELECT p AS partkey, CAST(a2 AS BIGINT) AS authority,
+      |  CAST(a2 * 1000 // mx AS BIGINT) AS share_pm
+      |FROM a2, mx
+      |ORDER BY authority DESC, partkey LIMIT 10""".stripMargin
 }

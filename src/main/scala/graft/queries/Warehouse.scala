@@ -657,4 +657,84 @@ object Warehouse {
       |  max(CASE WHEN rn = 1 THEN valid_from END) AS changed_at,
       |  max(grp) AS n_intervals
       |FROM r WHERE rn <= 2 GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ───────── bitemporal as-of reconstruction (round 9) ─────────
+
+  /** Bitemporal as-of query over a two-axis versioned order table —
+    * "what did we BELIEVE (transaction time T) the orders effective at
+    * VALID time V to be?", the audit/restatement capability SCD2's
+    * single axis cannot express. Versions are synthesized
+    * deterministically: v1 recorded at the order date and valid from
+    * it; every 5th order gains a RETROACTIVE correction (+1000 cents,
+    * valid from order date, i.e. restating history) recorded 30 days
+    * later — so moving T across the recording date changes what V sees.
+    * Four (T, V) probes (day offsets from the global min order date,
+    * broadcast 1-row scalar) fan out IN-ROW (the bootstrap convention);
+    * per (probe, order) the applicable version is the max (vt, tx)
+    * among versions with tx ≤ T and vt ≤ V — a fact-keyed window over
+    * ≤ 2×4 rows per order. All time math in exact epoch-µs integers;
+    * totals in exact cents.
+    */
+  def qBitemporal(spark: SparkSession, sfDir: String): DataFrame = {
+    val day = 86400000000L
+    val o = Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"),
+        expr("unix_micros(o_orderdate)").as("od"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val v1 = o.select(col("k"), col("od").as("vt"), col("od").as("tx"),
+      col("cents"))
+    val v2 = o.filter(col("k") % 5 === 0)
+      .select(col("k"), col("od").as("vt"),
+        (col("od") + lit(30L * day)).as("tx"),
+        (col("cents") + 1000L).as("cents"))
+    val versions = v1.unionByName(v2)
+    val gmin = o.agg(min("od").as("g0"))
+    val probes = versions.crossJoin(broadcast(gmin))
+      .select(col("k"), col("vt"), col("tx"), col("cents"),
+        explode(expr(
+          """array(named_struct('t_off', 200L, 'v_off', 400L),
+            |      named_struct('t_off', 200L, 'v_off', 100L),
+            |      named_struct('t_off', 600L, 'v_off', 400L),
+            |      named_struct('t_off', 600L, 'v_off', 100L))"""
+            .stripMargin)).as("p"),
+        col("g0"))
+      .select(col("k"), col("vt"), col("tx"), col("cents"),
+        col("p.t_off").as("t_off"), col("p.v_off").as("v_off"),
+        (col("g0") + col("p.t_off") * day).as("bigT"),
+        (col("g0") + col("p.v_off") * day).as("bigV"))
+      .filter(col("tx") <= col("bigT") && col("vt") <= col("bigV"))
+    val w = Window.partitionBy("t_off", "v_off", "k")
+      .orderBy(col("vt").desc, col("tx").desc)
+    probes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("t_off", "v_off")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents_total"))
+      .orderBy("t_off", "v_off")
+  }
+
+  val qBitemporalSql: String =
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS od,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |versions AS (
+      |  SELECT k, od AS vt, od AS tx, cents FROM o
+      |  UNION ALL
+      |  SELECT k, od AS vt, od + 30 * 86400000000 AS tx,
+      |    cents + 1000 AS cents
+      |  FROM o WHERE k % 5 = 0),
+      |g AS (SELECT min(od) AS g0 FROM o),
+      |pr AS (SELECT * FROM (VALUES (200, 400), (200, 100),
+      |    (600, 400), (600, 100)) p(t_off, v_off)),
+      |cand AS (SELECT v.k, v.vt, v.tx, v.cents, pr.t_off, pr.v_off
+      |  FROM versions v, pr, g
+      |  WHERE v.tx <= g.g0 + pr.t_off * CAST(86400000000 AS BIGINT)
+      |    AND v.vt <= g.g0 + pr.v_off * CAST(86400000000 AS BIGINT)),
+      |r AS (SELECT *, row_number() OVER (
+      |    PARTITION BY t_off, v_off, k ORDER BY vt DESC, tx DESC) AS rn
+      |  FROM cand)
+      |SELECT CAST(t_off AS BIGINT) AS t_off, CAST(v_off AS BIGINT) AS v_off,
+      |  count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS cents_total
+      |FROM r WHERE rn = 1 GROUP BY t_off, v_off
+      |ORDER BY t_off, v_off""".stripMargin
 }

