@@ -56,11 +56,47 @@ object Bench {
     // the median also strips shared-build cost from later consumers.
     val Runs = 3
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // ── load sentinel (round-10 advice #1) ──────────────────────────────
+    // The r9 driver bench read 463.8 s against a 172 s warm floor because
+    // the box was co-loaded; 32 queries inflated >2× with no code change
+    // and the judge had to re-time every suspect by hand. Make the bench
+    // SELF-adjudicating instead: a fixed control query (q_agg_basic — a
+    // one-shuffle groupBy whose plan never changes across rounds) runs
+    // before the suite and again every [[CtrlEvery]] queries; its time
+    // series is emitted alongside the results, and each query gets a
+    // load_suspect flag when (a) its own median exceeds 3× its own min —
+    // the within-query noise signature — or (b) the control sample
+    // nearest to it ran > 2× the control's session minimum — the
+    // box-level signature. A flagged median is a "re-time before
+    // believing" marker, not a grade.
+    val CtrlEvery = 25
+    val ctrlFn = SparkEntry.queries("q_agg_basic")
+    // each sample is a median-of-3: a single 0.3 s control run has ~2.5×
+    // intrinsic task-launch jitter at sf0.01 (measured 0.29–0.72 s on an
+    // idle box), which a lone sample can't distinguish from load
+    def ctrlSample(): Double = {
+      val ts = Seq.fill(3) {
+        val t0 = System.nanoTime()
+        ctrlFn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val ctrlSeries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // warm the control plan untimed first: its own first-call codegen
+    // (~0.7 s) would otherwise inflate sample 0 past the 2× drift bar
+    // and spuriously flag the whole first block
+    try ctrlFn(spark, sfDir).count() catch { case _: Throwable => () }
+    ctrlSeries += ctrlSample()
     // A throwing query must surface as a FAILURE, not as a near-zero
     // median that reads like a speedup: record the error, report the
     // query at -1, and count it in n_failed on the stdout line.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = names.map { name =>
+    // per-query index of the control sample taken just before it ran
+    val ctrlIdx = scala.collection.mutable.HashMap.empty[String, Int]
+    val results = names.zipWithIndex.map { case (name, i) =>
+      if (i > 0 && i % CtrlEvery == 0) ctrlSeries += ctrlSample()
+      ctrlIdx(name) = ctrlSeries.size - 1
       val fn = SparkEntry.queries(name)
       // Stop after the first failure: the result is already pinned to -1,
       // so re-running a slow-failing query (100 s to an OOM) twice more
@@ -81,6 +117,20 @@ object Bench {
       val ok = !errors.contains(name)
       name -> (if (ok) (times(Runs / 2), times.head) else (-1.0, -1.0))
     }.toMap
+    ctrlSeries += ctrlSample() // closing sample bounds the last block too
+    val ctrlMin = ctrlSeries.min
+    // flag rule: within-query spread OR box drift at the nearest control
+    // sample (the one taken at the query's block start; the closing
+    // sample guards the final block via the max of the two bracketing
+    // samples being reflected in the series the judge reads). Drift bar
+    // is 3× the session minimum: genuine load events measure 10–150×
+    // (r9: q_text_lang_id 49.7 s vs 1.4 s warm), idle-box jitter ≤ ~2×.
+    val loadSuspect = names.filter { n =>
+      val (med, mn) = results(n)
+      med >= 0 && (
+        (mn > 0.05 && med > 3 * mn) ||
+          ctrlSeries(math.min(ctrlIdx(n), ctrlSeries.size - 1)) > 3 * ctrlMin)
+    }
     val total = results.values.map(_._1).filter(_ >= 0).sum
     def json(ns: Iterable[String], full: Boolean): String = {
       def m(f: ((Double, Double)) => Double) = ns.filter(results.contains)
@@ -88,13 +138,19 @@ object Bench {
         .mkString("{", ",", "}")
       val minPart =
         if (full) s""","queries_min":${m(_._2)}""" else ""
+      val ctrlPart =
+        if (full)
+          s""","control":${ctrlSeries.map(fmt).mkString("[", ",", "]")}""" +
+            s""","load_suspect":${loadSuspect.map(JsonOut.str)
+              .mkString("[", ",", "]")}"""
+        else ""
       val errPart =
         if (full) s""","errors":${errors.map { case (k, v) =>
           s"${JsonOut.str(k)}:${JsonOut.str(v)}" }.mkString("{", ",", "}")}"""
         else if (errors.nonEmpty)
           s""","failed":${errors.keys.map(JsonOut.str).mkString("[", ",", "]")}"""
         else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"n_queries":${results.size},"n_failed":${errors.size},"queries":${m(_._1)}$minPart$errPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$Runs,"n_queries":${results.size},"n_failed":${errors.size},"n_load_suspect":${loadSuspect.size},"control_min":${fmt(ctrlMin)},"control_max":${fmt(ctrlSeries.max)},"queries":${m(_._1)}$minPart$ctrlPart$errPart,"sf":"$sfDir"}"""
     }
     // full map with min-run + error detail for the repo record
     // (BASELINE.md engine table)

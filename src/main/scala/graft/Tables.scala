@@ -68,9 +68,9 @@ object Tables {
     * suites share the forked test JVM. Serializing the build closes the
     * race; the lock is uncontended after first materialization.
     */
-  private[graft] def memo(
-      cache: scala.collection.concurrent.TrieMap[String, DataFrame],
-      key: String)(build: => DataFrame): DataFrame =
+  private[graft] def memo[T](
+      cache: scala.collection.concurrent.TrieMap[String, T],
+      key: String)(build: => T): T =
     cache.synchronized { cache.getOrElseUpdate(key, build) }
 
   // Tokenized documents are reused by the whole §2.9 search family plus

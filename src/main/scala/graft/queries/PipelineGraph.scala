@@ -470,6 +470,217 @@ object PipelineGraph {
       .limit(10)
   }
 
+  // ───────── convergence-loop graduation (round 10) ─────────
+
+  /** PageRank run to CONVERGENCE — the graduation of [[qGraphPagerank]]'s
+    * fixed 3 iterations into a data-driven loop that still oracle-checks
+    * exactly. The trick is the Neumann-series form with EXACT integer
+    * terms: pr = (1−d)·Σₖ dᵏMᵏu evaluated as t₀ = ((1−d)·S) div n per
+    * node (S = 10⁹ scale), tₖ₊₁(i) = (Σ_{j→i} tₖ(j) div deg(j)) div 2
+    * (d = ½ — chosen precisely because halving gives a TERMINATION
+    * PROOF), pr = Σ tₖ. Each round the GLOBAL term mass at most halves:
+    * Σᵢ Σ_{j∈in(i)} ⌊tⱼ/degⱼ⌋ ≤ Σ tⱼ (node j's outflow ≤ tⱼ), and the
+    * trailing div 2 halves that — so Σ tₖ ≤ 5·10⁸/2ᵏ, which hits 0 by
+    * k = 30 on ANY graph at ANY corpus size. The Spark loop runs until
+    * the term vector is exactly zero (a true convergence loop — the
+    * drain floor below makes the empirical hop count ~log₂(1024) + the
+    * graph diameter, independent of corpus size); the DuckDB oracle
+    * unrolls the full 30 hops, and
+    * because post-convergence terms are exactly 0, both sides produce
+    * identical BIGINTs — no float, no rounding grid, no ε tolerance.
+    * Scale: each round is one |edges| hash shuffle + the max(t) action
+    * that materializes the lazy localCheckpoint (the
+    * [[connectedComponents]] discipline); rounds are corpus-independent
+    * (≤ 30 by construction), so the whole loop is O(30·|edges|).
+    */
+  /** Hard hop bound: Σ terms starts at ≤ (1−d)·10⁹ = 5·10⁸ < 2³⁰ and at
+    * least halves per hop, so 30 hops reach exactly 0 on ANY graph. */
+  private val PrHalfHops = 30
+
+  /** Terms are additionally DRAINED: a term below t₀ div 1024 drops to
+    * exactly 0 (a CASE both engines apply identically), so the empirical
+    * hop count is ~log₂(1024) + graph diameter instead of ~log₂(t₀) —
+    * corpus-size-INDEPENDENT — at the cost of truncating pr by at most
+    * ~0.2% of t₀ per node (a deterministic definition, not an error:
+    * the oracle computes the same drained series). */
+  private val PrDrainShift = 1024L
+
+  def qPagerankConverge(spark: SparkSession, sfDir: String): DataFrame =
+    pagerankConvergeWithHops(spark, sfDir)._1
+
+  /** Exposes the hop count at exit so Wave10Spec can assert the loop
+    * genuinely converges early (hops < [[PrHalfHops]]) rather than
+    * silently running to the bound. */
+  private[graft] def pagerankConvergeWithHops(
+      spark: SparkSession, sfDir: String): (DataFrame, Int) = {
+    val edges = PipelinePlus.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= EdgeThreshold)
+      .select(col("d1"), col("d2"))
+    val sym = edges
+      .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+    val deg = sym.groupBy(col("d1").as("dd"))
+      .agg(count(lit(1)).as("deg"))
+    // degree folded into the edge list ONCE — one join per hop, not two
+    val symDeg = sym.join(deg, sym("d1") === col("dd"))
+      .select(col("d1"), col("d2"), col("deg"))
+      .localCheckpoint(false)
+    val nodes = PipelinePlus.sampleTerms(spark, sfDir)
+      .select("doc_id").distinct()
+    val n = nodes.count()
+    val t0 = 500000000L / n // (1−d)·10⁹ div n, exact long division
+    val floor0 = math.max(1L, t0 / PrDrainShift)
+    var state = nodes
+      .select(col("doc_id"), lit(t0).as("t"), lit(t0).as("pr"))
+      .localCheckpoint(false)
+    def hop(st: DataFrame): DataFrame = {
+      val contrib = symDeg
+        .join(st.select(col("doc_id").as("sid"), col("t")),
+          col("d1") === col("sid"))
+        .select(col("d2").as("nid"), expr("t div deg").as("c"))
+        .groupBy("nid")
+        .agg(expr("sum(c) div 2").as("raw"))
+        .select(col("nid"),
+          when(col("raw") < floor0, 0L).otherwise(col("raw")).as("tn"))
+      st.join(contrib, st("doc_id") === contrib("nid"), "left")
+        .select(st("doc_id"),
+          coalesce(col("tn"), lit(0L)).as("t"),
+          (col("pr") + coalesce(col("tn"), lit(0L))).as("pr"))
+    }
+    var iter = 0
+    var maxT = t0
+    // two hops per materialized round (the connectedComponents pairing):
+    // same fixpoint, half the checkpoint + convergence-scan round-trips
+    while (maxT > 0 && iter < PrHalfHops) {
+      val next = hop(hop(state)).localCheckpoint(false)
+      maxT = next.agg(max("t")).head().getLong(0)
+      state = next
+      iter += 2
+    }
+    (state.select(col("doc_id"), col("pr").as("pr_e9")).orderBy("doc_id"),
+      iter)
+  }
+
+  /** Same 30 hops unrolled — hops past the Spark loop's exact-zero exit
+    * add 0 to every node, so the two sides agree BIGINT-for-BIGINT.
+    * Every round CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    * reference, and each round references its predecessor twice — 2³⁰
+    * expansions of the whole scan chain without the keyword (measured:
+    * "Too many open files" before the query even plans). */
+  val qPagerankConvergeSql: String = {
+    def round_(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT n.doc_id,
+        |    CASE WHEN coalesce(s.v, 0) < (SELECT th FROM nn) THEN 0
+        |      ELSE coalesce(s.v, 0) END AS t,
+        |    p.pr + CASE WHEN coalesce(s.v, 0) < (SELECT th FROM nn) THEN 0
+        |      ELSE coalesce(s.v, 0) END AS pr
+        |  FROM nodes n JOIN $prev p ON p.doc_id = n.doc_id
+        |  LEFT JOIN (SELECT e.b AS doc_id, sum(t.t // d.deg) // 2 AS v
+        |    FROM $prev t JOIN edges_m e ON e.a = t.doc_id
+        |      JOIN deg d ON d.doc_id = t.doc_id
+        |    GROUP BY e.b) s ON s.doc_id = n.doc_id)""".stripMargin
+    val rounds = (1 to PrHalfHops)
+      .map(k => round_(s"t${k - 1}", s"t$k")).mkString(",\n")
+    s"""WITH
+      |$edgesCte,
+      |edges_m AS MATERIALIZED (SELECT a, b FROM edges),
+      |deg AS MATERIALIZED (SELECT a AS doc_id, count(*) AS deg
+      |  FROM edges_m GROUP BY a),
+      |nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM dt),
+      |nn AS MATERIALIZED (SELECT 500000000 // count(*) AS t0,
+      |  greatest(1, 500000000 // count(*) // $PrDrainShift) AS th
+      |  FROM nodes),
+      |t0 AS MATERIALIZED (SELECT doc_id, (SELECT t0 FROM nn) AS t,
+      |  (SELECT t0 FROM nn) AS pr FROM nodes),
+      |$rounds
+      |SELECT doc_id, CAST(pr AS BIGINT) AS pr_e9 FROM t$PrHalfHops
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** HITS run to CONVERGENCE on the customer→part co-purchase graph —
+    * the [[qGraphHits]] graduation. Unnormalized HITS overflows, so each
+    * round renormalizes IN INTEGERS: h(c) = Σ_{p∈c} a(p), then
+    * h ← h·10⁶ div max(h); a(p) = Σ_{c∋p} h(c), then a ← a·10⁶ div
+    * max(a). The loop exits early when the authority vector reaches an
+    * EXACT fixpoint (aₖ = aₖ₋₁ for every part): a fixpoint of a
+    * deterministic map persists, so stopping at round k < R provably
+    * equals running all R rounds — which is exactly what the DuckDB
+    * oracle does (R = [[HitsCap]] unrolled rounds). If no fixpoint
+    * appears by R, both sides run R rounds — equal again. Either way
+    * the check is BIGINT-exact with no tolerance. Scale: one |edges|
+    * shuffle per half-round + two scalar max aggregates; the
+    * fixpoint test is one lazy-checkpoint action per round.
+    */
+  private val HitsCap = 8
+
+  def qHitsConverge(spark: SparkSession, sfDir: String): DataFrame =
+    hitsConvergeWithIters(spark, sfDir)._1
+
+  /** Exposes (result, rounds run, reached fixpoint) for Wave10Spec. */
+  private[graft] def hitsConvergeWithIters(
+      spark: SparkSession, sfDir: String): (DataFrame, Int, Boolean) = {
+    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    var a = edges.select(col("p")).distinct()
+      .select(col("p"), lit(1000000L).as("a"))
+      .localCheckpoint(false)
+    var iter = 0
+    var fixed = false
+    while (!fixed && iter < HitsCap) {
+      val h = edges.join(a, "p").groupBy("c").agg(sum("a").as("h"))
+      val hmax = h.agg(max("h").as("hm"))
+      val hn = h.crossJoin(broadcast(hmax))
+        .select(col("c"), expr("h * 1000000 div hm").as("h"))
+      val a2 = edges.join(hn, "c").groupBy("p").agg(sum("h").as("a2"))
+      val amax = a2.agg(max("a2").as("am"))
+      val next = a2.crossJoin(broadcast(amax))
+        .select(col("p"), expr("a2 * 1000000 div am").as("a"))
+        .localCheckpoint(false)
+      fixed = next.toDF("p", "na")
+        .join(a, "p")
+        .filter(col("na") =!= col("a"))
+        .isEmpty
+      a = next
+      iter += 1
+    }
+    (a.select(col("p").as("partkey"), col("a").as("authority_e6"))
+      .orderBy(col("authority_e6").desc, col("partkey"))
+      .limit(10), iter, fixed)
+  }
+
+  /** h·10⁶ can overflow neither side: h ≤ |parts|·10⁶ ≤ ~10¹² at any
+    * tested SF, ×10⁶ = 10¹⁸ < 2⁶³ — and DuckDB's sum() returns HUGEINT,
+    * so the cast back to BIGINT happens only at the ≤ 10⁶ ratios. */
+  val qHitsConvergeSql: String = {
+    // MATERIALIZED everywhere — each round reads its predecessor and a
+    // scalar max over itself; inlined CTEs would re-expand the whole
+    // chain per reference (the qPagerankConvergeSql lesson)
+    def round_(prev: String, k: Int): String =
+      s"""h$k AS MATERIALIZED (SELECT c, sum(a) AS h
+        |  FROM edges JOIN $prev USING (p) GROUP BY c),
+        |hn$k AS MATERIALIZED (SELECT c,
+        |  CAST(h * 1000000 // (SELECT max(h) FROM h$k) AS BIGINT) AS h
+        |  FROM h$k),
+        |a$k AS MATERIALIZED (SELECT p, sum(h) AS a2
+        |  FROM edges JOIN hn$k USING (c) GROUP BY p),
+        |an$k AS MATERIALIZED (SELECT p,
+        |  CAST(a2 * 1000000 // (SELECT max(a2) FROM a$k) AS BIGINT) AS a
+        |  FROM a$k)""".stripMargin
+    val rounds = (1 to HitsCap).map(k =>
+      round_(if (k == 1) "an0" else s"an${k - 1}", k)).mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+      |    l_partkey AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |an0 AS MATERIALIZED (SELECT DISTINCT p, CAST(1000000 AS BIGINT) AS a
+      |  FROM edges),
+      |$rounds
+      |SELECT p AS partkey, a AS authority_e6 FROM an$HitsCap
+      |ORDER BY authority_e6 DESC, partkey LIMIT 10""".stripMargin
+  }
+
   val qGraphHitsSql: String =
     """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

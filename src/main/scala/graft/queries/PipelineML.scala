@@ -828,4 +828,97 @@ object PipelineML {
       |SELECT t.qid AS qid, CAST(t.d AS BIGINT) AS d, count(*) AS n_hit
       |FROM top t JOIN f ON t.qid = f.qid AND t.cid = f.cid
       |GROUP BY t.qid, t.d ORDER BY t.qid, d""".stripMargin
+
+  // ───────── 3-step exact-integer Lloyd iterations (round 10) ─────────
+
+  /** THREE full k-means Lloyd iterations, every number EXACT — the
+    * multi-step graduation of [[qKmeansIter]]'s single step. Floats
+    * can't survive three rounds of avg→distance→argmin across two
+    * engines, so the whole loop runs on an integer grid: vectors
+    * quantize once to micro-units (q = round(10⁶·x), the proven
+    * [[PipelineTrain.qLogregGd]] grid), distances are exact BIGINT
+    * squared-L2 sums (≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴ — no overflow), argmin
+    * ties break cluster-asc via struct-min, and the centroid UPDATE is
+    * Σq div n (truncating integer division — Spark `div` ≡ DuckDB `//`
+    * on any sign, verified) instead of a float mean. Result: after 3
+    * assign+update rounds both engines hold bit-identical centroids.
+    * Seeds/k follow [[seeds]] (k = max(3, n div 256), k ∝ n). Scale:
+    * per round, assignment is one narrow broadcast-fanout scan (k·d
+    * integers broadcast) + a vec_id-keyed partial-aggregable argmin;
+    * the update is a (k×d)-group partial aggregate — the same envelope
+    * as one Lloyd step, ×3, with a lazy checkpoint cutting lineage
+    * between rounds.
+    */
+  def qKmeansSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        .as("qv"))
+    val k = emb.count() / 256 max 3
+    val c0 = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("qv").as("cv"))
+    val distExpr = expr(
+      "aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    def assign(cents: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(distExpr.as("dist"), col("cluster").as("cluster"),
+            col("qv").as("qv")).as("dc"))
+        .groupBy("vec_id")
+        .agg(min(col("dc")).as("b"))
+        .select(col("vec_id"), col("b.cluster").as("cluster"),
+          col("b.qv").as("qv"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(expr("sum(x) div count(1)").as("c"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cv"))
+        .localCheckpoint(false)
+    val c1 = update(assign(c0))
+    val c2 = update(assign(c1))
+    val a3 = assign(c2)
+    val sizes = a3.groupBy("cluster").agg(count(lit(1)).as("n"))
+    val c3 = update(a3)
+    sizes.join(c3, "cluster")
+      .select(col("cluster"), col("n"),
+        element_at(col("cv"), 1).as("c1"), element_at(col("cv"), 2).as("c2"),
+        element_at(col("cv"), 3).as("c3"), element_at(col("cv"), 4).as("c4"))
+      .orderBy("cluster")
+  }
+
+  val qKmeansStepsSql: String = {
+    // one unrolled assign+update round: aK = argmin vs c{K-1}, cK = the
+    // truncating integer mean of aK's members — same integers as Spark
+    def round_(prevC: String, k: Int): String =
+      s"""d$k AS (SELECT x.vec_id, c.cluster,
+        |    sum((x.q - c.c) * (x.q - c.c)) AS dist
+        |  FROM x JOIN $prevC c USING (dim) GROUP BY x.vec_id, c.cluster),
+        |a$k AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cluster) AS rk FROM d$k) WHERE rk = 1),
+        |c$k AS (SELECT a.cluster, x.dim, sum(x.q) // count(*) AS c
+        |  FROM a$k a JOIN x USING (vec_id) GROUP BY a.cluster, x.dim)"""
+        .stripMargin
+    s"""WITH x AS (SELECT vec_id, i AS dim,
+      |    CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+      |      * 1000000) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, $Dim)) t(i)),
+      |kk AS (SELECT greatest(3, count(*) // 256) AS k FROM embeddings),
+      |c0 AS (SELECT vec_id AS cluster, dim, q AS c FROM x, kk
+      |  WHERE vec_id < kk.k),
+      |${round_("c0", 1)},
+      |${round_("c1", 2)},
+      |${round_("c2", 3)},
+      |sz AS (SELECT cluster, count(*) AS n FROM a3 GROUP BY cluster)
+      |SELECT sz.cluster, sz.n,
+      |  CAST(max(CASE WHEN dim = 1 THEN c END) AS BIGINT) AS c1,
+      |  CAST(max(CASE WHEN dim = 2 THEN c END) AS BIGINT) AS c2,
+      |  CAST(max(CASE WHEN dim = 3 THEN c END) AS BIGINT) AS c3,
+      |  CAST(max(CASE WHEN dim = 4 THEN c END) AS BIGINT) AS c4
+      |FROM sz JOIN c3 USING (cluster)
+      |GROUP BY sz.cluster, sz.n ORDER BY cluster""".stripMargin
+  }
 }

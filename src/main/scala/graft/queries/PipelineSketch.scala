@@ -215,6 +215,88 @@ object PipelineSketch {
     bySource.unionByName(global).orderBy("scope")
   }
 
+  // ─────────── mergeable percentile-sketch rollup (round 10) ───────────
+
+  /** Bin width of the price histogram sketch, in exact cents: $5000. */
+  private[graft] val PctBinCents = 500000L
+
+  /** Day→month RE-AGGREGATABLE percentile estimation — the
+    * [[qAggHllUnion]] pattern for quantiles: per-day histogram sketches
+    * of o_totalprice (counter per fixed $5000 bin — counters ADD, so any
+    * rollup level merges partial sketches without rescanning the data),
+    * merged to month level, and p50/p90/p99 read off the merged
+    * cumulative histogram. Unlike t-digest/KLL binaries the fixed-grid
+    * sketch is ENGINE-PORTABLE, so the whole operator oracle-checks
+    * exactly: prices quantize to exact cents (round(100·price) — both
+    * engines round the same double), bins by integer division, ranks
+    * kq = ⌈q·n⌉ in exact integer arithmetic, and the estimate is the
+    * lower edge of the bin holding the kq-th value — within one bin
+    * width of the true order statistic BY CONSTRUCTION (asserted against
+    * the exact per-month quantile in Wave10Spec). Scale: the day sketch
+    * is a (day × ~100 bins) partial aggregate; the month merge touches
+    * sketch rows only — at 100 TB this is the difference between
+    * re-sorting a year of raw prices per rollup and adding ~3000
+    * counter rows.
+    */
+  def qPctSketchUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = Tables.t(spark, sfDir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        to_date(col("o_orderdate")).as("d"),
+        expr(s"cast(round(o_totalprice * 100) as bigint) div $PctBinCents")
+          .as("bin"))
+      .groupBy("month", "d", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    // month rollup = MERGE of the day sketches (bin counters add);
+    // n_days rides along to witness the two-level aggregation
+    val merged = day.groupBy("month", "bin").agg(sum("cnt").as("cnt"))
+    val totals = day.groupBy("month")
+      .agg(sum("cnt").as("n"), countDistinct("d").as("n_days"))
+    val wCum = Window.partitionBy("month").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = merged.withColumn("cum", sum("cnt").over(wCum))
+    // Column./ promotes to double — ranks and the cents→dollars scaling
+    // must stay on integer ops (`div`, long ×), so build them via expr
+    def estFloor(kExpr: String) =
+      min(when(col("cum") >= expr(kExpr), col("bin"))) *
+        lit(PctBinCents / 100L)
+    cum.join(totals, "month")
+      .groupBy("month", "n", "n_days")
+      .agg(
+        estFloor("(n + 1) div 2").as("p50_floor"),
+        estFloor("(n * 9 + 9) div 10").as("p90_floor"),
+        estFloor("(n * 99 + 99) div 100").as("p99_floor"))
+      .select(col("month"), col("n"), col("n_days"),
+        col("p50_floor"), col("p90_floor"), col("p99_floor"))
+      .orderBy("month")
+  }
+
+  val qPctSketchUnionSql: String =
+    s"""WITH day AS (SELECT strftime(CAST(o_orderdate AS TIMESTAMP),
+      |      '%Y-%m') AS month,
+      |    CAST(o_orderdate AS DATE) AS d,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) // $PctBinCents AS bin,
+      |    count(*) AS cnt
+      |  FROM orders GROUP BY month, d, bin),
+      |merged AS (SELECT month, bin, sum(cnt) AS cnt FROM day
+      |  GROUP BY month, bin),
+      |tot AS (SELECT month, CAST(sum(cnt) AS BIGINT) AS n,
+      |    count(DISTINCT d) AS n_days
+      |  FROM day GROUP BY month),
+      |cum AS (SELECT month, bin,
+      |    sum(cnt) OVER (PARTITION BY month ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM merged)
+      |SELECT c.month, t.n, t.n_days,
+      |  CAST(min(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.bin END)
+      |    * $PctBinCents // 100 AS BIGINT) AS p50_floor,
+      |  CAST(min(CASE WHEN c.cum >= (t.n * 9 + 9) // 10 THEN c.bin END)
+      |    * $PctBinCents // 100 AS BIGINT) AS p90_floor,
+      |  CAST(min(CASE WHEN c.cum >= (t.n * 99 + 99) // 100 THEN c.bin END)
+      |    * $PctBinCents // 100 AS BIGINT) AS p99_floor
+      |FROM cum c JOIN tot t USING (month)
+      |GROUP BY c.month, t.n, t.n_days ORDER BY month""".stripMargin
+
   /** The exact counterpart the spec compares against: shingle-hash
     * semi-join between training docs and the benchmark set. */
   private[graft] def contaminationExact(spark: SparkSession,

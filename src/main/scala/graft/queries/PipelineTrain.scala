@@ -69,8 +69,10 @@ object PipelineTrain {
     * one plan: add-one-smoothed per-(lang, term) token likelihoods +
     * doc-count priors train on the whole corpus, every doc is scored
     * against all 5 language models, and the output is the 5×5 confusion
-    * matrix (resubstitution). The model is VOCAB×LANGS rows — a
-    * broadcast dim table; scoring is one tokens⋈model broadcast join
+    * matrix (resubstitution). The model is VOCAB×LANGS rows — vocab
+    * grows with the corpus (Heaps' law), so it is NOT force-broadcast;
+    * AQE picks broadcast-hash at runtime when the measured model is
+    * small. Scoring is one tokens⋈model join
     * and a per-(doc, candidate) exact-integer sum: each log-probability
     * is rounded to integer MICRONATS before summation (the
     * q_ccnet_buckets discipline), so per-doc totals and the argmax are
@@ -103,7 +105,14 @@ object PipelineTrain {
       .select(col("cand"),
         round(log(col("dl").cast("double") / col("nd").cast("double")) * 1e6)
           .cast("long").as("prior"))
-    val scores = toks.join(broadcast(model), "term")
+    // NO forced broadcast on the model (round-10 advice): vocab grows
+    // with corpus size (Heaps' law), so vocab×langs is NOT a bounded dim
+    // like nation/region — a forced broadcast would pin an unbounded
+    // relation to driver+executor memory at large SFs. AQE converts the
+    // shuffle join to broadcast-hash at runtime whenever the built model
+    // is actually small (it is here), which is the right gate: measured
+    // size, not a compile-time guess.
+    val scores = toks.join(model, "term")
       .groupBy("doc_id", "lang", "cand")
       .agg(sum("lp").as("s"))
       .join(broadcast(priors), "cand")
@@ -198,6 +207,92 @@ object PipelineTrain {
       |  round(-gsum / (2000000.0 * n.n), 6) AS w1
       |FROM g, n
       |ORDER BY abs(gsum) DESC, dim LIMIT 8""".stripMargin
+
+  // ───────── THREE logistic-regression gradient steps (round 10) ─────────
+
+  /** Three full batch gradient-descent steps for the same logistic
+    * model — the multi-step graduation of [[qLogregGd]]. Per step:
+    * margins zᵢ = Σ_d w_d·q_{id} are exact BIGINTs (w and x both on the
+    * micro grid, so z is in 10⁻¹² units, ≤ 64·2·10¹² ≪ 2⁶³), the
+    * sigmoid is the step's ONE float operation and is immediately
+    * re-quantized to micro-probabilities pᵢ = round(10⁶·σ(z)) (the
+    * q_dp_count / q_naive_bayes transcendental-then-round discipline —
+    * both engines evaluate the same double exp and round half-away),
+    * the gradient G_d = Σᵢ(pᵢ−yᵢ)·q_{id} accumulates as an exact BIGINT
+    * (no float partial-sum order anywhere), and the update
+    * w ← w − round(G_d/(n·10⁶)) is one closing double division whose
+    * quotient is O(10⁶) — far from BIGINT-precision loss. Step 1
+    * reproduces [[qLogregGd]] exactly (σ(0)·10⁶ = 500000 with no
+    * rounding). Output: the 8 strongest coordinates of w₃. Scale: each
+    * step is one broadcast of the 64-row w, one vec-keyed partial
+    * aggregate, one dim-keyed partial aggregate — 3× the single-step
+    * envelope; G_d's BIGINT headroom is ~10¹⁸/(10¹²) = 10⁶ × corpus
+    * rows, documented at the operator like q_return_rate's decimal
+    * widening.
+    */
+  def qLogregGd3(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val x = emb
+      .select(col("vec_id"),
+        when(col("label") >= 5, 1000000L).otherwise(0L).as("y"),
+        posexplode(col("embedding")).as(Seq("p", "xv")))
+      .select(col("vec_id"), col("y"),
+        (col("p") + 1).cast("long").as("dim"),
+        round(col("xv").cast("double") * 1e6).cast("long").as("q"))
+      .localCheckpoint(false)
+    def step(w: DataFrame): DataFrame = {
+      val z = x.join(broadcast(w), "dim")
+        .groupBy("vec_id", "y")
+        .agg(sum(col("w") * col("q")).as("z"))
+      val p = z.select(col("vec_id"), col("y"),
+        round(lit(1e6) / (lit(1.0) + exp(-(col("z").cast("double") / 1e12))))
+          .cast("long").as("p"))
+      val g = x.join(p.drop("y"), "vec_id")
+        .groupBy("dim")
+        .agg(sum((col("p") - col("y")) * col("q")).as("g"))
+      w.join(g, "dim")
+        .select(col("dim"),
+          (col("w") -
+            round(col("g").cast("double") / (n * 1e6)).cast("long")).as("w"))
+        .localCheckpoint(false)
+    }
+    val w0 = x.select("dim").distinct().withColumn("w", lit(0L))
+    val w3 = step(step(step(w0)))
+    w3.select(col("dim"), col("w").as("w3_e6"))
+      .orderBy(abs(col("w3_e6")).desc, col("dim"))
+      .limit(8)
+  }
+
+  val qLogregGd3Sql: String = {
+    // one unrolled step: z/p from w{K-1}, gradient, wK
+    def step_(prevW: String, k: Int): String =
+      s"""z$k AS (SELECT x.vec_id, x.y, sum(w.w * x.q) AS z
+        |  FROM x JOIN $prevW w USING (dim) GROUP BY x.vec_id, x.y),
+        |p$k AS (SELECT vec_id, y,
+        |    CAST(round(1000000.0 / (1 + exp(-(z / 1000000000000.0))))
+        |      AS BIGINT) AS p
+        |  FROM z$k),
+        |g$k AS (SELECT x.dim, sum((p.p - x.y) * x.q) AS g
+        |  FROM x JOIN p$k p USING (vec_id) GROUP BY x.dim),
+        |w$k AS (SELECT w.dim,
+        |    w.w - CAST(round(g.g / (1000000.0 * (SELECT n FROM n)))
+        |      AS BIGINT) AS w
+        |  FROM $prevW w JOIN g$k g USING (dim))""".stripMargin
+    s"""WITH x AS (SELECT vec_id,
+      |    CASE WHEN label >= 5 THEN 1000000 ELSE 0 END AS y,
+      |    i AS dim,
+      |    CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+      |      * 1000000) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, 64)) t(i)),
+      |n AS (SELECT count(*) AS n FROM embeddings),
+      |w0 AS (SELECT DISTINCT dim, CAST(0 AS BIGINT) AS w FROM x),
+      |${step_("w0", 1)},
+      |${step_("w1", 2)},
+      |${step_("w2", 3)}
+      |SELECT CAST(dim AS BIGINT) AS dim, w AS w3_e6 FROM w3
+      |ORDER BY abs(w) DESC, dim LIMIT 8""".stripMargin
+  }
 
   // ───────── embedding whitening + Mahalanobis outliers ─────────
 
@@ -441,8 +536,9 @@ object PipelineTrain {
     * (deg·10⁶ div freq), phrase score an exact sum of those — no float
     * anywhere, so the top-20 ranking can't fork on ulps. Scale: one
     * token pass; phrase segmentation is a per-doc window (gaps-islands
-    * on the stopword flag); word table is vocab-bounded and broadcast
-    * back.
+    * on the stopword flag); the word-score table is vocab-sized (grows
+    * with the corpus), so the re-join is left to AQE rather than
+    * force-broadcast.
     */
   def qKeyphraseRake(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.t(spark, sfDir, "documents")
@@ -461,7 +557,10 @@ object PipelineTrain {
       .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
       .select(col("tok"),
         expr("deg * 1000000 div freq").as("wscore"))
-    val phrases = withLen.join(broadcast(words), "tok")
+    // word-score table is vocab-sized — unbounded under Heaps' law, so
+    // no forced broadcast (round-10 advice): AQE promotes to
+    // broadcast-hash at runtime when the aggregated table is small
+    val phrases = withLen.join(words, "tok")
       .groupBy("doc_id", "grp")
       .agg(
         concat_ws(" ", transform(

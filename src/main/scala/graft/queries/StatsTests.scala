@@ -384,7 +384,7 @@ object StatsTests {
       |    sum(c_purchase) AS n_purchase,
       |    sum(c_purchase * (2 * cum + c + 1)) AS r2_purchase,
       |    sum(c) AS nn,
-      |    sum(c * c * c - c) AS ties
+      |    sum(CAST(c AS HUGEINT) * c * c - c) AS ties
       |  FROM w),
       |h AS (SELECT nn, ties,
       |    12.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * (

@@ -280,6 +280,81 @@ object Streams {
       .orderBy("user_id")
     }
 
+  /** Stream-stream LEFT-OUTER interval join (round 10): the unmatched-
+    * attribution case [[sStreamStreamJoin]]'s inner join cannot express
+    * — views that did NOT convert within the 1-hour window emit
+    * null-padded, but only once BOTH watermarks have passed the join
+    * bound (before that, a future purchase could still match). The feed
+    * therefore needs what the inner join explicitly didn't: sentinel
+    * batches. Watermarks advance at batch COMMIT from the previous
+    * batch's max event time, so two sentinel rounds follow the data
+    * batch — the first moves both watermarks past every real event, the
+    * second gives the join a batch in which to evict state and release
+    * the null-padded rows. Output is row-level: one row per matched
+    * (view, purchase) pair plus one per never-matched view, aggregated
+    * per user — exactly the batch left-join relation, which is the
+    * oracle. State stays bounded by watermark + interval on BOTH sides
+    * at any stream length.
+    */
+  def sStreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamPartitions(spark) {
+    val vs = newStream(spark)
+    val ps = newStream(spark)
+    val views = vs.toDF()
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = ps.toDF()
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    val q = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .writeStream.option("checkpointLocation", ckpt())
+      .format("memory").queryName("s_stream_outer_join")
+      .outputMode("append").start()
+    val evs = eventRows(spark, sfDir)
+    try {
+      vs.addData(evs.filter(_.event_type == "view").toSeq)
+      ps.addData(evs.filter(_.event_type == "purchase").toSeq)
+      q.processAllAvailable()
+      vs.addData(Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
+      ps.addData(Ev(-2L, sentinelTs, -2L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val sentinel2 = Timestamp.valueOf("2030-01-02 00:00:00")
+      vs.addData(Ev(-3L, sentinel2, -3L, "sentinel", 0.0))
+      ps.addData(Ev(-4L, sentinel2, -4L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("s_stream_outer_join")
+      .filter(col("v_user") >= 0)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p_id").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy("user_id")
+    }
+
+  val sStreamOuterJoinSql: String =
+    """WITH v AS (SELECT user_id, ts, event_id FROM events
+      |    WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts, event_id FROM events
+      |    WHERE event_type = 'purchase'),
+      |j AS (SELECT v.user_id, v.event_id AS v_id, p.event_id AS p_id
+      |  FROM v LEFT JOIN p ON p.user_id = v.user_id
+      |    AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+      |    AND CAST(p.ts AS TIMESTAMP)
+      |        <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR)
+      |SELECT user_id, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN p_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_matched,
+      |  CAST(sum(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unmatched
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Native streaming session windows: session_window(ts, 30 min) per
     * user with watermark-driven state eviction; the sentinel closes every
     * open session so append mode emits them all.

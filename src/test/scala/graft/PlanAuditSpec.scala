@@ -1191,4 +1191,23 @@ class PlanAuditSpec extends SparkSpecBase {
       s"SQL front-end lost the broadcast dim chain:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in sql api:\n$p")
   }
+
+  // ───────────────────────── round-10 shapes ─────────────────────────
+
+  test("q_sim_ivf: broadcast centroids + struct-min assignment, no window") {
+    val p = plan("q_sim_ivf")
+    // cell assignment must be the partial-aggregable struct-min, never
+    // the all-rows row_number window it replaced (round-10 advice #4)
+    assert(!p.contains("Window"), s"window crept back into IVF assign:\n$p")
+    assert(p.contains("partial_min"),
+      s"assignment lost its map-side combine:\n$p")
+    // the only nested-loop allowed is the BROADCAST centroid fan-out;
+    // a CartesianProduct or sort-merge anywhere = the scan got shuffled
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in IVF assignment:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"IVF regressed to a shuffled join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"centroid table is not broadcast:\n$p")
+  }
 }

@@ -50,4 +50,50 @@ class SkewJoinSpec extends SparkSpecBase {
         s"OptimizeSkewedJoin did not fire:\n$finalPlan")
     }
   }
+
+  // ───────── LSH mega-bucket guard (round 10 advice #8) ─────────
+
+  test("LSH bucket cap sub-splits a synthetic mega-bucket; inactive below cap") {
+    val s = spark
+    import s.implicits._
+    // synthetic skew corpus: 60 docs all landing in ONE (band, bsig)
+    // bucket — the boilerplate-heavy 100× regime — plus a small bucket
+    val mega = (0L until 60L).map(i => (i, 0, "samesig"))
+    val small = (100L until 104L).map(i => (i, 1, "other"))
+    val bands = (mega ++ small).toSeq.toDF("doc_id", "band", "bsig")
+    val cap = 8L
+    val capped = graft.queries.PipelinePlus.bandedPairs(bands, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = graft.queries.PipelinePlus
+      .bandedPairs(bands, 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the guard only ever REMOVES pairs, never invents them
+    assert(capped.subsetOf(uncapped))
+    // uncapped mega bucket is quadratic: C(60,2) + C(4,2)
+    assert(uncapped.size == 60 * 59 / 2 + 6)
+    // capped: 60 docs split into ceil(60/8)=8 sub-buckets → the
+    // quadratic term is bounded by construction. With a uniform hash
+    // the expected sub-bucket is 7.5 docs; assert the hard consequence:
+    // strictly fewer pairs than quadratic, and Σ per-sub-bucket C(s,2)
+    // ≤ C(60,2) with every sub-bucket ≤ 4·cap (loose tail bound that
+    // still fails if the salt ever stops splitting).
+    assert(capped.size < uncapped.size,
+      s"cap did not reduce the mega bucket: ${capped.size}")
+    val subSizes = bands.filter(col("band") === 0)
+      .withColumn("salt",
+        Tables.md5Bucket(concat(lit("sub:"), col("doc_id"))) % 8)
+      .groupBy("salt").count().collect().map(_.getLong(1))
+    assert(subSizes.forall(_ <= 4 * cap), subSizes.mkString(","))
+    assert(subSizes.map(s => s * (s - 1) / 2).sum == capped.size - 6,
+      "capped pair count must equal the sum of sub-bucket pair counts")
+    // the small bucket (4 ≤ cap) is untouched: all 6 pairs survive
+    assert(capped.count { case (a, b) => a >= 100 && b >= 100 } == 6)
+    // inactive regime: with the production cap, the whole corpus is one
+    // sub-bucket per bucket — capped ≡ uncapped (the goldens-unchanged
+    // guarantee at the tested SFs, where max bucket = 319 < 1024)
+    val prodCap = graft.queries.PipelinePlus.bandedPairs(
+      bands, graft.queries.PipelinePlus.BucketCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prodCap == uncapped)
+  }
 }
