@@ -681,6 +681,91 @@ object PipelineGraph {
       |ORDER BY authority_e6 DESC, partkey LIMIT 10""".stripMargin
   }
 
+  /** Synchronous label-propagation community rounds (cap). */
+  private val LpaCap = 5
+
+  /** Label-propagation communities over the verified near-dup graph —
+    * the third converge-or-cap loop: nodes start from 16 coarse seed
+    * labels (doc_id % 16), and each synchronous round every node adopts
+    * the MODE of its neighbors' labels plus its own (self-vote —
+    * the damping that prevents classic LPA bipartite oscillation), ties
+    * to the smallest label. Mode + smallest-label tiebreak is exact
+    * integer voting, so rounds are engine-identical; the Spark loop
+    * exits at the exact fixpoint (labels stop changing), the oracle
+    * unrolls [[LpaCap]] rounds — equal either way by the
+    * [[qHitsConverge]] argument. Near-dup cliques converge in 1–2
+    * rounds (majority seed wins, then self-stabilizes); isolated nodes
+    * keep their seed. Scale: one \|edges\|+\|nodes\| shuffle per round
+    * into a (node, label)-keyed count — the Pregel envelope again.
+    */
+  def qCommunityLpa(spark: SparkSession, sfDir: String): DataFrame =
+    communityLpaWithIters(spark, sfDir)._1
+
+  private[graft] def communityLpaWithIters(
+      spark: SparkSession, sfDir: String): (DataFrame, Int, Boolean) = {
+    val edges = PipelinePlus.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= EdgeThreshold)
+      .select(col("d1"), col("d2"))
+    val sym = edges
+      .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(false)
+    var labels = PipelinePlus.sampleTerms(spark, sfDir)
+      .select("doc_id").distinct()
+      .withColumn("label", col("doc_id") % 16)
+      .localCheckpoint(false)
+    var iter = 0
+    var fixed = false
+    while (!fixed && iter < LpaCap) {
+      val votes = sym
+        .join(labels.select(col("doc_id").as("src"), col("label")),
+          sym("d1") === col("src"))
+        .select(col("d2").as("nid"), col("label"))
+        .unionAll(labels.select(col("doc_id").as("nid"), col("label")))
+      val next = votes.groupBy("nid", "label")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("nid")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("label")))
+          .getField("label").as("label"))
+        .select(col("nid").as("doc_id"), col("label"))
+        .localCheckpoint(false)
+      fixed = next.toDF("doc_id", "nl")
+        .join(labels, "doc_id")
+        .filter(col("nl") =!= col("label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    (labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("community"), col("csize"))
+      .orderBy("doc_id"), iter, fixed)
+  }
+
+  val qCommunityLpaSql: String = {
+    def round_(prev: String, k: Int): String =
+      s"""l$k AS MATERIALIZED (SELECT nid AS doc_id, label FROM (
+        |  SELECT nid, label,
+        |    row_number() OVER (PARTITION BY nid
+        |      ORDER BY cnt DESC, label) AS rk
+        |  FROM (SELECT nid, label, count(*) AS cnt FROM (
+        |      SELECT e.b AS nid, p.label FROM $prev p
+        |        JOIN edges_m e ON e.a = p.doc_id
+        |      UNION ALL SELECT doc_id, label FROM $prev) v
+        |    GROUP BY nid, label) c) r WHERE rk = 1)""".stripMargin
+    val rounds = (1 to LpaCap)
+      .map(k => round_(s"l${k - 1}", k)).mkString(",\n")
+    s"""WITH
+      |$edgesCte,
+      |edges_m AS MATERIALIZED (SELECT a, b FROM edges),
+      |nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM dt),
+      |l0 AS MATERIALIZED (SELECT doc_id, doc_id % 16 AS label FROM nodes),
+      |$rounds,
+      |sz AS (SELECT label, count(*) AS csize FROM l$LpaCap GROUP BY label)
+      |SELECT l.doc_id, l.label AS community, sz.csize
+      |FROM l$LpaCap l JOIN sz USING (label)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val qGraphHitsSql: String =
     """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

@@ -899,4 +899,57 @@ object PipelineTrain {
       |    AS buckets_ge2,
       |  CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS cand_work
       |FROM bk GROUP BY b, r ORDER BY bands""".stripMargin
+
+  // ───────── data-mixing epoch planner (round 10) ─────────
+
+  /** Token budget the mixture must fill, and the repetition ceiling
+    * (milli-epochs: 4000 = each source may repeat at most 4×). */
+  private val MixBudgetTokens = 2000000L
+  private val MixMaxEpochsMilli = 4000L
+
+  /** Data-mixing epoch planner — the "how many times does each source
+    * repeat" computation run before every pretraining job: each source
+    * gets an equal share of the [[MixBudgetTokens]] budget, and its
+    * repetition factor is alloc/tokens capped at
+    * [[MixMaxEpochsMilli]]/1000 epochs (the repetition ceiling data
+    * quality work established — repeating a small source too often
+    * hurts). Everything is exact integer arithmetic in milli-epochs:
+    * epochs_milli = min(cap, alloc·1000 div tokens), planned =
+    * tokens·epochs_milli div 1000, and starved marks sources whose cap
+    * binds (planned < alloc — budget the mixture CANNOT fill without
+    * raising the ceiling or reweighting). Scale: one token-count pass
+    * (the memoized whitespace counter) + a \|sources\|-row planner —
+    * the planning math never touches the corpus again.
+    */
+  def qMixEpochs(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.t(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+    val nSrc = perSource.agg(count(lit(1)).as("nsrc"))
+    perSource.crossJoin(broadcast(nSrc))
+      .withColumn("alloc", expr(s"$MixBudgetTokens div nsrc"))
+      .withColumn("epochs_milli",
+        least(lit(MixMaxEpochsMilli), expr("alloc * 1000 div tokens")))
+      .withColumn("planned_tokens", expr("tokens * epochs_milli div 1000"))
+      .select(col("source"), col("tokens"), col("alloc"),
+        col("epochs_milli"), col("planned_tokens"),
+        (col("planned_tokens") < col("alloc")).as("starved"))
+      .orderBy("source")
+  }
+
+  val qMixEpochsSql: String =
+    s"""WITH s AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |n AS (SELECT count(*) AS nsrc FROM s),
+      |p AS (SELECT source, tokens,
+      |    CAST($MixBudgetTokens // nsrc AS BIGINT) AS alloc,
+      |    least($MixMaxEpochsMilli,
+      |      ($MixBudgetTokens // nsrc) * 1000 // tokens) AS epochs_milli
+      |  FROM s CROSS JOIN n)
+      |SELECT source, tokens, alloc,
+      |  CAST(epochs_milli AS BIGINT) AS epochs_milli,
+      |  CAST(tokens * epochs_milli // 1000 AS BIGINT) AS planned_tokens,
+      |  tokens * epochs_milli // 1000 < alloc AS starved
+      |FROM p ORDER BY source""".stripMargin
 }

@@ -254,4 +254,85 @@ object SearchRank {
        |JOIN (SELECT doc_id, s FROM scored WHERE term = 'join') b
        |  USING (doc_id)
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  // ───────────── hybrid retrieval: reciprocal-rank fusion (round 10) ─────────────
+
+  /** Per-arm rank-list depth fed into the fusion. */
+  private val RrfK = 20
+  /** The standard RRF smoothing constant. */
+  private val RrfC = 60L
+
+  /** Hybrid retrieval via reciprocal-rank fusion — the modern two-arm
+    * stack: the LEXICAL arm ranks docs by BM25 ({spark, join}, the
+    * shared memoized q_search_bm25 list), the SEMANTIC arm ranks the
+    * same ids by embedding cosine against query vec 0 (vec_id ≡ doc_id
+    * — the embeddings table is the corpus's document-embedding side),
+    * and RRF fuses them: score(d) = Σ_arms 1/(60 + rank_arm(d)),
+    * computed as EXACT integers 10⁹ div (60 + rank) so the fused order
+    * can't fork on float addition. Docs present in only one top-20 arm
+    * receive only that arm's contribution (the realistic partial-
+    * coverage case). Ranks are deterministic (round(4) arm scores with
+    * id tiebreaks). Scale: each arm is its family's existing
+    * broadcast-shaped plan; fusion is a ≤ 2·K-row outer join — rank
+    * fusion never touches the corpus again.
+    */
+  def qSearchHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    // each arm cuts to top-K with orderBy+limit (TakeOrdered — a
+    // per-partition heap + driver merge, never a global sort) and only
+    // THEN ranks with a window: the window sees ≤ K rows, so the
+    // single-partition sort it implies is constant-size at any scale
+    val wLex = Window.orderBy(desc("score"), asc("doc_id"))
+    val lex = Search.lexScores(spark, sfDir)
+      .orderBy(desc("score"), asc("doc_id")).limit(RrfK)
+      .withColumn("lrank", row_number().over(wLex).cast("long"))
+      .select(col("doc_id"), col("lrank"))
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("e", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val wSem = Window.orderBy(desc("cos"), asc("doc_id"))
+    val sem = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.functions.VectorOps.cosine(col("e"), col("qe")), 4)
+          .as("cos"))
+      .orderBy(desc("cos"), asc("doc_id")).limit(RrfK)
+      .withColumn("srank", row_number().over(wSem).cast("long"))
+      .select(col("doc_id"), col("srank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lrank"), col("srank"),
+        (coalesce(expr(s"1000000000 div ($RrfC + lrank)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($RrfC + srank)"), lit(0L)))
+          .as("rrf_e9"))
+      .orderBy(desc("rrf_e9"), asc("doc_id"))
+      .limit(10)
+  }
+
+  val qSearchHybridSql: String =
+    s"""${Search.bm25ScoredCte(Seq("spark", "join"))},
+       |lexall AS (SELECT doc_id, round(sum(s), 4) AS score FROM scored
+       |  GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+       |lex AS (SELECT doc_id, rk AS lrank FROM (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+       |  FROM lexall) WHERE rk <= $RrfK),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cosparts AS (SELECT vec_id AS doc_id,
+       |    sum(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))
+       |      AS dot,
+       |    sum(CAST(e.embedding[i] AS DOUBLE)
+       |      * CAST(e.embedding[i] AS DOUBLE)) AS na2,
+       |    sum(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)) AS nb2
+       |  FROM embeddings e CROSS JOIN qv q,
+       |    unnest(generate_series(1, len(e.embedding))) AS t(i)
+       |  WHERE e.vec_id <> 0 GROUP BY vec_id),
+       |sem AS (SELECT doc_id, rk AS srank FROM (SELECT doc_id,
+       |    row_number() OVER (
+       |      ORDER BY round(dot / (sqrt(na2) * sqrt(nb2)), 4) DESC,
+       |      doc_id) AS rk
+       |  FROM cosparts) WHERE rk <= $RrfK)
+       |SELECT doc_id,
+       |  CAST(lrank AS BIGINT) AS lrank, CAST(srank AS BIGINT) AS srank,
+       |  coalesce(1000000000 // ($RrfC + lrank), 0)
+       |    + coalesce(1000000000 // ($RrfC + srank), 0) AS rrf_e9
+       |FROM lex FULL OUTER JOIN sem USING (doc_id)
+       |ORDER BY rrf_e9 DESC, doc_id LIMIT 10""".stripMargin
 }

@@ -125,6 +125,61 @@ class Wave10Spec extends SparkSpecBase {
       "weights exploded — lr too hot for the exact grid")
   }
 
+  test("community_lpa: converges to an exact fixpoint within the cap") {
+    val (df, iters, fixed) =
+      queries.PipelineGraph.communityLpaWithIters(spark, sf)
+    assert(fixed, s"no LPA fixpoint within $iters rounds")
+    assert(iters <= 5)
+    val rows = df.collect()
+    // labels stay in the seed domain and community sizes tile the sample
+    assert(rows.forall(r => {
+      val c = r.getAs[Long]("community"); c >= 0 && c < 16
+    }))
+    val n = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(rows.length == n)
+  }
+
+  test("search_hybrid: fused ranking rewards two-arm agreement") {
+    val rows = queries.SearchRank.qSearchHybrid(spark, sf).collect()
+    assert(rows.length == 10)
+    // every fused score decomposes into the two arms' exact terms
+    rows.foreach { r =>
+      val l = Option(r.getAs[Any]("lrank")).map(_.asInstanceOf[Long])
+      val s = Option(r.getAs[Any]("srank")).map(_.asInstanceOf[Long])
+      val expect = l.map(x => 1000000000L / (60 + x)).getOrElse(0L) +
+        s.map(x => 1000000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_e9") == expect)
+      assert(l.nonEmpty || s.nonEmpty)
+    }
+    // a doc ranked by BOTH arms must outscore any single-arm doc whose
+    // one rank is not better than both of its ranks — spot-check the
+    // invariant that fusion actually adds the arms rather than maxing
+    val both = rows.filter(r => r.getAs[Any]("lrank") != null &&
+      r.getAs[Any]("srank") != null)
+    if (both.nonEmpty) {
+      val worstBoth = both.map(_.getAs[Long]("rrf_e9")).min
+      assert(worstBoth > 1000000000L / (60 + 1) - 1000000000L / 81,
+        "two-arm scores should clear the single-arm ceiling region")
+    }
+  }
+
+  test("mix_epochs: planner arithmetic is consistent and the cap binds correctly") {
+    val rows = queries.PipelineTrain.qMixEpochs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tokens = r.getAs[Long]("tokens")
+      val alloc = r.getAs[Long]("alloc")
+      val em = r.getAs[Long]("epochs_milli")
+      val planned = r.getAs[Long]("planned_tokens")
+      assert(em <= 4000L && em >= 0L)
+      assert(planned == tokens * em / 1000)
+      // uncapped sources fill their allocation to within one source pass
+      if (em < 4000L) assert(planned <= alloc && alloc - planned < tokens)
+      assert(r.getAs[Boolean]("starved") == (planned < alloc))
+    }
+  }
+
   test("stream outer join: outer rows actually emit; matched+unmatched=n_rows") {
     val rows = graft.streaming.Streams.sStreamOuterJoin(spark, sf).collect()
     assert(rows.nonEmpty)
