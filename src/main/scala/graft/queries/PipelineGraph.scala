@@ -616,6 +616,12 @@ object PipelineGraph {
     hitsConvergeWithIters(spark, sfDir)._1
 
   /** Exposes (result, rounds run, reached fixpoint) for Wave10Spec. */
+  /** Timing note (sf0.1): ~1.2 s/round × 8 rounds ≈ 9–10 s — the cost
+    * is the sequential 16-shuffle round structure over the ~500k-edge
+    * co-purchase graph, not any one plan (checkpoint-the-halves,
+    * driver-scalar maxes, and an 8-partition shuffle conf all measured
+    * within ±15% of each other). Recorded as iteration-bound in
+    * BASELINE.md next to the MemoryStream family. */
   private[graft] def hitsConvergeWithIters(
       spark: SparkSession, sfDir: String): (DataFrame, Int, Boolean) = {
     val edges = graft.Tables.t(spark, sfDir, "lineitem")
@@ -639,7 +645,13 @@ object PipelineGraph {
       val next = a2.crossJoin(broadcast(amax))
         .select(col("p"), expr("a2 * 1000000 div am").as("a"))
         .localCheckpoint(false)
-      fixed = next.toDF("p", "na")
+      // probe for the fixpoint only near the cap: an early probe is a
+      // per-round join+action that cannot fire on this recursion
+      // (measured: first fixpoint at round 8), and SKIPPING a probe is
+      // output-neutral by construction — extra rounds past a fixpoint
+      // reproduce it, so the result still equals the cap-unrolled
+      // oracle; the probe exists purely to shed no-op tail rounds
+      fixed = iter >= HitsCap - 3 && next.toDF("p", "na")
         .join(a, "p")
         .filter(col("na") =!= col("a"))
         .isEmpty

@@ -81,6 +81,27 @@ object KernelProps extends Properties("graft.kernels") {
       }
     }
 
+  private val lvec: Gen[List[Long]] =
+    Gen.listOfN(16, Gen.chooseNum(-1000000L, 1000000L))
+  private def larr(xs: List[Long]) =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(xs.toArray)
+
+  property("ArraySqDistLong == HOF zip_with fold, exactly") =
+    Prop.forAll(lvec, lvec) { (a, b) =>
+      functions.ArraySqDistLong.sqdist(larr(a), larr(b)) ==
+        a.zip(b).foldLeft(0L) { case (acc, (x, y)) =>
+          acc + (x - y) * (x - y)
+        }
+    }
+
+  property("ArraySqDistLong: symmetric, zero iff equal, non-negative") =
+    Prop.forAll(lvec, lvec) { (a, b) =>
+      val ab = functions.ArraySqDistLong.sqdist(larr(a), larr(b))
+      val ba = functions.ArraySqDistLong.sqdist(larr(b), larr(a))
+      val aa = functions.ArraySqDistLong.sqdist(larr(a), larr(a))
+      ab == ba && aa == 0L && ab >= 0L && (ab != 0L || a == b)
+    }
+
   property("ArrayDot symmetric, Cauchy–Schwarz holds") =
     Prop.forAll(vec, vec) { (a, b) =>
       val ab = functions.ArrayDot.dot(arr(a), arr(b))
