@@ -190,14 +190,25 @@ object PipelinePlus {
       |  FROM dt, generate_series(0, ${K - 1}) t(k) GROUP BY doc_id, k)"""
       .stripMargin
 
+  /** Candidate CTE including the oracle-side mirror of [[bandedPairs]]'s
+    * [[BucketCap]] sub-split (round 11, advisor item): same md5-salt
+    * formula, same cap constant, so the two engines cannot fork even at
+    * an SF where the cap activates. Inactive at all tested SFs (max
+    * bucket 319 at sf0.1 vs cap 1024 ⇒ every salt divisor is 1). */
   private[queries] val lshCandCte: String =
     s"""$lshSigCte,
       |bands AS (SELECT doc_id, k // 2 AS band,
       |    string_agg(mh, '|' ORDER BY k) AS bsig
       |  FROM sig GROUP BY doc_id, band),
+      |bsz AS (SELECT band, bsig, count(*) AS bsz
+      |  FROM bands GROUP BY band, bsig),
+      |bsalt AS (SELECT doc_id, band, bsig,
+      |    ('0x' || substr(md5('sub:' || doc_id), 1, 15))::BIGINT
+      |      % greatest(1, (bsz + ${BucketCap - 1}) // $BucketCap) AS salt
+      |  FROM bands JOIN bsz USING (band, bsig)),
       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
-      |    AND a.doc_id < b.doc_id)""".stripMargin
+      |  FROM bsalt a JOIN bsalt b ON a.band = b.band AND a.bsig = b.bsig
+      |    AND a.salt = b.salt AND a.doc_id < b.doc_id)""".stripMargin
 
   /** [[lshCandCte]] + the [[RescoreThreshold]] signature-agreement cut —
     * the oracle-side mirror of `minhashPairs.filter(est_jaccard >= T)`.

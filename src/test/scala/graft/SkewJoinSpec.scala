@@ -96,4 +96,75 @@ class SkewJoinSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(prodCap == uncapped)
   }
+
+  // ───── hyperplane mega-bucket guard (round 11, verdict item #1a) ─────
+
+  test("q_sim_lsh bucket cap sub-splits a synthetic mega-bucket; inactive below cap") {
+    val s = spark
+    import s.implicits._
+    // 50 unit vectors all landing in ONE hyperplane bucket (identical
+    // bucket string) + 4 in a small one — the 100×-corpus regime where
+    // the fixed 256-key space saturates
+    val mega = (0L until 50L).map(i => (i, Seq(1.0, 0.0), "11111111"))
+    val small = (100L until 104L).map(i => (i, Seq(0.0, 1.0), "00000001"))
+    val sig = (mega ++ small).toSeq.toDF("vec_id", "v", "bucket")
+      .withColumn("n", graft.functions.VectorOps.l2norm(col("v")))
+    val cap = 8L
+    val capped = graft.queries.PipelineExtra.bucketCosPairs(sig, cap)
+      .select("v1", "v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = graft.queries.PipelineExtra.bucketCosPairs(sig, 1000000L)
+      .select("v1", "v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the guard only removes pairs, never invents them
+    assert(capped.subsetOf(uncapped))
+    assert(uncapped.size == 50 * 49 / 2 + 6)
+    assert(capped.size < uncapped.size)
+    // Σ per-sub-bucket C(s,2) must equal the capped mega-bucket pairs
+    val subSizes = sig.filter(col("bucket") === "11111111")
+      .withColumn("salt",
+        Tables.md5Bucket(concat(lit("subv:"), col("vec_id"))) % 7)
+      .groupBy("salt").count().collect().map(_.getLong(1))
+    assert(subSizes.map(v => v * (v - 1) / 2).sum == capped.size - 6,
+      "capped pair count must equal the sum of sub-bucket pair counts")
+    // the small bucket (4 ≤ cap) is untouched
+    assert(capped.count { case (a, b) => a >= 100 && b >= 100 } == 6)
+    // inactive regime: production cap keeps every pair of this corpus
+    val prodCap = graft.queries.PipelineExtra.bucketCosPairs(
+      sig, graft.queries.PipelineExtra.VecBucketCap)
+      .select("v1", "v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prodCap == uncapped)
+  }
+
+  // ───────── hot-shingle df-cap (round 11, verdict item #1b) ─────────
+
+  test("shingle df-cap drops a synthetic boilerplate shingle; inactive below cap") {
+    val s = spark
+    import s.implicits._
+    // 40 docs sharing one boilerplate shingle ("all rights reserved" on
+    // a web corpus) + rare shingles with df ≤ 2
+    val hot = (0L until 40L).map(i => (i, "all rights reserved"))
+    val rare = (0L until 40L).map(i => (i, s"unique shingle $i")) ++
+      Seq((0L, "shared pair sh"), (1L, "shared pair sh"))
+    val sh = (hot ++ rare).toSeq.toDF("doc_id", "sh")
+    val cap = 8L
+    val capped = graft.queries.PipelineExtra.cappedShingles(sh, cap)
+    // the hot shingle (df 40 > 8) is gone; everything else survives
+    assert(capped.filter(col("sh") === "all rights reserved").count() == 0)
+    assert(capped.count() == rare.size)
+    // candidate volume through the capped relation is pair-bounded:
+    // only the df-2 shingle pairs docs 0 and 1
+    val pairs = capped.toDF("d1", "sh")
+      .join(capped.toDF("d2", "sh"), Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L)))
+    // inactive regime: production cap (128) keeps even the hot shingle
+    // of THIS corpus (df 40 ≤ 128) — nothing dropped, mirroring the
+    // tested-SF guarantee (max real df is 6 at sf0.1)
+    val prod = graft.queries.PipelineExtra.cappedShingles(
+      sh, graft.queries.PipelineExtra.ShingleDfCap)
+    assert(prod.count() == sh.count())
+  }
 }
