@@ -65,10 +65,11 @@ object Bench {
     // before the suite and again every [[CtrlEvery]] queries; its time
     // series is emitted alongside the results, and each query gets a
     // load_suspect flag when (a) its own median exceeds 3× its own min —
-    // the within-query noise signature — or (b) the control sample
-    // nearest to it ran > 2× the control's session minimum — the
-    // box-level signature. A flagged median is a "re-time before
-    // believing" marker, not a grade.
+    // the within-query noise signature — or (b) BOTH control samples
+    // bracketing its block ran > 3× the control's session minimum — the
+    // box-level signature (both ends, so residual first-block JIT on one
+    // sample can't false-flag; see the comment at the flag site). A
+    // flagged median is a "re-time before believing" marker, not a grade.
     val CtrlEvery = 25
     val ctrlFn = SparkEntry.queries("q_agg_basic")
     // each sample is a median-of-3: a single 0.3 s control run has ~2.5×

@@ -916,8 +916,12 @@ object PipelineTrain {
     * hurts). Everything is exact integer arithmetic in milli-epochs:
     * epochs_milli = min(cap, alloc·1000 div tokens), planned =
     * tokens·epochs_milli div 1000, and starved marks sources whose cap
-    * binds (planned < alloc — budget the mixture CANNOT fill without
-    * raising the ceiling or reweighting). Scale: one token-count pass
+    * ACTUALLY binds: epochs_milli == cap AND planned < alloc — budget
+    * the mixture cannot fill without raising the ceiling or
+    * reweighting. (The epochs_milli == cap conjunct matters: milli-epoch
+    * truncation alone leaves planned up to tokens/1000 short of alloc
+    * even when the ceiling never binds, and that quantization shortfall
+    * is not starvation — round-10 advice.) Scale: one token-count pass
     * (the memoized whitespace counter) + a \|sources\|-row planner —
     * the planning math never touches the corpus again.
     */
@@ -933,7 +937,8 @@ object PipelineTrain {
       .withColumn("planned_tokens", expr("tokens * epochs_milli div 1000"))
       .select(col("source"), col("tokens"), col("alloc"),
         col("epochs_milli"), col("planned_tokens"),
-        (col("planned_tokens") < col("alloc")).as("starved"))
+        (col("epochs_milli") === MixMaxEpochsMilli &&
+          col("planned_tokens") < col("alloc")).as("starved"))
       .orderBy("source")
   }
 
@@ -950,6 +955,7 @@ object PipelineTrain {
       |SELECT source, tokens, alloc,
       |  CAST(epochs_milli AS BIGINT) AS epochs_milli,
       |  CAST(tokens * epochs_milli // 1000 AS BIGINT) AS planned_tokens,
-      |  tokens * epochs_milli // 1000 < alloc AS starved
+      |  epochs_milli = $MixMaxEpochsMilli
+      |    AND tokens * epochs_milli // 1000 < alloc AS starved
       |FROM p ORDER BY source""".stripMargin
 }
