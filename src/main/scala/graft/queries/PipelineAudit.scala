@@ -246,7 +246,14 @@ object PipelineAudit {
     * The probe set is a 9× in-row expansion of the O(|q|) broadcast query
     * side; candidates still come only from bucket equi-joins, so the
     * candidate count stays O(Σ probed-bucket sizes), never O(n²). Rank
-    * keys round(4)-grid-aligned + cid tiebreak.
+    * keys round(4)-grid-aligned + cid tiebreak. The top-10 is two-phase
+    * (round 11, the q_knn_join discipline): phase 1 ranks within
+    * (qid, cid%32) slices — no window partition ever scales with the
+    * corpus (a probed bucket holds O(9·n/256) rows at 100×) — phase 2
+    * ranks the ≤ 320 slice survivors per query. row_number over the
+    * total order (cos desc, cid asc) makes the two-phase result EXACTLY
+    * the single-window ranking, which is what the single-window oracle
+    * checks.
     */
   def qMultiProbeLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.t(spark, sfDir, "embeddings")
@@ -267,11 +274,15 @@ object PipelineAudit {
     }
     val probes = q.select(col("qid"), col("qv"), col("qn"),
       explode(array(probeCols: _*)).as("probe"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    val local = Window.partitionBy(col("qid"), col("cid") % 32)
+      .orderBy(desc("cos"), asc("cid"))
+    val global = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
     c.join(broadcast(probes), col("cb") === col("probe"))
       .withColumn("cos", round(
         VectorOps.dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 4))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= 10)
+      .withColumn("rn", row_number().over(global))
       .filter(col("rn") <= 10)
       .select(col("qid").as("query_id"), col("cid"), col("cos"))
       .orderBy(asc("query_id"), desc("cos"), asc("cid"))

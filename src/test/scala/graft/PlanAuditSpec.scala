@@ -392,6 +392,13 @@ class PlanAuditSpec extends SparkSpecBase {
     val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
     assert(winLines.forall(_.contains("qid")),
       s"ranking window lost its qid partition spec:\n$p")
+    // two-phase rank (round 11): the FIRST window a candidate row meets
+    // must slice by (qid, cid%32) so no partition scales with the corpus
+    // — a probed bucket holds O(9·n/256) rows at 100×. The slice rank
+    // appears as the lrk row_number keyed on qid AND the cid-derived
+    // slice; the global qid-only window then sees ≤ 10·32 rows/query.
+    assert(winLines.exists(l => l.contains("lrk") && l.contains("cid")),
+      s"no (qid, cid%32) slice window — corpus-sized rank partition:\n$p")
   }
 
   test("q_outlier_mad broadcasts the per-type stats, no window") {
