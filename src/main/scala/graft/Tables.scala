@@ -73,10 +73,50 @@ object Tables {
       key: String)(build: => T): T =
     cache.synchronized { cache.getOrElseUpdate(key, build) }
 
+  // ─────────────── memo-cache lifecycle (round 11) ───────────────
+
+  /** Every memoized-DataFrame cache in the engine registers here at
+    * object-init, giving [[clearCaches]] a handle on all of them. The
+    * memo maps key on (applicationId, sfDir) and persist() without
+    * unpersist — correct in the driver's one-shot protocol (one SF per
+    * JVM, caches die with it), but a long-lived session sweeping many
+    * sfDirs accumulates pinned relations. */
+  private val dfCaches = scala.collection.mutable.ArrayBuffer
+    .empty[scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]]
+
+  private[graft] def registerCache()
+      : scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame] = {
+    val c = scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.DataFrame]
+    dfCaches.synchronized { dfCaches += c }
+    c
+  }
+
+  /** Release every relation the engine has pinned this session: every
+    * registered memo entry is unpersisted and dropped, then any RDD
+    * still cached on the context (the loop-internal `localCheckpoint`s
+    * living inside memoized lineages, which DataFrame.unpersist cannot
+    * reach) is unpersisted too. Call between SF sweeps in a long-lived
+    * session; after the call, previously returned memoized DataFrames
+    * are INVALID (their checkpoint blocks are gone) — consumers must
+    * re-request, which rebuilds from the parquet sources. The one-shot
+    * drivers (Verify/Bench/Smoke) never need this. */
+  def clearCaches(spark: SparkSession): Unit = dfCaches.synchronized {
+    dfCaches.foreach { c =>
+      c.values.foreach(df =>
+        try df.unpersist(true)
+        catch { case scala.util.control.NonFatal(_) => () })
+      c.clear()
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(rdd =>
+      try rdd.unpersist(true)
+      catch { case scala.util.control.NonFatal(_) => () })
+  }
+
   // Tokenized documents are reused by the whole §2.9 search family plus
   // several §2.10 pipeline ops; persist once per (session, sfDir).
   private val tokenCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    registerCache()
 
   /** (doc_id, term) token stream. The corpus is space-joined single-space
     * lowercase tokens with no empties (SURVEY.md §1.2), so a plain split
@@ -110,7 +150,7 @@ object Tables {
   // consumer — it was the slowest row of the round-8 graded bench
   // (q_boilerplate computed it in two plan branches).
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    registerCache()
 
   /** Distinct (doc_id, source, sh) 3-token-shingle relation over the
     * corpus, persisted once per (session, sfDir) — the [[tokens]]

@@ -57,7 +57,7 @@ object PipelinePlus {
   // counting) — persist once per (session, sfDir) like Tables.tokens
   // instead of recomputing the signature+banding pipeline per query.
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.Tables.registerCache()
 
   /** All LSH-candidate pairs (d1 < d2) with their signature-match estimate
     * of token-set Jaccard — the un-truncated pair stream q_dedup_minhash

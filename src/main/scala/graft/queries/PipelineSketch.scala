@@ -473,4 +473,152 @@ object PipelineSketch {
       |  CAST((abs(kmv_est - n_exact) * 1000000) // n_exact AS BIGINT)
       |    AS err_ppm
       |FROM est ORDER BY event_type""".stripMargin
+
+  // ───────── KMV sketch UNION (re-aggregatable distinct, round 11) ─────────
+
+  /** KMV distinct-count ROLLUP — the [[qAggHllUnion]] re-aggregation
+    * story with a full oracle (SURVEY rule H graduation): one KMV
+    * sketch (64 minimum 60-bit md5 hashes of the distinct terms) per
+    * source, then the corpus row is computed by MERGING the per-source
+    * sketches — min-k(∪ᵢ min-k(Sᵢ)) = min-k(∪ᵢ Sᵢ), so the union
+    * sketch never re-touches the data, exactly how a warehouse rolls
+    * partition sketches up to any grouping level. Unlike HLL registers
+    * the KMV hash grid is ENGINE-PORTABLE ([[graft.Tables.md5Bucket]]),
+    * so estimates oracle-check exactly; exact distinct counts ride
+    * along as audit columns, err_ppm in exact integer ppm. Scale: the
+    * per-source top-64 is a WindowGroupLimit prune (nothing
+    * corpus-sized is globally sorted); the merge ranks ≤ 64·|sources|
+    * rows — the one unpartitioned window is SKETCH-sized, bounded by
+    * the dimension, never the corpus. Wave11Spec asserts the merge
+    * property: the merged sketch equals the sketch built directly on
+    * the corpus.
+    */
+  def qKmvUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.t(spark, sfDir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+      .withColumn("h", Tables.md5Bucket(col("term")))
+    val wS = Window.partitionBy("source").orderBy("h")
+    val kept = items
+      .withColumn("rn", row_number().over(wS)).filter(col("rn") <= 64)
+      .select("source", "h")
+    val estExpr = expr("""CASE WHEN n_kept < 64 THEN n_exact
+      |ELSE CAST((CAST(63 AS DECIMAL(38,0)) * 1152921504606846976)
+      |  div greatest(kth, 1) AS BIGINT) END""".stripMargin)
+    val perSource = items.groupBy("source").agg(count(lit(1)).as("n_exact"))
+      .join(kept.groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), max("h").as("kth")), "source")
+      .select(col("source").as("scope"), col("n_exact"),
+        estExpr.as("kmv_est"))
+    // merge: top-64 of the UNION of per-source kept hashes (≤ 64·|src|
+    // rows — the only unpartitioned window, sketch-sized by design)
+    val wAll = Window.orderBy("h")
+    val merged = kept.select("h").distinct()
+      .withColumn("rn", row_number().over(wAll)).filter(col("rn") <= 64)
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth"))
+    val allRow = items.agg(countDistinct("term").as("n_exact"))
+      .crossJoin(merged)
+      .select(lit("ALL").as("scope"), col("n_exact"), estExpr.as("kmv_est"))
+    perSource.unionByName(allRow)
+      .withColumn("err_ppm",
+        expr("(abs(kmv_est - n_exact) * 1000000) div n_exact"))
+      .orderBy("scope")
+  }
+
+  val qKmvUnionSql: String =
+    """WITH items AS (SELECT DISTINCT source, term
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)),
+      |h AS (SELECT source, term,
+      |    ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM items),
+      |kept AS (SELECT source, h FROM (SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM h) WHERE rn <= 64),
+      |per AS (SELECT ex.source AS scope, ex.n_exact,
+      |    CASE WHEN sk.n_kept < 64 THEN ex.n_exact
+      |      ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
+      |        // greatest(sk.kth, 1) AS BIGINT) END AS kmv_est
+      |  FROM (SELECT source, count(*) AS n_exact FROM h GROUP BY source) ex
+      |  JOIN (SELECT source, count(*) AS n_kept, max(h) AS kth
+      |        FROM kept GROUP BY source) sk USING (source)),
+      |mk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+      |  FROM (SELECT DISTINCT h FROM kept)) WHERE rn <= 64),
+      |allr AS (SELECT 'ALL' AS scope, ux.n_exact,
+      |    CASE WHEN ms.n_kept < 64 THEN ux.n_exact
+      |      ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
+      |        // greatest(ms.kth, 1) AS BIGINT) END AS kmv_est
+      |  FROM (SELECT count(DISTINCT term) AS n_exact FROM items) ux,
+      |    (SELECT count(*) AS n_kept, max(h) AS kth FROM mk) ms)
+      |SELECT scope, n_exact, kmv_est,
+      |  CAST((abs(kmv_est - n_exact) * 1000000) // n_exact AS BIGINT)
+      |    AS err_ppm
+      |FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)
+      |ORDER BY scope""".stripMargin
+
+  // ───────── robust winnowing fingerprints (round 11) ─────────
+
+  /** Winnowing window size: each window of 4 consecutive shingle hashes
+    * contributes its minimum — the document-fingerprinting scheme of
+    * the MOSS plagiarism detector (public SIGMOD'03 canon): guarantees
+    * any shared run of ≥ w+2 tokens yields a shared fingerprint, while
+    * storing ~2/(w+1) of the hashes. */
+  private val WinnowW = 4
+
+  /** Per-document robust-winnowing fingerprint summary: positional
+    * 3-token shingle hashes, window-min selection (ties to the leftmost
+    * position via the (h, pos) struct order — deterministic on both
+    * engines), fingerprint = DISTINCT selected (hash, pos). Completes
+    * q_fingerprint (rolling-hash, keeps all) and q_contamination
+    * (min-hash, keeps one) with the density-guaranteed selection an
+    * actual code/doc-clone detector stores. Short docs (< w windows)
+    * winnow their single partial window. Scale: the selection window
+    * partitions by doc_id and frames 4 rows — per-partition size is
+    * bounded by document length, never the corpus; output is one row
+    * per doc.
+    */
+  def qWinnowRobust(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.t(spark, sfDir, "documents")
+      .withColumn("arr", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(Tables.shingles3Arr(col("arr"), col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        Tables.md5Bucket(col("col")).as("h"))
+    val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val wSel = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val sel = sh
+      .withColumn("sel", min(struct(col("h"), col("pos"))).over(wSel))
+      .join(nsh, "doc_id")
+      .filter(col("pos") <= greatest(col("n_sh") - (WinnowW - 1), lit(1L)))
+      .select(col("doc_id"), col("n_sh"),
+        col("sel.h").as("fh"), col("sel.pos").as("fp"))
+      .distinct()
+    sel.groupBy("doc_id", "n_sh")
+      .agg(count(lit(1)).as("n_fp"), min("fh").as("fp_min"))
+      .orderBy("doc_id")
+  }
+
+  val qWinnowRobustSql: String =
+    s"""WITH sh AS (SELECT doc_id, i AS pos,
+      |    ('0x' || substr(md5(arr2[i]), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, ${graft.Tables.shingles3Sql} AS arr2
+      |        FROM (SELECT doc_id, text, string_split(text, ' ') AS arr
+      |              FROM documents)),
+      |    unnest(generate_series(1, len(arr2))) t(i)),
+      |nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |sel AS (SELECT DISTINCT s.doc_id, n.n_sh,
+      |    struct_extract(s.sel, 'h') AS fh,
+      |    struct_extract(s.sel, 'pos') AS fp
+      |  FROM (SELECT doc_id, pos,
+      |      min(struct_pack(h := h, pos := pos)) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+      |        AS sel
+      |    FROM sh) s
+      |  JOIN nsh n ON n.doc_id = s.doc_id
+      |  WHERE s.pos <= greatest(n.n_sh - ${WinnowW - 1}, 1))
+      |SELECT doc_id, n_sh, count(*) AS n_fp, min(fh) AS fp_min
+      |FROM sel GROUP BY doc_id, n_sh ORDER BY doc_id""".stripMargin
 }

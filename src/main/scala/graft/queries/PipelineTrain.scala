@@ -958,4 +958,53 @@ object PipelineTrain {
       |  epochs_milli = $MixMaxEpochsMilli
       |    AND tokens * epochs_milli // 1000 < alloc AS starved
       |FROM p ORDER BY source""".stripMargin
+
+  // ───────── temperature-scaled mixing weights (round 11) ─────────
+
+  /** Temperature-scaled source-mixing weights at T = 2 (α = 1/T = 0.5,
+    * the standard multilingual/multi-source re-balancing move — raw
+    * proportional sampling drowns small sources, uniform over-repeats
+    * them; wᵢ ∝ nᵢ^0.5 sits between). Exactness: nᵢ^0.5 is computed as
+    * the INTEGER square root — floor(sqrt) from the double sqrt with a
+    * ±1 integer correction, so a last-bit double disagreement between
+    * engines cannot move the result — and the weights are exact ppm on
+    * the integer isqrt grid: wᵢ = isqrtᵢ·10⁶ div Σ isqrtⱼ (integer sum
+    * — no float summation-order hazard). The [[MixBudgetTokens]] budget
+    * allocation rides along in the same grid. Scale: one token-count
+    * pass + a \|sources\|-row planner, the qMixEpochs envelope.
+    */
+  def qMixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.t(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      .withColumn("s0",
+        expr("cast(floor(sqrt(cast(tokens as double))) as bigint)"))
+      .withColumn("isqrt", expr("""CASE
+        |WHEN s0 * s0 > tokens THEN s0 - 1
+        |WHEN (s0 + 1) * (s0 + 1) <= tokens THEN s0 + 1
+        |ELSE s0 END""".stripMargin))
+    val tot = perSource.agg(sum("isqrt").as("tot"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"), col("isqrt"),
+        expr("isqrt * 1000000 div tot").as("weight_ppm"),
+        expr(s"isqrt * $MixBudgetTokens div tot").as("alloc_tokens"))
+      .orderBy("source")
+  }
+
+  val qMixTemperatureSql: String =
+    s"""WITH s AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |q AS (SELECT source, tokens,
+      |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS s0
+      |  FROM s),
+      |i AS (SELECT source, tokens, CASE
+      |    WHEN s0 * s0 > tokens THEN s0 - 1
+      |    WHEN (s0 + 1) * (s0 + 1) <= tokens THEN s0 + 1
+      |    ELSE s0 END AS isqrt FROM q),
+      |t AS (SELECT CAST(sum(isqrt) AS BIGINT) AS tot FROM i)
+      |SELECT source, tokens, isqrt,
+      |  CAST(isqrt * 1000000 // tot AS BIGINT) AS weight_ppm,
+      |  CAST(isqrt * $MixBudgetTokens // tot AS BIGINT) AS alloc_tokens
+      |FROM i CROSS JOIN t ORDER BY source""".stripMargin
 }

@@ -396,7 +396,7 @@ object RelationalExtra {
   // .persist() per invocation would leak one cached copy into storage
   // memory on every bench/test run of this query (round-3 ADVICE).
   private val basketsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.Tables.registerCache()
 
   def qBasketLift(spark: SparkSession, sfDir: String): DataFrame = {
     // One fact-table pass: per-order sorted distinct brand sets via a

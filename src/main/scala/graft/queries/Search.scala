@@ -30,7 +30,7 @@ object Search {
     * pushing below the tf aggregate into the scan (a full-tf artifact
     * would be corpus-sized and defeat pruned per-query retrieval). */
   private val dfCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.Tables.registerCache()
 
   private def df(spark: SparkSession, sfDir: String): DataFrame =
     Tables.memo(dfCache, s"${spark.sparkContext.applicationId}:$sfDir") {
@@ -44,7 +44,7 @@ object Search {
     * per doc), shared by every BM25 stage. Same memoization rationale
     * as [[df]]. */
   private val dlCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.Tables.registerCache()
 
   private def dl(spark: SparkSession, sfDir: String): DataFrame =
     Tables.memo(dlCache, s"${spark.sparkContext.applicationId}:$sfDir") {
@@ -287,7 +287,7 @@ object Search {
     * across aliased copies (round-7 verdict item: the eval family
     * rebuilt this list per query). */
   private val lexScoresCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.Tables.registerCache()
 
   private[queries] def lexScores(spark: SparkSession, sfDir: String): DataFrame =
     Tables.memo(lexScoresCache,
@@ -400,7 +400,7 @@ object Search {
   // on this corpus) — which is also exactly where the oracle SQL
   // computes them (its nrm CTE).
   private val docVecCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.Tables.registerCache()
 
   private def docVectors(spark: SparkSession, sfDir: String): DataFrame =
     Tables.memo(docVecCache,

@@ -298,4 +298,71 @@ object SearchIndex {
       |    AS ctf
       |FROM c ORDER BY dist, ctf DESC, term LIMIT 5""".stripMargin
   }
+
+  // ───── deletion-neighborhood fuzzy index (round 11, SymSpell-lite) ─────
+
+  /** 1-deletion variants of a string, PLUS the string itself (the
+    * 0-deletion form): two strings at Levenshtein distance ≤ 1 always
+    * share a member of each other's deletion neighborhood (equal →
+    * itself; 1-sub → both-deleted-at-i; 1-ins/1-del → the shorter
+    * string), so an equi-join on deletion keys yields ALL distance-≤1
+    * candidates plus a handful of distance-2 false positives that a
+    * candidate-bounded levenshtein verify removes. */
+  private def delSet(s: String): Seq[String] =
+    (s +: (0 until s.length).map(i =>
+      s.substring(0, i) + s.substring(i + 1))).distinct
+
+  /** Deletion-neighborhood fuzzy lookup — [[qSearchFuzzy]]'s documented
+    * web-scale upgrade (the SymSpell family, public): instead of
+    * scanning the whole vocabulary with a levenshtein per term, the
+    * vocab is expanded ONCE into (deletion-key, term) index rows — a
+    * per-row explode of |term|+1 keys, one groupBy-shaped pass — and a
+    * query probes only its own |q|+1 deletion keys via an equi-join.
+    * At web scale the index build amortizes over every query, and each
+    * probe touches O(df(delkey)) index rows instead of |vocab|;
+    * levenshtein runs only on the candidates. Result is IDENTICAL to
+    * q_search_fuzzy's full-scan answer (asserted in Wave11Spec) — same
+    * (term, dist, df) rows — which is exactly the property a fuzzy
+    * index must prove.
+    */
+  def qFuzzyDeletion(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = Tables.docTerms(spark, sfDir)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // (delkey, term, df) index rows: the term itself + one row per
+    // single-character deletion, built in-row (no join, no UDF)
+    val dels = array_distinct(concat(
+      array(col("term")),
+      transform(sequence(lit(1), length(col("term"))), i =>
+        concat(col("term").substr(lit(1), i - 1),
+          col("term").substr(i + 1, length(col("term")) - i)))))
+    val index = vocab.select(col("term"), col("df"),
+      explode(dels).as("delkey"))
+    val qKeys = delSet(FuzzyQ)
+    index.filter(col("delkey").isin(qKeys: _*))
+      .select("term", "df").distinct()
+      .withColumn("dist", levenshtein(col("term"), lit(FuzzyQ)))
+      .filter(col("dist") <= 1)
+      .select(col("term"), col("dist").cast("long").as("dist"), col("df"))
+      .orderBy("dist", "term")
+  }
+
+  val qFuzzyDeletionSql: String = {
+    val qKeys = delSet(FuzzyQ).map(k => s"'$k'").mkString(", ")
+    s"""WITH vocab AS (SELECT term, count(DISTINCT doc_id) AS df
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY term),
+      |idx AS (SELECT term, df, unnest(list_distinct(list_prepend(term,
+      |    list_transform(generate_series(1, len(term)), i ->
+      |      substr(term, 1, CAST(i - 1 AS INTEGER))
+      |        || substr(term, CAST(i + 1 AS INTEGER),
+      |             CAST(len(term) - i AS INTEGER)))))) AS delkey
+      |  FROM vocab),
+      |cand AS (SELECT DISTINCT term, df FROM idx
+      |  WHERE delkey IN ($qKeys))
+      |SELECT term, CAST(levenshtein(term, '$FuzzyQ') AS BIGINT) AS dist,
+      |  df
+      |FROM cand WHERE levenshtein(term, '$FuzzyQ') <= 1
+      |ORDER BY dist, term""".stripMargin
+  }
 }

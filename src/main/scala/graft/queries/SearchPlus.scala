@@ -206,7 +206,7 @@ object SearchPlus {
     * interleave, RBO) each re-derived it per execution. Output is
     * |docs matching either term|-sized — posting-bounded. */
   private val vsmCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.Tables.registerCache()
 
   private def vsmScoredM(spark: SparkSession, sfDir: String): DataFrame =
     graft.Tables.memo(vsmCache,

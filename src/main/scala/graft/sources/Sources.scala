@@ -177,7 +177,7 @@ object Sources {
   }
 
   private val bucketedCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    graft.Tables.registerCache()
 
   /** The bucketed join itself, exposed so the spec can assert its plan is
     * Exchange-free below the join. Memoized per (session, sfDir) under

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property tests for the round-11 §2.22 wave — each operator's defining
+  * invariant, beyond the row-level oracle equality the driver checks.
+  */
+class Wave11Spec extends SparkSpecBase {
+
+  test("q_kmv_union: merged sketch equals the sketch built on the corpus") {
+    // min-k(∪ min-k(S_i)) = min-k(∪ S_i): the estimate from the merged
+    // per-source sketches must equal the estimate a direct corpus
+    // sketch yields — the property that makes the rollup trustworthy.
+    val allRow = SparkEntry.queries("q_kmv_union")(spark, sf)
+      .filter(col("scope") === "ALL").collect().head
+    val direct = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("term")).distinct()
+      .withColumn("h", Tables.md5Bucket(col("term")))
+      .orderBy("h").limit(64)
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth"))
+      .collect().head
+    val (nKept, kth) = (direct.getLong(0), direct.getLong(1))
+    val exact = allRow.getLong(allRow.fieldIndex("n_exact"))
+    val est = allRow.getLong(allRow.fieldIndex("kmv_est"))
+    val directEst =
+      if (nKept < 64) exact
+      else ((BigInt(63) * BigInt(2).pow(60)) / BigInt(kth)).toLong
+    assert(est == directEst,
+      s"merge-of-sketches ($est) != sketch-of-union ($directEst)")
+    // and the estimate is a real estimate: within 50% of truth at k=64
+    assert(math.abs(est - exact) * 2 <= exact,
+      s"KMV estimate $est too far from exact $exact")
+  }
+
+  test("q_fuzzy_deletion returns exactly q_search_fuzzy's answer") {
+    // the deletion-neighborhood index is an INDEX, not a new semantic:
+    // its candidate-join + verify must reproduce the full-scan result
+    val idx = SparkEntry.queries("q_fuzzy_deletion")(spark, sf)
+      .collect().toSeq
+    val scan = SparkEntry.queries("q_search_fuzzy")(spark, sf)
+      .collect().toSeq
+    assert(idx == scan,
+      s"index answer ${idx.mkString(",")} != scan answer ${scan.mkString(",")}")
+  }
+
+  test("q_winnow_robust: density and coverage guarantees hold per doc") {
+    val rows = SparkEntry.queries("q_winnow_robust")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nSh = r.getLong(r.fieldIndex("n_sh"))
+      val nFp = r.getLong(r.fieldIndex("n_fp"))
+      // at least one fingerprint per doc, never more than one per window
+      val nWin = math.max(nSh - 3, 1L)
+      assert(nFp >= 1 && nFp <= nWin,
+        s"doc ${r.getLong(0)}: n_fp=$nFp outside [1, $nWin] (n_sh=$nSh)")
+      // winnowing coverage: consecutive windows overlap in w-1 hashes,
+      // so selected positions are at most w apart — every length-w
+      // window contributes, giving n_fp >= ceil(n_windows / w)
+      assert(nFp * 4 >= nWin,
+        s"doc ${r.getLong(0)}: density below the 1/w winnowing bound")
+    }
+  }
+
+  test("q_mix_temperature: exact isqrt grid and ppm bookkeeping") {
+    val rows = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
+    val isqrts = rows.map(r => (r.getLong(r.fieldIndex("tokens")),
+      r.getLong(r.fieldIndex("isqrt"))))
+    isqrts.foreach { case (n, s) =>
+      assert(s * s <= n && (s + 1) * (s + 1) > n,
+        s"isqrt($n) = $s is not the exact integer square root")
+    }
+    // weights sum to 10^6 minus only truncation slack (< |sources|)
+    val wSum = rows.map(_.getLong(rows.head.fieldIndex("weight_ppm"))).sum
+    assert(wSum <= 1000000L && wSum > 1000000L - rows.length,
+      s"weight_ppm sum $wSum outside (1e6 - n_sources, 1e6]")
+    // temperature flattens: the weight RATIO between the largest and
+    // smallest source is the sqrt of their token ratio (on the grid)
+    val maxT = isqrts.maxBy(_._1)
+    val minT = isqrts.minBy(_._1)
+    assert(maxT._2.toDouble / minT._2 <=
+      math.sqrt(maxT._1.toDouble / minT._1) * 1.01,
+      "T=2 scaling did not flatten the source ratio")
+  }
+}
