@@ -46,11 +46,20 @@ object PipelineExtra {
     sh.join(df, Seq("sh")).filter(col("df") <= cap).select("doc_id", "sh")
   }
 
-  private def sampleShingles(spark: SparkSession, sfDir: String): DataFrame =
-    cappedShingles(
-      Tables.shingles(spark, sfDir)
-        .filter(col("doc_id") % 10 === 0).select("doc_id", "sh"),
-      ShingleDfCap)
+  // The capped sample feeds q_dedup_ngram AND q_dedup_contain (and each
+  // bench run re-executes its df aggregate + join) — persist once per
+  // (session, sfDir), the Tables.tokens discipline. Registered with the
+  // round-11 cache lifecycle so clearCaches() releases it.
+  private val sampleShingleCache = Tables.registerCache()
+
+  private def sampleShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}:$sfDir"
+    Tables.memo(sampleShingleCache, key)(
+      cappedShingles(
+        Tables.shingles(spark, sfDir)
+          .filter(col("doc_id") % 10 === 0).select("doc_id", "sh"),
+        ShingleDfCap).persist())
+  }
 
   /** DuckDB mirror of [[sampleShingles]] — `shf(doc_id, sh)` after the
     * df-cap; interpolate after `WITH `. */

@@ -925,4 +925,168 @@ object PipelineML {
       |FROM sz JOIN c3 USING (cluster)
       |GROUP BY sz.cluster, sz.n ORDER BY cluster""".stripMargin
   }
+
+  // ───── label-centroid evals (round 11): silhouette + confusion ─────
+
+  /** (vec_id, label, qv) on the micro-integer grid — the qKmeansSteps
+    * quantization, with the ground-truth label carried along. */
+  private def labelQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+          .as("qv"))
+
+  /** Per-label centroid arrays on the integer grid (truncating integer
+    * mean per dim, the qKmeansSteps update): \|labels\| rows, always
+    * broadcast. Deterministic assembly via array_sort on (pos, c). */
+  private def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    labelQ(spark, sfDir)
+      .select(col("label").as("clabel"),
+        posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("clabel", "pos")
+      .agg(expr("sum(x) div count(1)").as("c"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+
+  /** (vec_id, label, clabel, d2): every vector's exact-integer squared
+    * L2 distance to every label centroid — a broadcast fan-out of
+    * \|labels\| rows per vector through the codegen'd ArraySqDistLong
+    * kernel, no shuffle until the consumer aggregates. */
+  private def labelDists(spark: SparkSession, sfDir: String): DataFrame =
+    labelQ(spark, sfDir)
+      .crossJoin(broadcast(labelCentroids(spark, sfDir)))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        graft.functions.ArraySqDistLong.col(col("qv"), col("cv")).as("d2"))
+
+  /** Simplified silhouette of the LABEL clustering (squared-distance
+    * variant, documented): per vector a² = d²(own centroid), b² =
+    * min d²(other centroids), s = (b²−a²)/max(a²,b²) in exact integer
+    * ppm — the label-separation audit a curation pipeline runs before
+    * trusting `label` as a training signal. Reported per label: n, the
+    * exact ppm SUM of s (no division → no truncation debate), and how
+    * many vectors sit closer to their own centroid than to any other
+    * (n_separated = s > 0). Exactness: micro-grid integers end to end;
+    * the one ratio is (b²−a²)·10⁶ div max — DECIMAL(38,0) numerator
+    * headroom (d² ≤ 4·10¹² on unit-norm data but ~10¹⁴ worst-case ×10⁶
+    * clears BIGINT), and Spark `div` ≡ DuckDB `//` (both truncate
+    * toward zero, verified on negatives). Scale: one broadcast fan-out
+    * pass + a \|labels\|-row aggregate — no shuffle of the corpus
+    * beyond the per-vector min.
+    */
+  def qClusterSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = labelDists(spark, sfDir)
+    val own = d.filter(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("d2").as("a2"))
+    val other = d.filter(col("label") =!= col("clabel"))
+      .groupBy("vec_id").agg(min("d2").as("b2"))
+    own.join(other, "vec_id")
+      .withColumn("s_ppm", expr("""CAST(CAST(b2 - a2 AS DECIMAL(38,0))
+        | * 1000000 div greatest(greatest(a2, b2), 1) AS BIGINT)"""
+        .stripMargin))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum("s_ppm").as("sum_s_ppm"),
+        sum(when(col("s_ppm") > 0, 1L).otherwise(0L)).as("n_separated"))
+      .orderBy("label")
+  }
+
+  val qClusterSilhouetteSql: String =
+    s"""WITH x AS (SELECT vec_id, label, i AS dim,
+      |    CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+      |      * 1000000) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, $Dim)) t(i)),
+      |cent AS (SELECT label AS clabel, dim, sum(q) // count(*) AS c
+      |  FROM x GROUP BY label, dim),
+      |d AS (SELECT x.vec_id, x.label, cent.clabel,
+      |    CAST(sum((x.q - cent.c) * (x.q - cent.c)) AS BIGINT) AS d2
+      |  FROM x JOIN cent USING (dim)
+      |  GROUP BY x.vec_id, x.label, cent.clabel),
+      |ab AS (SELECT o.vec_id, o.label, o.d2 AS a2, m.b2
+      |  FROM (SELECT vec_id, label, d2 FROM d WHERE label = clabel) o
+      |  JOIN (SELECT vec_id, min(d2) AS b2 FROM d
+      |        WHERE label <> clabel GROUP BY vec_id) m USING (vec_id)),
+      |s AS (SELECT label,
+      |    CAST((b2 - a2)::HUGEINT * 1000000
+      |      // greatest(greatest(a2, b2), 1) AS BIGINT) AS s_ppm
+      |  FROM ab)
+      |SELECT label, count(*) AS n,
+      |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
+      |  CAST(sum(CASE WHEN s_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_separated
+      |FROM s GROUP BY label ORDER BY label""".stripMargin
+
+  /** Multi-class confusion readout of the nearest-label-centroid
+    * classifier (the qRocAuc scorer generalized to all classes):
+    * predicted label = argmin exact-integer d² with smallest-label
+    * ties, then per true label the support, prediction volume, true
+    * positives, and exact-ppm precision / recall / F1 (F1 via the
+    * integer identity 2·tp·10⁶ div (n_pred + n_true) — algebraically
+    * the harmonic mean, one truncating division). The eval a pipeline
+    * runs on its cheap embedding classifier before letting it filter
+    * at scale. Scale: the argmin is a per-vector min over a broadcast
+    * \|labels\| fan-out; everything after is \|labels\|²-bounded.
+    */
+  def qEvalConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = labelDists(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        struct(col("d2"), col("clabel")).as("dc"))
+      .groupBy("vec_id", "label")
+      .agg(min("dc").as("m"))
+      .select(col("label"), col("m.clabel").as("pred"))
+    val conf = pred.groupBy("label", "pred").agg(count(lit(1)).as("c"))
+    val nTrue = conf.groupBy("label").agg(sum("c").as("n_true"))
+    val nPred = conf.groupBy(col("pred").as("label"))
+      .agg(sum("c").as("n_pred"))
+    val tp = conf.filter(col("label") === col("pred"))
+      .select(col("label"), col("c").as("tp"))
+    nTrue
+      .join(nPred, Seq("label"), "left")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("prec_ppm",
+        expr("tp * 1000000 div greatest(n_pred, 1)"))
+      .withColumn("rec_ppm",
+        expr("tp * 1000000 div greatest(n_true, 1)"))
+      .withColumn("f1_ppm",
+        expr("2 * tp * 1000000 div greatest(n_pred + n_true, 1)"))
+      .orderBy("label")
+  }
+
+  val qEvalConfusionSql: String =
+    s"""WITH x AS (SELECT vec_id, label, i AS dim,
+      |    CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+      |      * 1000000) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, $Dim)) t(i)),
+      |cent AS (SELECT label AS clabel, dim, sum(q) // count(*) AS c
+      |  FROM x GROUP BY label, dim),
+      |d AS (SELECT x.vec_id, x.label, cent.clabel,
+      |    sum((x.q - cent.c) * (x.q - cent.c)) AS d2
+      |  FROM x JOIN cent USING (dim)
+      |  GROUP BY x.vec_id, x.label, cent.clabel),
+      |pred AS (SELECT label, clabel AS pred FROM (SELECT label, clabel,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel)
+      |      AS rk FROM d) WHERE rk = 1),
+      |conf AS (SELECT label, pred, count(*) AS c FROM pred
+      |  GROUP BY label, pred),
+      |nt AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_true FROM conf
+      |  GROUP BY label),
+      |np AS (SELECT pred AS label, CAST(sum(c) AS BIGINT) AS n_pred
+      |  FROM conf GROUP BY pred),
+      |tp AS (SELECT label, CAST(c AS BIGINT) AS tp FROM conf
+      |  WHERE label = pred)
+      |SELECT nt.label, nt.n_true,
+      |  coalesce(np.n_pred, 0) AS n_pred,
+      |  coalesce(tp.tp, 0) AS tp,
+      |  CAST(coalesce(tp.tp, 0) * 1000000
+      |    // greatest(coalesce(np.n_pred, 0), 1) AS BIGINT) AS prec_ppm,
+      |  CAST(coalesce(tp.tp, 0) * 1000000
+      |    // greatest(nt.n_true, 1) AS BIGINT) AS rec_ppm,
+      |  CAST(2 * coalesce(tp.tp, 0) * 1000000
+      |    // greatest(coalesce(np.n_pred, 0) + nt.n_true, 1) AS BIGINT)
+      |    AS f1_ppm
+      |FROM nt LEFT JOIN np USING (label) LEFT JOIN tp USING (label)
+      |ORDER BY label""".stripMargin
 }

@@ -837,4 +837,115 @@ object PipelinePlus {
        |      length(text) AS n FROM documents),
        |    unnest(range(0, n // 16, 4)) AS t(f))
        |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ───────── WEIGHTED minhash dedup (round 11, §2.22) ─────────
+
+  /** Weighted (multiset) near-dup: [[qDedupMinhash]] estimates SET
+    * Jaccard, which ignores term frequency — two docs with identical
+    * vocabularies but different emphasis score 1.0. This operator
+    * estimates WEIGHTED Jaccard J_w = Σ min(tf₁,tf₂) / Σ max(tf₁,tf₂)
+    * via the classic integer-weight reduction (public canon): each term
+    * expands to tf distinct elements (term#1 … term#tf), and plain
+    * minhash over the expanded multiset IS weighted minhash for integer
+    * weights. Candidates come from the same 4×2 banding with the same
+    * [[BucketCap]] sub-split; the top-200 by signature estimate get the
+    * EXACT weighted Jaccard (one term-keyed join over the two tf
+    * vectors — candidate-bounded, the q_dedup_editdist discipline) and
+    * the top-20 by exact J_w ship. Exactness: estimates are multiples
+    * of 1/8 (binary-exact), J_w is exact integer ppm. Scale: the
+    * expansion multiplies rows by the mean tf (bounded by token count,
+    * not vocabulary²); everything downstream is the capped banding
+    * pipeline.
+    */
+  def qDedupMinhashW(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.tokens(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // integer-weight expansion + K min-hashes in one groupBy (the
+    // minhashSig shape over the expanded elements)
+    val el = tf.select(col("doc_id"), col("term"),
+      explode(sequence(lit(1L), col("tf"))).as("j"))
+    val sig = el.groupBy("doc_id")
+      .agg(array((0 until K).map { k =>
+        min(Tables.md5Bucket(concat(col("term"), lit("#"), col("j"),
+          lit(":"), lit(k.toLong))))
+      }: _*).as("sig"))
+      .localCheckpoint()
+    val bands = sig.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, ${K / 2 - 1}), b -> named_struct(
+         |  'band', b,
+         |  'bsig', concat(cast(sig[2*b] as string), '|',
+         |                 cast(sig[2*b+1] as string))))""".stripMargin))
+      .as("x"))
+      .select(col("doc_id"), col("x.band").as("band"),
+        col("x.bsig").as("bsig"))
+    val est = bandedPairs(bands, BucketCap)
+      .join(sig.toDF("d1", "s1"), Seq("d1"))
+      .join(sig.toDF("d2", "s2"), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (size(filter(zip_with(col("s1"), col("s2"), (x, y) => x === y),
+          b => b)).cast("double") / K).as("est"))
+    val cand = est.orderBy(desc("est"), asc("d1"), asc("d2")).limit(200)
+    val sz = tf.groupBy("doc_id").agg(sum("tf").as("sz"))
+    val inter = cand
+      .join(tf.toDF("d1", "term", "tf1"), Seq("d1"))
+      .join(tf.toDF("d2", "term", "tf2"), Seq("d2", "term"))
+      .groupBy("d1", "d2")
+      .agg(sum(least(col("tf1"), col("tf2"))).as("i"))
+    cand.join(inter, Seq("d1", "d2"), "left")
+      .join(sz.toDF("d1", "sz1"), "d1")
+      .join(sz.toDF("d2", "sz2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("est"), 4).as("est"),
+        expr("""coalesce(i, 0) * 1000000
+          | div greatest(sz1 + sz2 - coalesce(i, 0), 1)""".stripMargin)
+          .as("wjacc_ppm"))
+      .orderBy(desc("wjacc_ppm"), asc("d1"), asc("d2"))
+      .limit(20)
+  }
+
+  val qDedupMinhashWSql: String =
+    s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents WHERE doc_id % 10 = 0)
+      |  GROUP BY doc_id, term),
+      |el AS (SELECT doc_id, term, j
+      |  FROM tf, unnest(generate_series(1, tf)) t(j)),
+      |sig AS (SELECT doc_id, k,
+      |    min(('0x' || substr(md5(term || '#' || j || ':' || k), 1, 15))
+      |      ::BIGINT) AS mh
+      |  FROM el, generate_series(0, ${K - 1}) tk(k) GROUP BY doc_id, k),
+      |bands AS (SELECT doc_id, k // 2 AS band,
+      |    string_agg(mh, '|' ORDER BY k) AS bsig
+      |  FROM sig GROUP BY doc_id, band),
+      |bsz AS (SELECT band, bsig, count(*) AS bsz
+      |  FROM bands GROUP BY band, bsig),
+      |bsalt AS (SELECT doc_id, band, bsig,
+      |    ('0x' || substr(md5('sub:' || doc_id), 1, 15))::BIGINT
+      |      % greatest(1, (bsz + ${BucketCap - 1}) // $BucketCap) AS salt
+      |  FROM bands JOIN bsz USING (band, bsig)),
+      |candall AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bsalt a JOIN bsalt b ON a.band = b.band AND a.bsig = b.bsig
+      |    AND a.salt = b.salt AND a.doc_id < b.doc_id),
+      |est AS (SELECT d1, d2, avg(CASE WHEN s1.mh = s2.mh
+      |      THEN 1.0 ELSE 0.0 END) AS est
+      |  FROM candall JOIN sig s1 ON s1.doc_id = d1
+      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
+      |  GROUP BY d1, d2),
+      |cand AS (SELECT d1, d2, est FROM est
+      |  ORDER BY est DESC, d1, d2 LIMIT 200),
+      |sz AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sz FROM tf
+      |  GROUP BY doc_id),
+      |inter AS (SELECT c.d1, c.d2,
+      |    CAST(sum(least(t1.tf, t2.tf)) AS BIGINT) AS i
+      |  FROM cand c JOIN tf t1 ON t1.doc_id = c.d1
+      |    JOIN tf t2 ON t2.doc_id = c.d2 AND t2.term = t1.term
+      |  GROUP BY c.d1, c.d2)
+      |SELECT c.d1, c.d2, round(c.est, 4) AS est,
+      |  CAST(coalesce(i.i, 0) * 1000000
+      |    // greatest(s1.sz + s2.sz - coalesce(i.i, 0), 1) AS BIGINT)
+      |    AS wjacc_ppm
+      |FROM cand c LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+      |JOIN sz s1 ON s1.doc_id = c.d1 JOIN sz s2 ON s2.doc_id = c.d2
+      |ORDER BY wjacc_ppm DESC, c.d1, c.d2 LIMIT 20""".stripMargin
 }

@@ -81,4 +81,57 @@ class Wave11Spec extends SparkSpecBase {
       math.sqrt(maxT._1.toDouble / minT._1) * 1.01,
       "T=2 scaling did not flatten the source ratio")
   }
+
+  test("integral division truncates toward zero identically on both engines") {
+    // q_cluster_silhouette's s_ppm can go NEGATIVE (b2 < a2 for a
+    // misclassified vector); its oracle parity rests on Spark `div`
+    // and DuckDB `//` agreeing there. DuckDB -7 // 2 = -3 was verified
+    // by hand (truncation, not floor); pin Spark's side — both the
+    // long and the DECIMAL(38,0) path the ppm expressions use.
+    val r = spark.sql(
+      """SELECT -7L div 2L AS a,
+        |  CAST(CAST(-7 AS DECIMAL(38,0)) * 1 div 2 AS BIGINT) AS b"""
+        .stripMargin).collect().head
+    assert(r.getLong(0) == -3L, s"long div: ${r.getLong(0)}")
+    assert(r.getLong(1) == -3L, s"decimal div: ${r.getLong(1)}")
+  }
+
+  test("q_cluster_silhouette: label clusters mostly separate; counts consistent") {
+    val rows = SparkEntry.queries("q_cluster_silhouette")(spark, sf)
+      .collect()
+    assert(rows.length == 10, s"expected 10 label rows, got ${rows.length}")
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == 500, s"silhouette rows cover $n vectors, expected 500")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_separated")) <= r.getLong(1))
+    }
+  }
+
+  test("q_eval_confusion: bookkeeping identities hold") {
+    val rows = SparkEntry.queries("q_eval_confusion")(spark, sf).collect()
+    val nTrue = rows.map(_.getLong(rows.head.fieldIndex("n_true"))).sum
+    val nPred = rows.map(_.getLong(rows.head.fieldIndex("n_pred"))).sum
+    assert(nTrue == nPred, s"sum n_true $nTrue != sum n_pred $nPred")
+    rows.foreach { r =>
+      val tp = r.getLong(r.fieldIndex("tp"))
+      assert(tp <= r.getLong(r.fieldIndex("n_true")) &&
+        tp <= r.getLong(r.fieldIndex("n_pred")))
+      val f1 = r.getLong(r.fieldIndex("f1_ppm"))
+      assert(f1 >= 0 && f1 <= 1000000L)
+    }
+  }
+
+  test("q_dedup_minhash_w: weighted Jaccard bounded and expansion exact") {
+    val rows = SparkEntry.queries("q_dedup_minhash_w")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ppm = r.getLong(r.fieldIndex("wjacc_ppm"))
+      assert(ppm >= 0 && ppm <= 1000000L, s"wjacc_ppm $ppm out of range")
+    }
+    // the estimate column stays on the 1/8 grid
+    rows.foreach { r =>
+      val est = r.getDouble(r.fieldIndex("est"))
+      assert((est * 8).isWhole, s"est $est not a multiple of 1/8")
+    }
+  }
 }
