@@ -955,4 +955,61 @@ object PipelineAudit {
       |  CAST(1000000000 // greatest(sum(ln_e6) // count(*), 1) AS BIGINT)
       |    AS alpha_e3
       |FROM l ORDER BY k""".stripMargin
+
+  // ───────── train/test leakage audit (round 11, §2.22) ─────────
+
+  /** Near-dup LEAKAGE across the content-hash train/val/test split —
+    * the audit every pipeline runs after splitting: a near-duplicate
+    * pair straddling two splits leaks training signal into eval.
+    * Pairs are the verified minhash near-dups of the §2.10 shared
+    * sample (signature agreement ≥ 7/8, the q_dedup_cluster edge
+    * threshold); splits are q_split_train's content-hash buckets
+    * (train < 80 ≤ val < 90 ≤ test). One row per unordered split pair
+    * (canonicalized by least/greatest) with the pair count and a
+    * `leaky` flag — the off-diagonal rows are the contamination. Scale:
+    * the pair stream is the capped banding pipeline (memoized); the
+    * split label is one narrow hash projection joined twice by doc key.
+    */
+  def qSplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val folds = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(Tables.md5Bucket(col("text")) % 100 < 80, "train")
+          .when(Tables.md5Bucket(col("text")) % 100 < 90, "val")
+          .otherwise("test").as("split"))
+    val pairs = PipelinePlus.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.875)
+      .select("d1", "d2")
+    pairs
+      .join(folds.toDF("d1", "s1"), "d1")
+      .join(folds.toDF("d2", "s2"), "d2")
+      .select(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val qSplitLeakageSql: String =
+    s"""WITH ${PipelinePlus.lshCandCte},
+      |hi AS (SELECT d1, d2
+      |  FROM cand JOIN sig s1 ON s1.doc_id = d1
+      |    JOIN sig s2 ON s2.doc_id = d2 AND s2.k = s1.k
+      |  GROUP BY d1, d2
+      |  HAVING avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END)
+      |    >= 0.875),
+      |folds AS (SELECT doc_id,
+      |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 80
+      |      THEN 'train'
+      |      WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 90
+      |      THEN 'val' ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT least(f1.split, f2.split) AS split_a,
+      |  greatest(f1.split, f2.split) AS split_b,
+      |  count(*) AS n_pairs,
+      |  least(f1.split, f2.split) <> greatest(f1.split, f2.split)
+      |    AS leaky
+      |FROM hi JOIN folds f1 ON f1.doc_id = hi.d1
+      |  JOIN folds f2 ON f2.doc_id = hi.d2
+      |GROUP BY split_a, split_b, leaky ORDER BY split_a, split_b""".stripMargin
 }

@@ -1016,18 +1016,20 @@ object PipelineML {
       |    AS n_separated
       |FROM s GROUP BY label ORDER BY label""".stripMargin
 
-  /** Multi-class confusion readout of the nearest-label-centroid
-    * classifier (the qRocAuc scorer generalized to all classes):
-    * predicted label = argmin exact-integer d² with smallest-label
-    * ties, then per true label the support, prediction volume, true
-    * positives, and exact-ppm precision / recall / F1 (F1 via the
+  /** Per-class precision / recall / F1 of the nearest-label-centroid
+    * classifier (the qRocAuc scorer generalized to all classes;
+    * complements q_eval_confusion, which tabulates the semdedup
+    * cluster×label GRID — this row evaluates a CLASSIFIER against
+    * ground truth): predicted label = argmin exact-integer d² with
+    * smallest-label ties, then per true label the support, prediction
+    * volume, true positives, and exact-ppm precision / recall / F1 (F1 via the
     * integer identity 2·tp·10⁶ div (n_pred + n_true) — algebraically
     * the harmonic mean, one truncating division). The eval a pipeline
     * runs on its cheap embedding classifier before letting it filter
     * at scale. Scale: the argmin is a per-vector min over a broadcast
     * \|labels\| fan-out; everything after is \|labels\|²-bounded.
     */
-  def qEvalConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+  def qEvalPrf(spark: SparkSession, sfDir: String): DataFrame = {
     val pred = labelDists(spark, sfDir)
       .select(col("vec_id"), col("label"),
         struct(col("d2"), col("clabel")).as("dc"))
@@ -1055,7 +1057,7 @@ object PipelineML {
       .orderBy("label")
   }
 
-  val qEvalConfusionSql: String =
+  val qEvalPrfSql: String =
     s"""WITH x AS (SELECT vec_id, label, i AS dim,
       |    CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
       |      * 1000000) AS BIGINT) AS q

@@ -565,19 +565,19 @@ object PipelineSketch {
     * storing ~2/(w+1) of the hashes. */
   private val WinnowW = 4
 
-  /** Per-document robust-winnowing fingerprint summary: positional
-    * 3-token shingle hashes, window-min selection (ties to the leftmost
-    * position via the (h, pos) struct order — deterministic on both
-    * engines), fingerprint = DISTINCT selected (hash, pos). Completes
-    * q_fingerprint (rolling-hash, keeps all) and q_contamination
-    * (min-hash, keeps one) with the density-guaranteed selection an
-    * actual code/doc-clone detector stores. Short docs (< w windows)
-    * winnow their single partial window. Scale: the selection window
-    * partitions by doc_id and frames 4 rows — per-partition size is
-    * bounded by document length, never the corpus; output is one row
-    * per doc.
-    */
-  def qWinnowRobust(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The ROBUST-winnowing selection relation (doc_id, n_sh, fh, fp) —
+    * [[qDedupWinnow]]'s internal fingerprint source. Positional 3-token
+    * shingle hashes, window-min selection with ties to the leftmost
+    * position via the (h, pos) struct order (the "robust" variant:
+    * fingerprints carry their position, so repeated hash VALUES inside
+    * one doc stay position-distinct until the pairing dedups by value);
+    * short docs (< w windows) winnow their single partial window.
+    * NOTE: the per-doc winnowing SUMMARY surface is q_winnow_full
+    * (PipelineCurate) — this helper exists only to feed the pairing
+    * operator and is not a catalog row of its own. The selection
+    * window partitions by doc_id and frames 4 rows — bounded by
+    * document length, never the corpus. */
+  private def winnowSel(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = Tables.t(spark, sfDir, "documents")
       .withColumn("arr", split(col("text"), " "))
@@ -588,20 +588,19 @@ object PipelineSketch {
     val nsh = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val wSel = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, WinnowW - 1)
-    val sel = sh
+    sh
       .withColumn("sel", min(struct(col("h"), col("pos"))).over(wSel))
       .join(nsh, "doc_id")
       .filter(col("pos") <= greatest(col("n_sh") - (WinnowW - 1), lit(1L)))
       .select(col("doc_id"), col("n_sh"),
         col("sel.h").as("fh"), col("sel.pos").as("fp"))
       .distinct()
-    sel.groupBy("doc_id", "n_sh")
-      .agg(count(lit(1)).as("n_fp"), min("fh").as("fp_min"))
-      .orderBy("doc_id")
   }
 
-  val qWinnowRobustSql: String =
-    s"""WITH sh AS (SELECT doc_id, i AS pos,
+  /** DuckDB mirror of [[winnowSel]] — exposes `sel(doc_id, n_sh, fh,
+    * fp)`; interpolate after `WITH `. */
+  private val winnowSelCte: String =
+    s"""sh AS (SELECT doc_id, i AS pos,
       |    ('0x' || substr(md5(arr2[i]), 1, 15))::BIGINT AS h
       |  FROM (SELECT doc_id, ${graft.Tables.shingles3Sql} AS arr2
       |        FROM (SELECT doc_id, text, string_split(text, ' ') AS arr
@@ -618,7 +617,45 @@ object PipelineSketch {
       |        AS sel
       |    FROM sh) s
       |  JOIN nsh n ON n.doc_id = s.doc_id
-      |  WHERE s.pos <= greatest(n.n_sh - ${WinnowW - 1}, 1))
-      |SELECT doc_id, n_sh, count(*) AS n_fp, min(fh) AS fp_min
-      |FROM sel GROUP BY doc_id, n_sh ORDER BY doc_id""".stripMargin
+      |  WHERE s.pos <= greatest(n.n_sh - ${WinnowW - 1}, 1))""".stripMargin
+
+  /** Shared-fingerprint near-dup (round 11): doc pairs sharing ≥ 2
+    * winnowing fingerprints, top-20 by shared count — the
+    * substring-clone detector built on [[winnowSel]]: winnowing
+    * guarantees any shared token run of ≥ w+2 tokens leaves a shared
+    * fingerprint in both docs, so long verbatim overlaps surface here
+    * even when whole-doc Jaccard (q_dedup_ngram) is diluted by unique
+    * surrounding text. Pairing is keyed on the fingerprint VALUE with
+    * the [[PipelineExtra.ShingleDfCap]] hot-key guard (a fingerprint
+    * shared by > cap docs is boilerplate and would mint df² pairs —
+    * same discipline, same provable local inactivity, reusing
+    * [[PipelineExtra.cappedShingles]]), so candidate volume stays
+    * linear in the corpus.
+    */
+  def qDedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    // distinct (doc_id, fh): the same fingerprint VALUE can be selected
+    // at several positions of one doc — pair counting is per value
+    val fps = PipelineExtra.cappedShingles(
+      winnowSel(spark, sfDir)
+        .select(col("doc_id"), col("fh").as("sh")).distinct(),
+      PipelineExtra.ShingleDfCap)
+    val a = fps.toDF("d1", "sh")
+    val b = fps.toDF("d2", "sh")
+    a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .orderBy(desc("shared"), asc("d1"), asc("d2"))
+      .limit(20)
+  }
+
+  val qDedupWinnowSql: String =
+    s"""WITH $winnowSelCte,
+      |fp AS (SELECT DISTINCT doc_id, fh FROM sel),
+      |fpc AS (SELECT doc_id, fh FROM fp JOIN
+      |  (SELECT fh FROM fp GROUP BY fh
+      |   HAVING count(*) <= ${PipelineExtra.ShingleDfCap}) USING (fh))
+      |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+      |FROM fpc a JOIN fpc b ON a.fh = b.fh AND a.doc_id < b.doc_id
+      |GROUP BY d1, d2 HAVING count(*) >= 2
+      |ORDER BY shared DESC, d1, d2 LIMIT 20""".stripMargin
 }

@@ -100,4 +100,27 @@ class ContractSpec extends SparkSpecBase {
       assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
+
+  test("SparkEntry map literals carry no duplicate keys (source-level)") {
+    // A Scala Map literal with a repeated key silently keeps the LAST
+    // binding — round 11 nearly shipped a new operator that shadowed an
+    // existing one this way (a second "q_eval_confusion"). The runtime
+    // Map cannot reveal the collision, so scan the source text.
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/SparkEntry.scala", "UTF-8")
+    val text = try src.mkString finally src.close()
+    val keyRe = """"((?:q|s|x)_[a-z_0-9]+)"\s*->""".r
+    def dups(section: String): Seq[String] = {
+      val keys = keyRe.findAllMatchIn(section).map(_.group(1)).toSeq
+      keys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+        .toSeq.sorted
+    }
+    val qStart = text.indexOf("def queries")
+    val oStart = text.indexOf("def oracleSql")
+    assert(qStart >= 0 && oStart > qStart)
+    assert(dups(text.substring(qStart, oStart)).isEmpty,
+      s"duplicate queries keys: ${dups(text.substring(qStart, oStart))}")
+    assert(dups(text.substring(oStart)).isEmpty,
+      s"duplicate oracleSql keys: ${dups(text.substring(oStart))}")
+  }
 }

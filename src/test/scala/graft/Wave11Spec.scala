@@ -43,24 +43,6 @@ class Wave11Spec extends SparkSpecBase {
       s"index answer ${idx.mkString(",")} != scan answer ${scan.mkString(",")}")
   }
 
-  test("q_winnow_robust: density and coverage guarantees hold per doc") {
-    val rows = SparkEntry.queries("q_winnow_robust")(spark, sf).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val nSh = r.getLong(r.fieldIndex("n_sh"))
-      val nFp = r.getLong(r.fieldIndex("n_fp"))
-      // at least one fingerprint per doc, never more than one per window
-      val nWin = math.max(nSh - 3, 1L)
-      assert(nFp >= 1 && nFp <= nWin,
-        s"doc ${r.getLong(0)}: n_fp=$nFp outside [1, $nWin] (n_sh=$nSh)")
-      // winnowing coverage: consecutive windows overlap in w-1 hashes,
-      // so selected positions are at most w apart — every length-w
-      // window contributes, giving n_fp >= ceil(n_windows / w)
-      assert(nFp * 4 >= nWin,
-        s"doc ${r.getLong(0)}: density below the 1/w winnowing bound")
-    }
-  }
-
   test("q_mix_temperature: exact isqrt grid and ppm bookkeeping") {
     val rows = SparkEntry.queries("q_mix_temperature")(spark, sf).collect()
     val isqrts = rows.map(r => (r.getLong(r.fieldIndex("tokens")),
@@ -107,8 +89,8 @@ class Wave11Spec extends SparkSpecBase {
     }
   }
 
-  test("q_eval_confusion: bookkeeping identities hold") {
-    val rows = SparkEntry.queries("q_eval_confusion")(spark, sf).collect()
+  test("q_eval_prf: bookkeeping identities hold") {
+    val rows = SparkEntry.queries("q_eval_prf")(spark, sf).collect()
     val nTrue = rows.map(_.getLong(rows.head.fieldIndex("n_true"))).sum
     val nPred = rows.map(_.getLong(rows.head.fieldIndex("n_pred"))).sum
     assert(nTrue == nPred, s"sum n_true $nTrue != sum n_pred $nPred")
@@ -132,6 +114,30 @@ class Wave11Spec extends SparkSpecBase {
     rows.foreach { r =>
       val est = r.getDouble(r.fieldIndex("est"))
       assert((est * 8).isWhole, s"est $est not a multiple of 1/8")
+    }
+  }
+
+  test("q_dedup_winnow: ordered pairs sharing at least 2 fingerprints") {
+    val rows = SparkEntry.queries("q_dedup_winnow")(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus has near-dup docs; winnow pairs expected")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be d1 < d2")
+      assert(r.getLong(r.fieldIndex("shared")) >= 2)
+    }
+  }
+
+  test("q_split_leakage: pair totals reconcile with the edge stream") {
+    val rows = SparkEntry.queries("q_split_leakage")(spark, sf).collect()
+    val total = rows.map(_.getLong(rows.head.fieldIndex("n_pairs"))).sum
+    val edges = queries.PipelinePlus.minhashPairs(spark, sf)
+      .filter(col("est_jaccard") >= 0.875).count()
+    assert(total == edges,
+      s"leakage rows cover $total pairs, edge stream has $edges")
+    rows.foreach { r =>
+      val a = r.getString(r.fieldIndex("split_a"))
+      val b = r.getString(r.fieldIndex("split_b"))
+      assert(a <= b, "split pair not canonicalized")
+      assert(r.getBoolean(r.fieldIndex("leaky")) == (a != b))
     }
   }
 }
