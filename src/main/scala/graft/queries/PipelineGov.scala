@@ -529,6 +529,11 @@ object PipelineGov {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bi.groupBy("w1").agg(sum("c12").as("c1"))
+    // NOT pre-aggregated to (doc, w1, w2, tf): the model sides (bi, c1,
+    // uni) broadcast, so raw transitions flow join→score→per-doc agg
+    // with NO shuffle before the doc groupBy — a tf pre-aggregation
+    // would ADD a full (doc, w1, w2) exchange to save per-row -ln()
+    // evaluations (round 11: measured 1.9 → 2.4 s warm, reverted)
     val scored = trans
       .join(bi, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")

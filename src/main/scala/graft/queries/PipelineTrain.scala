@@ -112,9 +112,17 @@ object PipelineTrain {
     // shuffle join to broadcast-hash at runtime whenever the built model
     // is actually small (it is here), which is the right gate: measured
     // size, not a compile-time guess.
-    val scores = toks.join(model, "term")
+    // score on per-(doc, term) term FREQUENCIES, not raw tokens: the
+    // model join fans out by |langs|, so shrinking its left side from
+    // |tokens| to |distinct doc-terms| divides the join output and the
+    // grouped rows by the mean tf. Σ lp over repeated tokens = lp·tf
+    // exactly (integer multiply), so totals are bit-identical to the
+    // per-token sum. (round 11; measured 2.2 → 1.1 s warm at sf0.1)
+    val dtf = toks.groupBy("doc_id", "lang", "term")
+      .agg(count(lit(1)).as("tf"))
+    val scores = dtf.join(model, "term")
       .groupBy("doc_id", "lang", "cand")
-      .agg(sum("lp").as("s"))
+      .agg(sum(col("lp") * col("tf")).as("s"))
       .join(broadcast(priors), "cand")
       .withColumn("total", col("s") + col("prior"))
     val wBest = Window.partitionBy("doc_id")
