@@ -92,15 +92,62 @@ object Tables {
     c
   }
 
+  /** Memo maps for non-DataFrame derived state (collected model
+    * profiles, sketch bytes). Nothing is pinned on the context, so
+    * [[clearCaches]] just clears them — a long-lived session's
+    * per-sfDir entries don't accumulate, and a post-clear rebuild
+    * re-derives from parquet like the DataFrame caches. */
+  private val auxCaches = scala.collection.mutable.ArrayBuffer
+    .empty[scala.collection.concurrent.TrieMap[String, _]]
+
+  private[graft] def registerAuxCache[T]()
+      : scala.collection.concurrent.TrieMap[String, T] = {
+    val c = scala.collection.concurrent.TrieMap.empty[String, T]
+    auxCaches.synchronized { auxCaches += c }
+    c
+  }
+
+  // ─────────────── engine-pinned RDD tracking (round 12) ───────────────
+
+  /** RDD ids pinned by ENGINE code — memo persists plus the
+    * loop-internal `localCheckpoint`s inside query builds. The
+    * [[clearCaches]] RDD sweep is scoped to THESE ids only (round-11
+    * advice): the previous blanket `getPersistentRDDs` sweep evicted a
+    * host application's own cached relations, and permanently broke any
+    * host-owned localCheckpointed RDD (checkpoint blocks cannot be
+    * recomputed). Tracking is delta-capture around every engine entry
+    * point — [[SparkEntry.queries]] wraps each query function in
+    * [[trackPins]] — which is sufficient because RDD persistence
+    * registers in `sc.persistentRdds` at the `persist()`/
+    * `localCheckpoint()` CALL (plan construction), not at
+    * materialization, so even lazy checkpoints land inside the window.
+    * Best-effort in a host that persists concurrently INSIDE an engine
+    * call window (such an RDD would be claimed); exact under the
+    * driver's one-shot protocol and any engine-dedicated session. */
+  private val pinnedRddIds = scala.collection.mutable.Set.empty[Int]
+
+  private[graft] def trackPins[T](spark: SparkSession)(body: => T): T =
+    pinnedRddIds.synchronized {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val out = body
+      pinnedRddIds ++= spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before)
+      out
+    }
+
   /** Release every relation the engine has pinned this session: every
-    * registered memo entry is unpersisted and dropped, then any RDD
-    * still cached on the context (the loop-internal `localCheckpoint`s
-    * living inside memoized lineages, which DataFrame.unpersist cannot
-    * reach) is unpersisted too. Call between SF sweeps in a long-lived
-    * session; after the call, previously returned memoized DataFrames
-    * are INVALID (their checkpoint blocks are gone) — consumers must
-    * re-request, which rebuilds from the parquet sources. The one-shot
-    * drivers (Verify/Bench/Smoke) never need this. */
+    * registered memo entry is unpersisted and dropped, then any
+    * ENGINE-pinned RDD still cached on the context (the loop-internal
+    * `localCheckpoint`s living inside memoized lineages, which
+    * DataFrame.unpersist cannot reach — identified via [[trackPins]])
+    * is unpersisted too. Host-owned persisted/checkpointed RDDs and
+    * cached relations are NOT touched (round-11 advice: a blanket
+    * sweep permanently broke host localCheckpoints). Call between SF
+    * sweeps in a long-lived session; after the call, previously
+    * returned memoized DataFrames are INVALID (their checkpoint blocks
+    * are gone) — consumers must re-request, which rebuilds from the
+    * parquet sources. The one-shot drivers (Verify/Bench/Smoke) never
+    * need this. */
   def clearCaches(spark: SparkSession): Unit = dfCaches.synchronized {
     dfCaches.foreach { c =>
       c.values.foreach(df =>
@@ -108,9 +155,15 @@ object Tables {
         catch { case scala.util.control.NonFatal(_) => () })
       c.clear()
     }
-    spark.sparkContext.getPersistentRDDs.values.foreach(rdd =>
-      try rdd.unpersist(true)
-      catch { case scala.util.control.NonFatal(_) => () })
+    auxCaches.synchronized { auxCaches.foreach(_.clear()) }
+    pinnedRddIds.synchronized {
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (pinnedRddIds(id))
+          try rdd.unpersist(true)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+      pinnedRddIds.clear()
+    }
   }
 
   // Tokenized documents are reused by the whole §2.9 search family plus

@@ -567,16 +567,24 @@ object PipelinePlus {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Language ID by char-bigram naive-bayes, trained on the corpus's own
-    * lang labels (oracle=unit: float-sum argmax is not engine-portable;
-    * LangIdSpec asserts determinism, shape, and better-than-random
-    * self-classification where the corpus allows it).
+    * lang labels. Graduated from oracle=unit in round 12: scores live on
+    * an exact INTEGER log-grid — per-(lang, gram) log-probs rescale to
+    * round(ln((c+1)/(t+1))·10⁶) as a BIGINT at model-build time (the
+    * q_naive_bayes discipline), so the per-doc fold is integer addition
+    * (order-free, engine-exact) and the float-argmax tie class that kept
+    * this row unit-only is gone. Both engines apply ln + round to the
+    * SAME rationals (exact corpus counts), so the grids agree; a
+    * one-unit grid disagreement would need two langs within 10⁻⁶ nats
+    * after summing — below the corpus's score separation by orders of
+    * magnitude. PipelinePlusSpec keeps the in-engine determinism and
+    * separable-corpus evidence.
     */
   // the pass-1 profile collect is per-(session, sfDir) IMMUTABLE model
   // state — memoized like Tables.tokens so the 3-run bench pays the
-  // corpus scan once, not per run (round-10 advice #7)
+  // corpus scan once, not per run (round-10 advice #7); registered as an
+  // aux cache so clearCaches resets it with the relations
   private val langProfCache =
-    scala.collection.concurrent.TrieMap
-      .empty[String, (Seq[String], Map[String, Array[Double]], Array[Double])]
+    Tables.registerAuxCache[(Seq[String], Map[String, Array[Long]], Array[Long])]()
 
   def qTextLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.t(spark, sfDir, "documents")
@@ -604,7 +612,11 @@ object PipelinePlus {
         l -> rs.map(_.getLong(2)).sum
       }
       val ls = tot.keys.toSeq.sorted
-      val fl = ls.map(l => math.log(1.0 / (tot(l) + 1.0))).toArray
+      // integer log-grid: round(ln · 10⁶) — exact, order-free integer
+      // sums downstream, and re-derivable in DuckDB (the oracle)
+      def grid(num: Double, den: Double): Long =
+        math.round(math.log(num / den) * 1e6)
+      val fl = ls.map(l => grid(1.0, tot(l) + 1.0)).toArray
       val byLangGram = prof.map(r =>
         (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       // ONE merged map g → [lp(lang₁) … lp(langₖ)] instead of a map
@@ -618,7 +630,7 @@ object PipelinePlus {
       val lp = grams.map { g =>
         g -> ls.zipWithIndex.map { case (l, i) =>
           byLangGram.get((l, g)) match {
-            case Some(c) => math.log((c + 1.0) / (tot(l) + 1.0))
+            case Some(c) => grid(c + 1.0, tot(l) + 1.0)
             case None => fl(i)
           }
         }.toArray
@@ -630,13 +642,13 @@ object PipelinePlus {
     }
     val lpMap = map(mapEntries: _*)
     // Pass 2: score every doc in ONE narrow codegen pass — a single
-    // struct accumulator carries all k running sums (per-lang addend
-    // sequence is IDENTICAL to the old per-lang aggregates: same doubles
-    // added left-to-right, so scores — and the golden — are unchanged);
-    // argmax via sort_array over (-score, lang) structs (score desc,
-    // lang asc tiebreak). No join, no window, no shuffle except the
-    // final orderBy.
-    val zero = struct(langs.indices.map(i => lit(0.0).as(s"s$i")): _*)
+    // struct accumulator carries all k running LONG sums (integer grid:
+    // addition is exact and order-free, so any evaluation order yields
+    // the same scores — the property the oracle depends on); argmax via
+    // sort_array over (-score, lang) structs (score desc, lang asc
+    // tiebreak). No join, no window, no shuffle except the final
+    // orderBy.
+    val zero = struct(langs.indices.map(i => lit(0L).as(s"s$i")): _*)
     val folded = aggregate(col("grams"), zero, (acc, g) => {
       // try_element_at, not element_at: null-on-missing-key is the
       // semantics the smoothing-floor coalesce DEPENDS on, and
@@ -660,6 +672,40 @@ object PipelinePlus {
         element_at(sort_array(array(scoreCols: _*)), 1)("l").as("predicted"))
       .orderBy("doc_id")
   }
+
+  /** DuckDB re-derivation of the whole model: profile counts, the
+    * round(ln·10⁶) integer grid, per-doc integer score sums (via the
+    * per-(doc, gram) tf — multiplicity-correct), argmax with lang-asc
+    * tiebreak. Sub-2-char docs (no bigrams) fall back to the minimum
+    * profile lang, mirroring the all-zero-scores tiebreak in-engine. */
+  val qTextLangIdSql: String =
+    """WITH cg AS (SELECT doc_id, lang, arr[i] || arr[i+1] AS g
+      |  FROM (SELECT doc_id, lang, string_split(text, '') AS arr
+      |        FROM documents),
+      |    unnest(generate_series(1, len(arr) - 1)) t(i)),
+      |prof AS (SELECT lang, g, count(*) AS c FROM cg GROUP BY lang, g),
+      |tot AS (SELECT lang, count(*) AS t FROM cg GROUP BY lang),
+      |langs AS (SELECT lang,
+      |    CAST(round(ln(1.0 / (t + 1.0)) * 1000000) AS BIGINT) AS fl
+      |  FROM tot),
+      |grid AS (SELECT p.lang, p.g,
+      |    CAST(round(ln((p.c + 1.0) / (t.t + 1.0)) * 1000000) AS BIGINT)
+      |      AS lp
+      |  FROM prof p JOIN tot t USING (lang)),
+      |dg AS (SELECT doc_id, g, count(*) AS n FROM cg GROUP BY doc_id, g),
+      |scores AS (SELECT d.doc_id, l.lang,
+      |    sum(d.n * coalesce(grid.lp, l.fl)) AS s
+      |  FROM dg d CROSS JOIN langs l
+      |  LEFT JOIN grid ON grid.lang = l.lang AND grid.g = d.g
+      |  GROUP BY d.doc_id, l.lang),
+      |pred AS (SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang)
+      |      AS rn
+      |  FROM scores)
+      |SELECT d.doc_id, d.lang AS actual,
+      |  coalesce(p.lang, (SELECT min(lang) FROM tot)) AS predicted
+      |FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id AND p.rn = 1
+      |ORDER BY d.doc_id""".stripMargin
 
   // ───────────────────────── multimodal columns ─────────────────────────
 
@@ -857,6 +903,14 @@ object PipelinePlus {
     * not vocabulary²); everything downstream is the capped banding
     * pipeline.
     */
+  // the weighted-expansion signature is per-(session, sfDir) IMMUTABLE
+  // derived state feeding three plan positions — memoize + persist like
+  // minhashPairs instead of pinning a fresh localCheckpoint RDD per
+  // invocation (round-11 advice: 3 bench runs + verify each pinned an
+  // unreleasable copy; persist() keeps the lineage so clearCaches can
+  // drop it and a later consumer rebuilds from parquet)
+  private val wSigCache = Tables.registerCache()
+
   def qDedupMinhashW(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = Tables.tokens(spark, sfDir)
       .filter(col("doc_id") % 10 === 0)
@@ -865,12 +919,15 @@ object PipelinePlus {
     // minhashSig shape over the expanded elements)
     val el = tf.select(col("doc_id"), col("term"),
       explode(sequence(lit(1L), col("tf"))).as("j"))
-    val sig = el.groupBy("doc_id")
-      .agg(array((0 until K).map { k =>
-        min(Tables.md5Bucket(concat(col("term"), lit("#"), col("j"),
-          lit(":"), lit(k.toLong))))
-      }: _*).as("sig"))
-      .localCheckpoint()
+    val sig = Tables.memo(wSigCache,
+      s"${spark.sparkContext.applicationId}:$sfDir") {
+      el.groupBy("doc_id")
+        .agg(array((0 until K).map { k =>
+          min(Tables.md5Bucket(concat(col("term"), lit("#"), col("j"),
+            lit(":"), lit(k.toLong))))
+        }: _*).as("sig"))
+        .persist()
+    }
     val bands = sig.select(col("doc_id"), explode(expr(
       s"""transform(sequence(0, ${K / 2 - 1}), b -> named_struct(
          |  'band', b,

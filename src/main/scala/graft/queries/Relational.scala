@@ -258,9 +258,13 @@ object Relational {
 
   /** As-of join, scalably: the right side collapses to DISTINCT order
     * dates — bounded by calendar days (~2.4k) at ANY scale factor — which
-    * broadcast as a sorted array; each event binary-searches its floor.
-    * Zero shuffle on the fact side (vs. a broadcast-nested-loop interval
-    * join, which is O(|events|·|dates|) and 70× slower at sf0.1).
+    * ride the plan as a sorted array; each event binary-searches its
+    * floor via the codegen'd [[graft.functions.SortedFloorLong]]
+    * expression (round 12 — retires the last per-row Scala UDF in the
+    * relational family: the whole probe now stays inside whole-stage
+    * codegen with no boxing). Zero shuffle on the fact side (vs. a
+    * broadcast-nested-loop interval join, which is O(|events|·|dates|)
+    * and 70× slower at sf0.1).
     */
   def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = graft.Tables.events(spark, sfDir)
@@ -269,14 +273,10 @@ object Relational {
     val dates: Array[Long] = t(spark, sfDir, "orders")
       .select(unix_millis(col("o_orderdate").cast("timestamp")))
       .distinct().collect().map(_.getLong(0)).sorted
-    val bc = spark.sparkContext.broadcast(dates)
-    val asof = udf { ts: java.sql.Timestamp =>
-      val ds = bc.value
-      val i = java.util.Arrays.binarySearch(ds, ts.getTime)
-      val floor = if (i >= 0) i else -i - 2 // insertion point − 1
-      if (floor < 0) None else Some(new java.sql.Timestamp(ds(floor)))
-    }
-    ev.select(col("event_id"), asof(col("ts")).as("asof_date"))
+    ev.select(col("event_id"),
+        timestamp_millis(
+          graft.functions.SortedFloorLong.col(unix_millis(col("ts")), dates))
+          .as("asof_date"))
       .orderBy("event_id")
   }
 

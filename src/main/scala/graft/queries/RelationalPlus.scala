@@ -347,20 +347,83 @@ object RelationalPlus {
       |  count(*) AS n, round(sum(o_totalprice), 4) AS total
       |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
 
-  /** Approximate percentiles (t-digest style sketch) next to the exact
-    * values — the single-pass mergeable-sketch path a 100 TB percentile
-    * actually takes. oracle=unit: sketch internals are engine-specific;
-    * PipelineExtraSpec asserts the approximation error bound instead.
+  /** Bin width of the per-type value histogram sketch, exact cents: $5
+    * over a [0, 490] value domain → ~98 live bins per group. */
+  private[graft] val ApproxPctBinCents = 500L
+
+  /** Approximate percentiles via a MERGEABLE fixed-grid histogram
+    * sketch next to the exact values — the single-pass partial-agg path
+    * a 100 TB percentile actually takes (bin counters ADD, so partial
+    * sketches combine order-free map-side and any rollup level merges
+    * without a rescan — the q_pct_sketch_union pattern). Graduated from
+    * oracle=unit in round 12: unlike the previous `approx_percentile`
+    * form (Spark's QuantileSummaries internals are engine-specific),
+    * the fixed grid is ENGINE-PORTABLE — values quantize to exact cents
+    * (round(100·v): both engines round the same double), bins by
+    * integer division, ranks kq = ⌈q·n⌉ in exact integer arithmetic,
+    * and the estimate is the lower bin edge holding the kq-th value,
+    * within one bin width of the true order statistic BY CONSTRUCTION
+    * (PipelineExtraSpec still asserts the bound in-engine). The exact
+    * percentiles ride along as audit columns.
     */
-  def qAggApproxPct(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Tables.events(spark, sfDir)
+  def qAggApproxPct(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"cast(round(value * 100) as bigint) div $ApproxPctBinCents")
+          .as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = binned.groupBy("event_type").agg(sum("cnt").as("n"))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = binned.withColumn("cum", sum("cnt").over(wCum))
+    // integer ops only (`div`, long ×): Column./ promotes to double
+    def estFloor(kExpr: String) =
+      min(when(col("cum") >= expr(kExpr), col("bin"))) *
+        lit(ApproxPctBinCents)
+    val approx = cum.join(totals, "event_type")
+      .groupBy("event_type", "n")
+      .agg(estFloor("(n + 1) div 2").as("p50_cents"),
+        estFloor("(n * 9 + 9) div 10").as("p90_cents"))
+    val exact = graft.Tables.events(spark, sfDir)
       .groupBy("event_type")
-      .agg(
-        round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50_approx"),
-        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
-        round(expr("approx_percentile(value, 0.9, 1000)"), 4).as("p90_approx"),
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
         round(expr("percentile(value, 0.9)"), 4).as("p90_exact"))
+    approx.join(exact, "event_type")
+      .select(col("event_type"), col("n"), col("p50_cents"),
+        col("p50_exact"), col("p90_cents"), col("p90_exact"))
       .orderBy("event_type")
+  }
+
+  val qAggApproxPctSql: String =
+    s"""WITH binned AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) // $ApproxPctBinCents AS bin,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY event_type, bin),
+      |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM binned GROUP BY event_type),
+      |cum AS (SELECT event_type, bin,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM binned),
+      |approx AS (SELECT c.event_type, t.n,
+      |    CAST(min(CASE WHEN c.cum >= (t.n + 1) // 2 THEN c.bin END)
+      |      * $ApproxPctBinCents AS BIGINT) AS p50_cents,
+      |    CAST(min(CASE WHEN c.cum >= (t.n * 9 + 9) // 10 THEN c.bin END)
+      |      * $ApproxPctBinCents AS BIGINT) AS p90_cents
+      |  FROM cum c JOIN tot t USING (event_type)
+      |  GROUP BY c.event_type, t.n),
+      |exact AS (SELECT event_type,
+      |    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4)
+      |      AS p50_exact,
+      |    round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4)
+      |      AS p90_exact
+      |  FROM events GROUP BY event_type)
+      |SELECT a.event_type, a.n, a.p50_cents, e.p50_exact,
+      |  a.p90_cents, e.p90_exact
+      |FROM approx a JOIN exact e USING (event_type)
+      |ORDER BY event_type""".stripMargin
 
   // ───────── null-safe equality join (round 7, wave 5) ─────────
 

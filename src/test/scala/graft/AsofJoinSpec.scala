@@ -151,4 +151,36 @@ class AsofJoinSpec extends SparkSpecBase {
       AsofOps.join(l, r, l("k"), r("rk"), l("t"), r("rt"))
     }
   }
+
+  test("SortedFloorLong: floor semantics on both codegen and eval paths") {
+    val arr = Array(10L, 20L, 30L)
+    // below-first → null; exact hit → itself; between → lower; above → max
+    val keys = Seq(5L, 10L, 15L, 20L, 29L, 30L, 99L)
+    val expected = Seq(None, Some(10L), Some(10L), Some(20L), Some(20L),
+      Some(30L), Some(30L))
+    val df = keys.toDF("key")
+      .select(graft.functions.SortedFloorLong.col(col("key"), arr).as("f"))
+    // codegen path (whole-stage compiled projection)
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == expected)
+    // interpreted eval path (what a codegen fallback would run)
+    keys.zip(expected).foreach { case (k, e) =>
+      val expr = graft.functions.SortedFloorLong(
+        org.apache.spark.sql.catalyst.expressions.Literal(k), arr)
+      assert(Option(expr.eval(null)).map(_.asInstanceOf[Long]) == e)
+    }
+    // null key propagates
+    val nullRow = Seq[java.lang.Long](null).toDF("key")
+      .select(graft.functions.SortedFloorLong.col(col("key"), arr).as("f"))
+      .collect()
+    assert(nullRow.head.isNullAt(0))
+  }
+
+  test("q_join_asof probes with NO Scala UDF — pure codegen binary search") {
+    val p = SparkEntry.queries("q_join_asof")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"per-row UDF survived:\n$p")
+    assert(p.toLowerCase.contains("sorted_floor_long") ||
+      p.contains("SortedFloorLong"), s"floor expression missing:\n$p")
+  }
 }

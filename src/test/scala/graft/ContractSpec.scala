@@ -106,8 +106,17 @@ class ContractSpec extends SparkSpecBase {
     // binding — round 11 nearly shipped a new operator that shadowed an
     // existing one this way (a second "q_eval_confusion"). The runtime
     // Map cannot reveal the collision, so scan the source text.
-    val src = scala.io.Source.fromFile(
-      "src/main/scala/graft/SparkEntry.scala", "UTF-8")
+    // resolve against user.dir explicitly and SKIP (not error) when the
+    // source tree is not visible — a forked test JVM with a different
+    // working directory must not turn this source-level lint into a
+    // spurious failure (round-11 advice)
+    val srcFile = new java.io.File(
+      sys.props.getOrElse("user.dir", "."),
+      "src/main/scala/graft/SparkEntry.scala")
+    assume(srcFile.isFile,
+      s"source tree not visible from ${sys.props.get("user.dir")}; " +
+        "skipping source-level duplicate-key scan")
+    val src = scala.io.Source.fromFile(srcFile, "UTF-8")
     val text = try src.mkString finally src.close()
     val keyRe = """"((?:q|s|x)_[a-z_0-9]+)"\s*->""".r
     def dups(section: String): Seq[String] = {
@@ -115,7 +124,11 @@ class ContractSpec extends SparkSpecBase {
       keys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
         .toSeq.sorted
     }
-    val qStart = text.indexOf("def queries")
+    // the query map literal lives in rawQueries since the round-12
+    // trackPins wrapper; fall back to the old `def queries` name so the
+    // scan keeps working if the wrapper is ever inlined away
+    val qStart = math.max(text.indexOf("def rawQueries"),
+      text.indexOf("def queries"))
     val oStart = text.indexOf("def oracleSql")
     assert(qStart >= 0 && oStart > qStart)
     assert(dups(text.substring(qStart, oStart)).isEmpty,

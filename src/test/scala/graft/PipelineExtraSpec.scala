@@ -83,16 +83,21 @@ class PipelineExtraSpec extends SparkSpecBase {
       (4L, "p q r"), (4L, "q r s")))
   }
 
-  test("approx percentiles land within 5% of exact") {
+  test("approx percentiles land within one bin width below exact") {
+    val binDollars = queries.RelationalPlus.ApproxPctBinCents / 100.0
     val rows = queries.RelationalPlus.qAggApproxPct(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      Seq(("p50_approx", "p50_exact"), ("p90_approx", "p90_exact"))
+      Seq(("p50_cents", "p50_exact"), ("p90_cents", "p90_exact"))
         .foreach { case (a, e) =>
-          val approx = r.getDouble(r.fieldIndex(a))
+          val approx = r.getLong(r.fieldIndex(a)) / 100.0
           val exact = r.getDouble(r.fieldIndex(e))
-          assert(math.abs(approx - exact) <= math.abs(exact) * 0.05 + 1e-9,
-            s"$a=$approx vs $e=$exact")
+          // lower bin edge of the kq-th ORDER STATISTIC: within one bin
+          // width of it by construction; the interpolated exact sits
+          // within one inter-value gap of that order statistic (≤ $1 on
+          // this dense two-decimal domain), hence the symmetric slack
+          assert(math.abs(exact - approx) <= binDollars + 1.0,
+            s"$a=$approx vs $e=$exact (bin $binDollars)")
         }
     }
   }

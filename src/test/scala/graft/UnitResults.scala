@@ -18,8 +18,10 @@ import org.scalatest.events._
   */
 object UnitEvidence {
   val evidence: Map[String, Seq[(String, String)]] = Map(
-    "q_agg_approx_pct" -> Seq(
-      "PipelineExtraSpec" -> "approx percentiles land within 5% of exact"),
+    // q_agg_approx_pct graduated to a DuckDB oracle in round 12 (the
+    // q_pct_sketch_union fixed-grid pattern: engine-portable integer
+    // bins replace Spark's QuantileSummaries internals); its
+    // PipelineExtraSpec bound test remains as extra in-engine evidence.
     "q_agg_cms" -> Seq(
       "PipelineSketchSpec" -> "cms: estimates dominate exact counts within the ε·N bound"),
     "q_agg_hll" -> Seq(
@@ -41,10 +43,12 @@ object UnitEvidence {
     // SourcesSpec/StreamingSpec/PipelinePlusSpec/CustomSpec tests
     // remain as extra in-engine evidence rather than declared unit
     // coverage.
-    "q_text_lang_id" -> Seq(
-      "PipelinePlusSpec" -> "lang-id is deterministic, total, and in-domain",
-      "PipelinePlusSpec" ->
-        "lang-id classifies a separable synthetic corpus perfectly"),
+    // q_text_lang_id graduated to a DuckDB oracle in round 12: the
+    // per-(lang, gram) log-probs rescale to an exact integer grid
+    // (round(ln·1e6), the q_naive_bayes discipline), retiring the
+    // float-argmax tie class; the oracle re-derives profile, grid,
+    // scores, and argmax relationally. Its PipelinePlusSpec tests
+    // remain as extra in-engine evidence.
   )
 }
 

@@ -56,11 +56,17 @@ class Wave11Spec extends SparkSpecBase {
     assert(wSum <= 1000000L && wSum > 1000000L - rows.length,
       s"weight_ppm sum $wSum outside (1e6 - n_sources, 1e6]")
     // temperature flattens: the weight RATIO between the largest and
-    // smallest source is the sqrt of their token ratio (on the grid)
+    // smallest source is the sqrt of their token ratio (on the grid).
+    // Tolerance is the PROVABLE truncation bound, not a magic 1.01
+    // (round-11 advice): isqrt(x) > sqrt(x) − 1 gives
+    // isqrt(max)/isqrt(min) < sqrt(max/min) · 1/(1 − 1/sqrt(min)), and
+    // sqrt(min) ≥ isqrt(min) = minT._2 — so the test cannot flake on
+    // regenerated data with smaller sources.
     val maxT = isqrts.maxBy(_._1)
     val minT = isqrts.minBy(_._1)
+    assert(minT._2 >= 2, s"degenerate source: isqrt=${minT._2}")
     assert(maxT._2.toDouble / minT._2 <=
-      math.sqrt(maxT._1.toDouble / minT._1) * 1.01,
+      math.sqrt(maxT._1.toDouble / minT._1) / (1.0 - 1.0 / minT._2),
       "T=2 scaling did not flatten the source ratio")
   }
 
