@@ -44,4 +44,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // showing up as 5-12 s outliers on otherwise sub-second queries);
   // the box has 128 GiB — give the single shared JVM real headroom.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // opt-in GC/safepoint log for adjudicating bench noise (round 12):
+  // SPARK_GRAFT_GCLOG=/tmp/gc.log correlates multi-second bench-row
+  // inflation with collector pauses vs external interference
+  sys.env.get("SPARK_GRAFT_GCLOG")
+    .map(p => s"-Xlog:gc,safepoint:file=$p:uptime").toSeq

@@ -71,7 +71,29 @@ object Tables {
   private[graft] def memo[T](
       cache: scala.collection.concurrent.TrieMap[String, T],
       key: String)(build: => T): T =
-    cache.synchronized { cache.getOrElseUpdate(key, build) }
+    cache.synchronized { cache.getOrElseUpdate(key, captureMemoPins(build)) }
+
+  /** RDD ids pinned while building a MEMOIZED relation (the persist
+    * itself plus any loop-internal localCheckpoint living inside the
+    * memoized lineage, e.g. connectedComponents' rounds). These must
+    * survive the per-query slot release in [[trackPins]]: a memoized
+    * DataFrame outlives the invocation that built it, and unpersisting
+    * a localCheckpoint RDD its lineage still references would break it
+    * permanently (checkpoint blocks cannot be recomputed). */
+  private val memoPins =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  private def captureMemoPins[T](build: => T): T =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        val sc = s.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val out = build
+        sc.getPersistentRDDs.keySet.diff(before).foreach(id =>
+          memoPins.add(id))
+        out
+      case None => build
+    }
 
   // ─────────────── memo-cache lifecycle (round 11) ───────────────
 
@@ -126,12 +148,56 @@ object Tables {
     * driver's one-shot protocol and any engine-dedicated session. */
   private val pinnedRddIds = scala.collection.mutable.Set.empty[Int]
 
-  private[graft] def trackPins[T](spark: SparkSession)(body: => T): T =
+  /** Pins recorded per (applicationId, query-slot) by the LAST
+    * invocation — see the release note on [[trackPins]]. */
+  private val slotPins =
+    scala.collection.mutable.HashMap.empty[String, Set[Int]]
+
+  /** Delta-capture the RDDs a query build pins; when `slot` names the
+    * query (SparkEntry passes its id), ALSO release the pins the
+    * PREVIOUS invocation of the same query recorded (minus memo-build
+    * pins, which outlive invocations — see [[memoPins]]). Without the
+    * release, a bench session (3 runs × 418 queries) accumulates one
+    * dead copy of every per-invocation localCheckpoint per run —
+    * round 12 measured the resulting storage/GC churn as multi-second
+    * inflation on otherwise sub-second rows, and round-11 ADVICE
+    * flagged the q_dedup_minhash_w instance of the same leak. */
+  private[graft] def trackPins[T](spark: SparkSession, slot: String = "")(
+      body: => T): T =
     pinnedRddIds.synchronized {
-      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val sc = spark.sparkContext
+      if (slot.nonEmpty) {
+        val key = s"${sc.applicationId}:$slot"
+        // Release ONLY locally-checkpointed RDDs: a memoized relation
+        // whose cache buffer happens to MATERIALIZE inside a query's
+        // construction window (loop queries run actions while building)
+        // registers here without being a memo-build pin, and
+        // unpersisting it would silently demote the shared cache to
+        // recompute-per-use (round 12: q_graph_pagerank 2.9 → 7.3 s
+        // when the first slot-release draft swept minhashPairs' buffer).
+        // Per-invocation localCheckpoints are the only thing a dead
+        // invocation can leak storage through, and a cache buffer is
+        // never checkpointed. (isCheckpointed is also false for a lazy
+        // checkpoint that never materialized — which holds no blocks,
+        // so leaving it pinned costs nothing.)
+        val stale = slotPins.getOrElse(key, Set.empty)
+          .filterNot(memoPins.contains)
+          .filter(id => sc.getPersistentRDDs.get(id)
+            .exists(_.isCheckpointed))
+        stale.foreach { id =>
+          sc.getPersistentRDDs.get(id).foreach { rdd =>
+            try rdd.unpersist(blocking = false)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+        pinnedRddIds --= stale
+      }
+      val before = sc.getPersistentRDDs.keySet
       val out = body
-      pinnedRddIds ++= spark.sparkContext.getPersistentRDDs.keySet
-        .diff(before)
+      val fresh = sc.getPersistentRDDs.keySet.diff(before)
+      pinnedRddIds ++= fresh
+      if (slot.nonEmpty)
+        slotPins(s"${sc.applicationId}:$slot") = fresh.toSet
       out
     }
 
@@ -163,7 +229,9 @@ object Tables {
           catch { case scala.util.control.NonFatal(_) => () }
       }
       pinnedRddIds.clear()
+      slotPins.clear()
     }
+    memoPins.clear()
   }
 
   // Tokenized documents are reused by the whole §2.9 search family plus
@@ -184,7 +252,16 @@ object Tables {
     }
   }
 
-  /** Distinct (doc_id, term) pairs — posting-list input. */
+  /** Distinct (doc_id, term) pairs — posting-list input. Deliberately
+    * NOT persisted in its own right (round-12 interleaved A/B): a
+    * docTerms cache was measured slower for EVERY consumer class —
+    * filtered consumers lose term/doc pushdown through the cache
+    * boundary (q_index_merge 0.25 vs 0.8 s, q_search_boolean 0.2 vs
+    * 0.6), and even the full-relation self-join consumer paid more for
+    * the string-heavy cache scans than the pipelined distinct from the
+    * already-cached token stream saves (q_cooccur_pmi 1.0–1.8 plain vs
+    * 1.4–2.1 cached warm). The memo belongs one level up, on the
+    * aggregated relations (Search.df/dl, minhashPairs). */
   def docTerms(spark: SparkSession, sfDir: String): DataFrame =
     tokens(spark, sfDir).distinct()
 

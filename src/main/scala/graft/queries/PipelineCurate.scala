@@ -574,8 +574,14 @@ object PipelineCurate {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val n1 = bg.groupBy("w1").agg(sum("c").as("n1"))
-    bg.join(n1, "w1")
+    // left-context totals as a w1-keyed window over the aggregated
+    // bigram counts (round 12): the groupBy+join form consumed `bg`
+    // twice, re-running the corpus bigram explode+count per consumer;
+    // the window shuffles only the already-aggregated (w1, w2, c)
+    // relation, partitioned on the vocabulary-bounded w1
+    bg.withColumn("n1",
+        sum("c").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("w1")))
       .agg(sum("c").as("n"), count(lit(1)).as("n_bigrams"),
         sum(col("c") * log(col("c") / col("n1").cast("double"))).as("s"))
       .select(col("n").as("n_tokens_bg"),

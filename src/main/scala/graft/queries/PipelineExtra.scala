@@ -468,7 +468,12 @@ object PipelineExtra {
       .withColumn("trank",
         row_number().over(Window.orderBy(asc("df"), asc("term"))))
       .select("term", "trank")
+    // lazy checkpoints (round 12): sizes feeds THREE consumers (the
+    // prefix build + both final margins) and the prefix relation feeds
+    // BOTH self-join sides — unchecked, each consumer re-ran the
+    // groupBy / rank-window chain over the cached sample terms
     val sizes = terms.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(false)
     val prefix = terms
       .join(broadcast(ranked), "term")
       .join(sizes, "doc_id")
@@ -476,6 +481,7 @@ object PipelineExtra {
         row_number().over(Window.partitionBy("doc_id").orderBy("trank")))
       .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) DIV 5") + 1)
       .select("doc_id", "term")
+      .localCheckpoint(false)
     val cand = prefix.toDF("d1", "term")
       .join(prefix.toDF("d2", "term"), "term")
       .filter(col("d1") < col("d2"))

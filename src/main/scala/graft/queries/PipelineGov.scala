@@ -242,9 +242,12 @@ object PipelineGov {
     */
   def qSourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     // Re-distinct of the CACHED (doc_id, source, sh) rows — one shuffle
-    // over the memoized relation instead of a second corpus explode.
+    // over the memoized relation instead of a second corpus explode —
+    // checkpointed (round 12) because THREE consumers (sizes + both
+    // self-join sides) each re-ran that distinct shuffle per invocation.
     val sh = Tables.shingles(spark, sfDir)
       .select("source", "sh").distinct()
+      .localCheckpoint(false)
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source").as("s1"), col("sh"))
     val b = sh.select(col("source").as("s2"), col("sh"))
@@ -546,20 +549,26 @@ object PipelineGov {
           |  CAST(0.3 AS DOUBLE) * (CAST(coalesce(c2, 0) + 1 AS DOUBLE)
           |    / (t + v))
           |) * CAST(1000000.0 AS DOUBLE)) AS BIGINT)""".stripMargin))
+    // ONE corpus scoring pass (guide §2.4): perDoc feeds the tercile
+    // grid AND the final bucketing — before round 12 the lazy chain
+    // re-derived the whole explode+score+agg subtree once per consumer
+    // (t1, t2, n, final = a 249-operator plan with 38 parquet scans).
+    // The checkpoint is |docs|×3 longs; both terciles now come out of
+    // one conditional aggregation over the bounded grid (n rides along
+    // as a window sum instead of a fourth corpus pass).
     val perDoc = scored.groupBy("doc_id")
       .agg(expr("sum(s_e6) div count(*)").as("mean_e6"))
       .withColumn("g4", expr("mean_e6 div 10000"))
+      .localCheckpoint(false)
     val grid = perDoc.groupBy("g4").agg(count(lit(1)).as("gn"))
     val wg = Window.orderBy("g4")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n = perDoc.agg(count(lit(1)).as("n"))
-    val cums = grid.withColumn("cum", sum("gn").over(wg))
-      .crossJoin(broadcast(n))
-    val t1 = cums.filter(expr("cum * 3 >= n"))
-      .agg(min("g4").as("t1"))
-    val t2 = cums.filter(expr("cum * 3 >= 2 * n"))
-      .agg(min("g4").as("t2"))
-    perDoc.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+    val thr = grid
+      .withColumn("cum", sum("gn").over(wg))
+      .withColumn("n", sum("gn").over(Window.partitionBy()))
+      .agg(min(when(expr("cum * 3 >= n"), col("g4"))).as("t1"),
+        min(when(expr("cum * 3 >= 2 * n"), col("g4"))).as("t2"))
+    perDoc.crossJoin(broadcast(thr))
       .withColumn("bucket",
         when(col("g4") <= col("t1"), "head")
           .when(col("g4") <= col("t2"), "middle")

@@ -458,12 +458,26 @@ object PipelineGraph {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
       .localCheckpoint()
+    // The rank vectors are DIMENSION-bounded (|customers| and |parts|
+    // rows of two longs — the buying core and catalog, not the fact
+    // table), so each half-iteration joins |edges| against a broadcast
+    // vector instead of sort-merging the edge list (guide §3.1: the
+    // side that fits is the deliberate build side), and the final max
+    // is a global window over the dim-bounded a2 vector rather than a
+    // separate agg branch — the crossJoin(broadcast(max)) form consumed
+    // a2 TWICE, re-deriving the whole h1→a1→h2→a2 chain inside the
+    // broadcast build (round 12; exchange reuse did not fire on the
+    // duplicated subtrees).
     val h1 = edges.groupBy("c").agg(count(lit(1)).as("h1"))
-    val a1 = edges.join(h1, "c").groupBy("p").agg(sum("h1").as("a1"))
-    val h2 = edges.join(a1, "p").groupBy("c").agg(sum("a1").as("h2"))
-    val a2 = edges.join(h2, "c").groupBy("p").agg(sum("h2").as("a2"))
-    val mx = a2.agg(max("a2").as("mx"))
-    a2.crossJoin(broadcast(mx))
+    val a1 = edges.join(broadcast(h1), "c")
+      .groupBy("p").agg(sum("h1").as("a1"))
+    val h2 = edges.join(broadcast(a1), "p")
+      .groupBy("c").agg(sum("a1").as("h2"))
+    val a2 = edges.join(broadcast(h2), "c")
+      .groupBy("p").agg(sum("h2").as("a2"))
+    a2.withColumn("mx",
+        max(col("a2")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
       .select(col("p").as("partkey"), col("a2").as("authority"),
         expr("a2 * 1000 div mx").as("share_pm"))
       .orderBy(col("authority").desc, col("partkey"))
@@ -644,13 +658,26 @@ object PipelineGraph {
     var iter = 0
     var fixed = false
     while (!fixed && iter < HitsCap) {
-      val h = edges.join(a, "p").groupBy("c").agg(sum("a").as("h"))
-      val hmax = h.agg(max("h").as("hm"))
-      val hn = h.crossJoin(broadcast(hmax))
+      // broadcast the dim-bounded rank vectors (|parts| / |customers|
+      // rows of two longs) — the qGraphHits discipline: per half-round
+      // the ~500k-edge list previously paid an Exchange + Sort into a
+      // SortMergeJoin; with the vector broadcast the only per-half-round
+      // shuffle is the (partial-aggregated) groupBy itself. The
+      // renormalizing max is a global window over the dim-bounded
+      // vector, NOT a crossJoin(broadcast(agg(max))) — that form
+      // consumed the half-round vector twice and re-derived its whole
+      // join+agg chain inside the broadcast build (exchange reuse did
+      // not fire; a lazy checkpoint per vector was measured SLOWER —
+      // the extra materialization barriers cost more than the
+      // recompute they saved). Round-12 net: 9.1 → ~3 s warm.
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val hn = edges.join(broadcast(a), "p")
+        .groupBy("c").agg(sum("a").as("h"))
+        .withColumn("hm", max(col("h")).over(wAll))
         .select(col("c"), expr("h * 1000000 div hm").as("h"))
-      val a2 = edges.join(hn, "c").groupBy("p").agg(sum("h").as("a2"))
-      val amax = a2.agg(max("a2").as("am"))
-      val next = a2.crossJoin(broadcast(amax))
+      val next = edges.join(broadcast(hn), "c")
+        .groupBy("p").agg(sum("h").as("a2"))
+        .withColumn("am", max(col("a2")).over(wAll))
         .select(col("p"), expr("a2 * 1000000 div am").as("a"))
         .localCheckpoint(false)
       // probe for the fixpoint only near the cap: an early probe is a
@@ -660,7 +687,7 @@ object PipelineGraph {
       // reproduce it, so the result still equals the cap-unrolled
       // oracle; the probe exists purely to shed no-op tail rounds
       fixed = iter >= HitsCap - 3 && next.toDF("p", "na")
-        .join(a, "p")
+        .join(broadcast(a), "p")
         .filter(col("na") =!= col("a"))
         .isEmpty
       a = next

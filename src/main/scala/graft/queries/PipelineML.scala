@@ -975,12 +975,16 @@ object PipelineML {
     * beyond the per-vector min.
     */
   def qClusterSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE pass over the broadcast fan-out (round 12): the own/other
+    // split previously consumed labelDists twice (two full
+    // quantize+distance passes) and re-joined on vec_id — a² and b²
+    // are just conditional mins of the SAME per-(vector, centroid)
+    // relation, so one aggregation computes both (a² is the single
+    // own-centroid row, so min ≡ first; b² the min over the rest).
     val d = labelDists(spark, sfDir)
-    val own = d.filter(col("label") === col("clabel"))
-      .select(col("vec_id"), col("label"), col("d2").as("a2"))
-    val other = d.filter(col("label") =!= col("clabel"))
-      .groupBy("vec_id").agg(min("d2").as("b2"))
-    own.join(other, "vec_id")
+    d.groupBy("vec_id", "label")
+      .agg(min(when(col("label") === col("clabel"), col("d2"))).as("a2"),
+        min(when(col("label") =!= col("clabel"), col("d2"))).as("b2"))
       .withColumn("s_ppm", expr("""CAST(CAST(b2 - a2 AS DECIMAL(38,0))
         | * 1000000 div greatest(greatest(a2, b2), 1) AS BIGINT)"""
         .stripMargin))

@@ -21,8 +21,25 @@ object PipelinePlus {
 
   /** Distinct (doc_id, term) over the deterministic doc_id%10 sample the
     * §2.10 near-dup family shares. */
+  /** Distinct (doc_id, term) pairs of the doc_id%10 sample. NOT derived
+    * from the memoized full-corpus [[Tables.docTerms]] (round 12): that
+    * cache pins the distinct over ALL docs, so the sample filter can no
+    * longer push below the distinct and every consumer scans the full
+    * cached relation — measured +2 s on q_graph_pagerank. Filtering the
+    * token stream FIRST keeps the distinct shuffle at 10% of the corpus
+    * (Catalyst produced the same plan from the old docTerms form by
+    * pushing the filter through the distinct — written explicitly now
+    * that docTerms is a cache boundary). Deliberately NOT persisted
+    * itself: an interleaved A/B (round 12) measured the memoized form
+    * SLOWER for the heavy consumers (q_graph_pagerank 3.2–3.7 plain vs
+    * 5.4–6.9 s memoized warm; q_minhash_err 0.4 vs 1.1) — the
+    * string-heavy cache scan per consumer costs more than the pipelined
+    * filter+distinct from the already-cached token stream, and the
+    * expensive derived relations (minhashPairs, the sig tables) are
+    * memoized one level up anyway. */
   private[queries] def sampleTerms(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.docTerms(spark, sfDir).filter(col("doc_id") % 10 === 0)
+    Tables.tokens(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0).distinct()
 
   // ───────────────────────── MinHash + LSH dedup ─────────────────────────
 
@@ -912,9 +929,13 @@ object PipelinePlus {
   private val wSigCache = Tables.registerCache()
 
   def qDedupMinhashW(spark: SparkSession, sfDir: String): DataFrame = {
+    // sample-bounded (doc, term, tf) — checkpointed (round 12) because
+    // THREE consumers re-ran the groupBy shuffle per invocation (the
+    // sig memo build once, then sz + both inter sides every run)
     val tf = Tables.tokens(spark, sfDir)
       .filter(col("doc_id") % 10 === 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     // integer-weight expansion + K min-hashes in one groupBy (the
     // minhashSig shape over the expanded elements)
     val el = tf.select(col("doc_id"), col("term"),
@@ -942,7 +963,11 @@ object PipelinePlus {
       .select(col("d1"), col("d2"),
         (size(filter(zip_with(col("s1"), col("s2"), (x, y) => x === y),
           b => b)).cast("double") / K).as("est"))
+    // 200 rows, but its lineage is the banded-pair + signature-compare
+    // chain — two consumers (inter + the final join) re-ran it all
+    // without the checkpoint (round 12)
     val cand = est.orderBy(desc("est"), asc("d1"), asc("d2")).limit(200)
+      .localCheckpoint(false)
     val sz = tf.groupBy("doc_id").agg(sum("tf").as("sz"))
     val inter = cand
       .join(tf.toDF("d1", "term", "tf1"), Seq("d1"))

@@ -796,11 +796,17 @@ object PipelineSketch {
     */
   def qDedupWinnow(spark: SparkSession, sfDir: String): DataFrame = {
     // distinct (doc_id, fh): the same fingerprint VALUE can be selected
-    // at several positions of one doc — pair counting is per value
-    val fps = PipelineExtra.cappedShingles(
-      winnowSel(spark, sfDir)
-        .select(col("doc_id"), col("fh").as("sh")).distinct(),
-      PipelineExtra.ShingleDfCap)
+    // at several positions of one doc — pair counting is per value.
+    // Lazy checkpoints (round 12, guide §2.4): the winnowing selection
+    // is a full corpus pass (posexplode + per-doc window + distinct)
+    // that feeds cappedShingles TWICE (df aggregate + join) and the
+    // capped result feeds BOTH self-join sides — unchecked, the corpus
+    // pass ran 4× per invocation (16 parquet scans in the plan).
+    val sel = winnowSel(spark, sfDir)
+      .select(col("doc_id"), col("fh").as("sh")).distinct()
+      .localCheckpoint(false)
+    val fps = PipelineExtra.cappedShingles(sel, PipelineExtra.ShingleDfCap)
+      .localCheckpoint(false)
     val a = fps.toDF("d1", "sh")
     val b = fps.toDF("d2", "sh")
     a.join(b, Seq("sh")).filter(col("d1") < col("d2"))

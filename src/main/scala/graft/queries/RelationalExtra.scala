@@ -782,8 +782,13 @@ object RelationalExtra {
         (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
           .cast("long").as("mi"))
       .agg(count(lit(1)).as("c"))
-    val tot = grid.groupBy("mi").agg(sum("c").as("tot"))
-    grid.join(broadcast(tot), "mi")
+    // per-month totals as a window over the aggregated grid (round 12):
+    // the groupBy+broadcast-join form consumed `grid` twice, re-running
+    // the lineitem⋈part aggregation per consumer; the grid is
+    // |brands|×|months|-bounded so the mi-keyed window is one tiny
+    // shuffle on an already-aggregated relation
+    grid.withColumn("tot",
+        sum("c").over(Window.partitionBy("mi")))
       .select(col("p_brand"), col("mi"),
         expr("CAST(c * 1000000 DIV tot AS BIGINT)").as("share_ppm"))
       .groupBy("p_brand")

@@ -46,7 +46,7 @@ object Search {
   private val dlCache =
     graft.Tables.registerCache()
 
-  private def dl(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def dl(spark: SparkSession, sfDir: String): DataFrame =
     Tables.memo(dlCache, s"${spark.sparkContext.applicationId}:$sfDir") {
       Tables.tokens(spark, sfDir)
         .groupBy("doc_id").agg(count(lit(1)).as("dl"))

@@ -135,8 +135,9 @@ object SearchRank {
     val dfr = Tables.docTerms(spark, sfDir)
       .filter(col("term").isin("spark", "join"))
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = Tables.tokens(spark, sfDir)
-      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // the memoized per-doc length table (Search.dl) — this query
+    // previously re-ran the token-stream groupBy per consumer (round 12)
+    val dl = Search.dl(spark, sfDir)
     val avgdl = dl.agg(avg(col("dl").cast("double")).as("avgdl"))
     val nDocs = Tables.t(spark, sfDir, "documents")
       .agg(count(lit(1)).as("n_docs"))
@@ -150,11 +151,15 @@ object SearchRank {
       .withColumn("s",
         col("idf") * ((col("wtf") * 2.2) /
           (col("wtf") + (col("dl") * 0.75 / col("avgdl") + 0.25) * 1.2)))
-    val a = scored.filter(col("term") === "spark")
-      .select(col("doc_id"), col("s").as("sa"))
-    val b = scored.filter(col("term") === "join")
-      .select(col("doc_id"), col("s").as("sb"))
-    a.join(b, "doc_id")
+    // both-terms AND via one conditional aggregation (round 12): the
+    // a⋈b self-join consumed `scored` twice, re-running the whole
+    // score chain per side; (doc_id, term) is unique so the
+    // conditional min IS the single per-term score, and requiring both
+    // non-null is exactly the inner join
+    scored.groupBy("doc_id")
+      .agg(min(when(col("term") === "spark", col("s"))).as("sa"),
+        min(when(col("term") === "join", col("s"))).as("sb"))
+      .filter(col("sa").isNotNull && col("sb").isNotNull)
       .select(col("doc_id"), round(col("sa") + col("sb"), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)
@@ -207,8 +212,9 @@ object SearchRank {
     val ctf = Tables.tokens(spark, sfDir)
       .filter(col("term").isin("spark", "join"))
       .groupBy("term").agg(count(lit(1)).as("ctf"))
-    val dl = Tables.tokens(spark, sfDir)
-      .groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // the memoized per-doc length table (Search.dl) — this query
+    // previously re-ran the token-stream groupBy per consumer (round 12)
+    val dl = Search.dl(spark, sfDir)
     val avgdl = dl.agg(avg(col("dl").cast("double")).as("avgdl"))
     val nDocs = Tables.t(spark, sfDir, "documents")
       .agg(count(lit(1)).as("n_docs"))
@@ -222,11 +228,15 @@ object SearchRank {
       .withColumn("s", expr(
         """(tfn * log2(tfn / lam) + (lam - tfn) * log2(exp(1.0D))
           | + 0.5D * log2(2.0D * pi() * tfn)) / (tfn + 1.0D)""".stripMargin))
-    val a = scored.filter(col("term") === "spark")
-      .select(col("doc_id"), col("s").as("sa"))
-    val b = scored.filter(col("term") === "join")
-      .select(col("doc_id"), col("s").as("sb"))
-    a.join(b, "doc_id")
+    // both-terms AND via one conditional aggregation (round 12): the
+    // a⋈b self-join consumed `scored` twice, re-running the whole
+    // score chain per side; (doc_id, term) is unique so the
+    // conditional min IS the single per-term score, and requiring both
+    // non-null is exactly the inner join
+    scored.groupBy("doc_id")
+      .agg(min(when(col("term") === "spark", col("s"))).as("sa"),
+        min(when(col("term") === "join", col("s"))).as("sb"))
+      .filter(col("sa").isNotNull && col("sb").isNotNull)
       .select(col("doc_id"), round(col("sa") + col("sb"), 4).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(10)

@@ -75,7 +75,10 @@ object SearchStats {
       .select(explode(Tables.bigramsArr(col("arr"))(
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // 4 consumers (c1t, c2t, nt, the scored join) — without the lazy
+    // checkpoint each re-ran the corpus bigram explode+count (round 12)
     val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
     val c1t = cnt.groupBy("w1").agg(sum("c12").as("c1"))
     val c2t = cnt.groupBy("w2").agg(sum("c12").as("c2"))
     val nt = cnt.agg(sum("c12").as("n"))
