@@ -385,14 +385,28 @@ object Tables {
        |  THEN $hugeExpr - 18446744073709551616::HUGEINT
        |  ELSE $hugeExpr END AS BIGINT)""".stripMargin
 
+  // app -> sfDir the views currently point at; registration is skipped
+  // only when unchanged (round 12: q_sql_api re-registered all 10 views
+  // per invocation — 10 parquet footer/schema reads per bench run for
+  // identical view definitions). Registered as an aux cache so
+  // clearCaches() forces re-registration afterwards.
+  private val viewsFor = registerAuxCache[String]()
+
   /** Register the standard tables as temp views for spark.sql queries.
     * Events is registered with the ts already normalized to µs timestamps.
+    * Idempotent per (session, sfDir); re-pointing to a different sfDir
+    * re-registers everything.
     */
-  def registerViews(spark: SparkSession, sfDir: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { name =>
-      t(spark, sfDir, name).createOrReplaceTempView(name)
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    viewsFor.synchronized {
+      val app = spark.sparkContext.applicationId
+      if (!viewsFor.get(app).contains(sfDir)) {
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "documents", "embeddings").foreach { name =>
+          t(spark, sfDir, name).createOrReplaceTempView(name)
+        }
+        events(spark, sfDir).createOrReplaceTempView("events")
+        viewsFor.put(app, sfDir)
+      }
     }
-    events(spark, sfDir).createOrReplaceTempView("events")
-  }
 }

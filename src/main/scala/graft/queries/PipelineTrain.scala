@@ -84,6 +84,12 @@ object PipelineTrain {
     val docs = Tables.t(spark, sfDir, "documents")
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("term"))
+    // Four parallel rollups of the token stream, deliberately NOT
+    // folded into one checkpointed dtf pass (round 12, measured): the
+    // explode+aggregate scans are cheap codegen pipelines off the
+    // parquet/page cache, and the checkpoint's materialization barriers
+    // cost more than the duplicated explodes save (1.5–1.8 s plain vs
+    // 1.8–2.6 s checkpointed warm at sf0.1).
     val counts = toks.groupBy("lang", "term").agg(count(lit(1)).as("c"))
     val langTotals = toks.groupBy("lang").agg(count(lit(1)).as("tl"))
     val vocab = toks.select("term").distinct()
