@@ -451,33 +451,18 @@ object PipelineGraph {
   def qGraphHits(spark: SparkSession, sfDir: String): DataFrame = {
     // the edge list feeds FIVE plan positions (4 joins + the base);
     // without materialization the lineitem⋈orders join and distinct
-    // re-run per branch — the qGraphPagerank localCheckpoint discipline
-    val edges = graft.Tables.t(spark, sfDir, "lineitem")
-      .join(graft.Tables.t(spark, sfDir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint()
-    // The rank vectors are DIMENSION-bounded (|customers| and |parts|
-    // rows of two longs — the buying core and catalog, not the fact
-    // table), so each half-iteration joins |edges| against a broadcast
-    // vector instead of sort-merging the edge list (guide §3.1: the
-    // side that fits is the deliberate build side), and the final max
-    // is a global window over the dim-bounded a2 vector rather than a
-    // separate agg branch — the crossJoin(broadcast(max)) form consumed
-    // a2 TWICE, re-deriving the whole h1→a1→h2→a2 chain inside the
-    // broadcast build (round 12; exchange reuse did not fire on the
-    // duplicated subtrees).
+    // re-run per branch — the qGraphPagerank localCheckpoint discipline.
+    // Half-rounds (broadcast the dim-bounded vector, sum across the
+    // edge list) are the shared [[hitsHalf]] shape; see [[hitsRound]]
+    // for why the vectors broadcast and the final max is a global
+    // window over the dim-bounded a2 vector rather than a
+    // crossJoin(broadcast(agg(max))) branch.
+    val edges = copurchaseEdges(spark, sfDir)
     val h1 = edges.groupBy("c").agg(count(lit(1)).as("h1"))
-    val a1 = edges.join(broadcast(h1), "c")
-      .groupBy("p").agg(sum("h1").as("a1"))
-    val h2 = edges.join(broadcast(a1), "p")
-      .groupBy("c").agg(sum("a1").as("h2"))
-    val a2 = edges.join(broadcast(h2), "c")
-      .groupBy("p").agg(sum("h2").as("a2"))
-    a2.withColumn("mx",
-        max(col("a2")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy()))
+    val a1 = hitsHalf(edges, h1, "c", "p", "h1", "a1")
+    val h2 = hitsHalf(edges, a1, "p", "c", "a1", "h2")
+    val a2 = hitsHalf(edges, h2, "c", "p", "h2", "a2")
+    a2.withColumn("mx", max(col("a2")).over(wAll))
       .select(col("p").as("partkey"), col("a2").as("authority"),
         expr("a2 * 1000 div mx").as("share_pm"))
       .orderBy(col("authority").desc, col("partkey"))
@@ -626,76 +611,127 @@ object PipelineGraph {
     */
   private val HitsCap = 8
 
-  def qHitsConverge(spark: SparkSession, sfDir: String): DataFrame =
-    hitsConvergeWithIters(spark, sfDir)._1
-
-  /** Exposes (result, rounds run, reached fixpoint) for Wave10Spec. */
-  /** Timing note (sf0.1): ~1.2 s/round × 8 rounds ≈ 9–10 s — the cost
-    * is the sequential 16-shuffle round structure over the ~500k-edge
-    * co-purchase graph, not any one plan (checkpoint-the-halves,
-    * driver-scalar maxes, and an 8-partition shuffle conf all measured
-    * within ±15% of each other). Re-measured round 11 on the judge's
-    * advice: eager half-round checkpoints 8.9 → 10.4 s, lazy 8.9 →
-    * 10.7 s (3-run warm, same session) — the extra action barriers and
-    * cache writes cost more than the duplicated |edges| join they
-    * remove, so the lazy-chain structure stands. A single-pass
-    * agg(max(h), max(a2)) fold is algebraically unavailable: a2 sums
-    * the ALREADY-normalized h, and integer div truncation cannot be
-    * factored out without changing the (oracle-checked) values.
-    * Recorded as iteration-bound in BASELINE.md next to the
-    * MemoryStream family. */
-  private[graft] def hitsConvergeWithIters(
-      spark: SparkSession, sfDir: String): (DataFrame, Int, Boolean) = {
-    val edges = graft.Tables.t(spark, sfDir, "lineitem")
+  /** The customer→part co-purchase edge list, checkpointed: it feeds
+    * every half-round; without materialization the lineitem⋈orders join
+    * and distinct re-run per reference (the qGraphPagerank discipline). */
+  private def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.t(spark, sfDir, "lineitem")
       .join(graft.Tables.t(spark, sfDir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
       .localCheckpoint()
-    var a = edges.select(col("p")).distinct()
-      .select(col("p"), lit(1000000L).as("a"))
-      .localCheckpoint(false)
-    var iter = 0
-    var fixed = false
-    while (!fixed && iter < HitsCap) {
-      // broadcast the dim-bounded rank vectors (|parts| / |customers|
-      // rows of two longs) — the qGraphHits discipline: per half-round
-      // the ~500k-edge list previously paid an Exchange + Sort into a
-      // SortMergeJoin; with the vector broadcast the only per-half-round
-      // shuffle is the (partial-aggregated) groupBy itself. The
-      // renormalizing max is a global window over the dim-bounded
-      // vector, NOT a crossJoin(broadcast(agg(max))) — that form
-      // consumed the half-round vector twice and re-derived its whole
-      // join+agg chain inside the broadcast build (exchange reuse did
-      // not fire; a lazy checkpoint per vector was measured SLOWER —
-      // the extra materialization barriers cost more than the
-      // recompute they saved). Round-12 net: 9.1 → ~3 s warm.
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      val hn = edges.join(broadcast(a), "p")
-        .groupBy("c").agg(sum("a").as("h"))
-        .withColumn("hm", max(col("h")).over(wAll))
-        .select(col("c"), expr("h * 1000000 div hm").as("h"))
-      val next = edges.join(broadcast(hn), "c")
-        .groupBy("p").agg(sum("h").as("a2"))
-        .withColumn("am", max(col("a2")).over(wAll))
-        .select(col("p"), expr("a2 * 1000000 div am").as("a"))
-        .localCheckpoint(false)
-      // probe for the fixpoint only near the cap: an early probe is a
-      // per-round join+action that cannot fire on this recursion
-      // (measured: first fixpoint at round 8), and SKIPPING a probe is
-      // output-neutral by construction — extra rounds past a fixpoint
-      // reproduce it, so the result still equals the cap-unrolled
-      // oracle; the probe exists purely to shed no-op tail rounds
-      fixed = iter >= HitsCap - 3 && next.toDF("p", "na")
-        .join(broadcast(a), "p")
-        .filter(col("na") =!= col("a"))
-        .isEmpty
-      a = next
-      iter += 1
-    }
-    (a.select(col("p").as("partkey"), col("a").as("authority_e6"))
+
+  /** [[copurchaseEdges]] checkpointed TWICE more: once hash-partitioned
+    * by customer and once by part — the [[qHitsConverge]] loop layout.
+    * Every HITS half-round is `edges ⋈ broadcast(vec) → groupBy(c or
+    * p)`: a broadcast join preserves the streamed side's partitioning,
+    * so a half-round fed by the matching pre-partitioned copy plans NO
+    * exchange at all — the per-half-round shuffle of the whole edge
+    * list (16 of them across the 8-round loop) collapses into these two
+    * up-front shuffles (guide §2.4: operations keyed the same way share
+    * one exchange). Worth it only for the 8-round loop: [[qGraphHits]]'
+    * fixed 2 iterations measured FASTER on the plain checkpoint (4
+    * saved exchanges don't pay for 2 extra checkpoint builds). */
+  private def copurchaseLayouts(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val e0 = copurchaseEdges(spark, sfDir)
+    // scale-adaptive layout, NOT the session shuffle-partition constant:
+    // ~2M (long, long) edges ≈ 32 MB per partition (guide §2.2 — fewer,
+    // larger partitions; a fixed 32-way split of a few-MB edge list made
+    // every half-round a 32-task stage of pure task-launch overhead,
+    // while at cluster SFs the count grows with |edges|). The count is
+    // one cheap job over the already-checkpointed rows.
+    val n = math.max(1L, e0.count() / 2000000L).toInt
+    (e0.repartition(n, col("c")).localCheckpoint(),
+      e0.repartition(n, col("p")).localCheckpoint())
+  }
+
+  /** One normalized HITS round: h(c) = Σ_{p∈c} a(p) renormalized to
+    * h·10⁶ div max(h), then a(p) = Σ_{c∋p} h(c) renormalized the same
+    * way. The rank vectors are DIMENSION-bounded (|customers| / |parts|
+    * rows of two longs), so each half-round joins |edges| against a
+    * broadcast vector instead of sort-merging the edge list (§3.1), and
+    * each renormalizing max is a global window over the dim-bounded
+    * vector, NOT a crossJoin(broadcast(agg(max))) — that form consumed
+    * the half-round vector twice and re-derived its whole join+agg
+    * chain inside the broadcast build (round 12: exchange reuse did not
+    * fire on the duplicated subtrees). Shared with [[qGraphHits]]'s
+    * fixed 2-iteration chain via [[hitsHalf]] so the two cannot drift. */
+  private def hitsHalf(edges: DataFrame, vec: DataFrame, joinKey: String,
+      outKey: String, v: String, out: String): DataFrame =
+    edges.join(broadcast(vec), joinKey)
+      .groupBy(outKey).agg(sum(v).as(out))
+
+  private val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+
+  /** One normalized round over the pre-partitioned edge copies: the
+    * h-half streams the by-customer copy (groupBy(c) exchange-free),
+    * the a-half the by-part copy. */
+  private def hitsRound(byC: DataFrame, byP: DataFrame,
+      a: DataFrame): DataFrame = {
+    val hn = hitsHalf(byC, a, "p", "c", "a", "h")
+      .withColumn("hm", max(col("h")).over(wAll))
+      .select(col("c"), expr("h * 1000000 div hm").as("h"))
+    hitsHalf(byP, hn, "c", "p", "h", "a2")
+      .withColumn("am", max(col("a2")).over(wAll))
+      .select(col("p"), expr("a2 * 1000000 div am").as("a"))
+  }
+
+  private def hitsTop10(a: DataFrame): DataFrame =
+    a.select(col("p").as("partkey"), col("a").as("authority_e6"))
       .orderBy(col("authority_e6").desc, col("partkey"))
-      .limit(10), iter, fixed)
+      .limit(10)
+
+  def qHitsConverge(spark: SparkSession, sfDir: String): DataFrame =
+    hitsConvergeWithIters(spark, sfDir)._1
+
+  /** Exposes (result, rounds run, reached fixpoint) for Wave10Spec.
+    *
+    * Round-13 structure notes (guide §1 — measured, not guessed):
+    *   - per-half-round edge-list exchanges are GONE (the
+    *     [[copurchaseEdges]] pre-partitioning; plan: the only exchanges
+    *     left per round are the two 1-partition vector-max windows);
+    *   - the per-round lazy localCheckpoint STAYS: a fully lazy 8-round
+    *     unroll in one action was re-measured at 10.2 s warm vs 5.8 s —
+    *     the deep nested-broadcast chain pays more in per-stage AQE
+    *     scheduling + codegen than the checkpoint barriers cost;
+    *   - probes stay on the last 3 rounds only (they are also the
+    *     materializing actions; earlier probes cannot fire — measured
+    *     first fixpoint at round 8 — and skipping one is output-neutral
+    *     by construction: rounds past a fixpoint reproduce it, which is
+    *     exactly the cap-unrolled DuckDB oracle). */
+  private[graft] def hitsConvergeWithIters(
+      spark: SparkSession, sfDir: String): (DataFrame, Int, Boolean) = {
+    // layouts build with AQE ON (the edge build is a real corpus-scaled
+    // join that wants runtime broadcast promotion + coalescing) …
+    val (byC, byP) = copurchaseLayouts(spark, sfDir)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey)
+    // … then AQE OFF for the loop's own actions: every loop stage is
+    // dimension-bounded or pre-partitioned (no skew, nothing to
+    // re-plan), and AQE's per-stage re-optimization added ~2 driver
+    // round-trips per round (JobProf round 13: ~60 jobs vs 30, 9.5 s vs
+    // 6.0 s warm — scheduling-bound, not data-bound). Restored before
+    // returning.
+    spark.conf.set(aqeKey, "false")
+    try {
+      var a = byP.select(col("p")).distinct()
+        .select(col("p"), lit(1000000L).as("a"))
+        .localCheckpoint(false)
+      var iter = 0
+      var fixed = false
+      while (!fixed && iter < HitsCap) {
+        val next = hitsRound(byC, byP, a).localCheckpoint(false)
+        fixed = iter >= HitsCap - 3 && next.toDF("p", "na")
+          .join(broadcast(a), "p")
+          .filter(col("na") =!= col("a"))
+          .isEmpty
+        a = next
+        iter += 1
+      }
+      (hitsTop10(a), iter, fixed)
+    } finally spark.conf.set(aqeKey, prevAqe)
   }
 
   /** h·10⁶ can overflow neither side: h ≤ |parts|·10⁶ ≤ ~10¹² at any
@@ -768,17 +804,27 @@ object PipelineGraph {
           sym("d1") === col("src"))
         .select(col("d2").as("nid"), col("label"))
         .unionAll(labels.select(col("doc_id").as("nid"), col("label")))
+      // fixpoint probe FUSED into the round (round 13, guide §1/§2.4):
+      // the new label rides with a changed-vs-previous flag (left join —
+      // a nid absent from the previous vector contributes 0, exactly
+      // the old inner-join probe's semantics), so ONE aggregate action
+      // both materializes the round's lazy checkpoint and answers the
+      // convergence test — the separate join+isEmpty job per round is
+      // gone.
       val next = votes.groupBy("nid", "label")
         .agg(count(lit(1)).as("cnt"))
         .groupBy("nid")
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("label")))
           .getField("label").as("label"))
         .select(col("nid").as("doc_id"), col("label"))
+        .join(labels.select(col("doc_id"), col("label").as("prev")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          when(col("prev").isNull, 0L)
+            .otherwise((col("label") =!= col("prev")).cast("long"))
+            .as("chg"))
         .localCheckpoint(false)
-      fixed = next.toDF("doc_id", "nl")
-        .join(labels, "doc_id")
-        .filter(col("nl") =!= col("label"))
-        .isEmpty
+      fixed = next.agg(sum("chg")).head().getLong(0) == 0L
       labels = next
       iter += 1
     }

@@ -566,7 +566,17 @@ object PipelineTrain {
         sum(when(col("stop"), 1L).otherwise(0L)).over(wDoc))
       .filter(!col("stop"))
     val wPhrase = Window.partitionBy("doc_id", "grp")
+    // TWO consumers (the word-score aggregation and the phrase re-join)
+    // — without materialization the whole scan → posexplode → two-window
+    // chain runs twice (round-13 plan dump: 2 parquet scans, the corpus
+    // re-exploded per branch; guide §2.4). A lazy localCheckpoint cuts
+    // the duplicate; the pinned copy is released by Tables.trackPins on
+    // the next invocation. (A window-over-tok rewrite would also
+    // single-pass it but buffers hot-token partitions at scale — the
+    // aggregate+join form keeps partial aggregation and AQE skew
+    // handling, so it stays.)
     val withLen = seg.withColumn("plen", count(lit(1)).over(wPhrase))
+      .localCheckpoint(false)
     val words = withLen.groupBy("tok")
       .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
       .select(col("tok"),

@@ -73,11 +73,39 @@ object Streams {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** No-data micro-batches OFF for queries whose OUTPUT never depends
+    * on them (round 13, generalizing the round-12 s_stream_outer_join
+    * batch collapse): an append-mode dedup/inner-join emits its rows in
+    * the data batch itself — the automatic post-batch no-data cycle
+    * only advances state eviction, which is output-invisible — so each
+    * one skipped is a whole micro-batch cycle (state-store setup + WAL
+    * commit) saved. NOT applied to the windowed-aggregation family
+    * (tumbling/sliding/session/late): there the no-data batch IS the
+    * emitter of watermark-closed windows. Restores the session conf. */
+  private val NoDataConf = "spark.sql.streaming.noDataMicroBatches.enabled"
+  private def withNoDataBatchesOff[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get(NoDataConf)
+    spark.conf.set(NoDataConf, "false")
+    try body finally spark.conf.set(NoDataConf, prev)
+  }
+
   /** Tumbling 1h window + watermark, append mode. The sentinel advances
     * the watermark past every real window so append emits them all. */
   def sStreamTumbling(spark: SparkSession, sfDir: String): DataFrame =
     withStreamPartitions(spark) {
     val stream = newStream(spark)
+    // data + sentinel in ONE batch: the watermark advances at batch
+    // END, and the (enabled-by-default) no-data follow-up batch then
+    // emits every closed window — same append-mode output as a
+    // separate sentinel feed, two fewer micro-batch cycles. Cross-
+    // batch watermark progression stays exercised (batch → no-data
+    // batch eviction); the multi-feed shapes live in s_stream_late /
+    // s_stream_dedup where batch boundaries ARE the semantics. Queued
+    // BEFORE start() (round 13, family-wide): data added after start()
+    // races the first trigger, which can split the feed into two data
+    // batches — queueing first pins exactly one.
+    stream.addData(eventRows(spark, sfDir).toSeq :+
+      Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
     val q = stream.toDF()
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -87,18 +115,7 @@ object Streams {
       .writeStream.option("checkpointLocation", ckpt())
       .format("memory").queryName("s_stream_tumbling")
       .outputMode("append").start()
-    try {
-      // data + sentinel in ONE batch: the watermark advances at batch
-      // END, and the (enabled-by-default) no-data follow-up batch then
-      // emits every closed window — same append-mode output as a
-      // separate sentinel feed, two fewer micro-batch cycles. Cross-
-      // batch watermark progression stays exercised (batch → no-data
-      // batch eviction); the multi-feed shapes live in s_stream_late /
-      // s_stream_dedup where batch boundaries ARE the semantics.
-      stream.addData(eventRows(spark, sfDir).toSeq :+
-        Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table("s_stream_tumbling")
       .filter(col("event_type") =!= "sentinel")
       .orderBy("win_start", "event_type")
@@ -110,9 +127,17 @@ object Streams {
     * store evicts keys older than the watermark instead of growing
     * unboundedly — the actual production-dedup contract. */
   def sStreamDedup(spark: SparkSession, sfDir: String): DataFrame =
-    withStreamPartitions(spark) {
+    withStreamPartitions(spark) { withNoDataBatchesOff(spark) {
+    // no-data batches off + first feed queued before start(): the
+    // dedup's append rows all emit IN their data batch (first-seen rows
+    // pass, duplicates are dropped against state), so the automatic
+    // no-data eviction cycle between the two deliveries bought nothing
+    // — 3 micro-batches → 2, and the two-DATA-batch shape (second
+    // delivery deduped against batch-0 STATE — the semantics under
+    // test) is untouched.
     val rows = eventRows(spark, sfDir)
     val stream = newStream(spark)
+    stream.addData(rows.toSeq)
     val q = stream.toDF()
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
@@ -120,7 +145,6 @@ object Streams {
       .format("memory").queryName("s_stream_dedup")
       .outputMode("append").start()
     try {
-      stream.addData(rows.toSeq)
       q.processAllAvailable()
       stream.addData(rows.toSeq) // exact duplicates, second delivery
       q.processAllAvailable()
@@ -129,7 +153,7 @@ object Streams {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_unique"))
       .orderBy("event_type")
-    }
+    } }
 
   /** Late-data drop: batch 1 advances the watermark; batch 2 replays
     * events older than watermark − 10 min, which must be dropped from the
@@ -140,6 +164,9 @@ object Streams {
     val cutoff = rows.map(_.ts.getTime).max
     val (early, late) = rows.partition(_.ts.getTime >= cutoff - 3 * 3600 * 1000L)
     val stream = newStream(spark)
+    // Only the last 3 hours arrive first → watermark = max − 10 min.
+    // Queued before start() so the first trigger cannot split the feed.
+    stream.addData(early.toSeq)
     val q = stream.toDF()
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"))
@@ -149,8 +176,6 @@ object Streams {
       .format("memory").queryName("s_stream_late")
       .outputMode("append").start()
     try {
-      // Only the last 3 hours arrive first → watermark = max − 10 min.
-      stream.addData(early.toSeq)
       q.processAllAvailable()
       // Everything older is now late beyond the watermark → dropped.
       // The sentinel rides in the SAME batch: the drop decision for the
@@ -174,6 +199,7 @@ object Streams {
     val rows = eventRows(spark, sfDir).filter(_.user_id < 8)
     val (b1, b2) = rows.splitAt(rows.length / 2)
     val stream = newStream(spark)
+    stream.addData(b1.toSeq) // queued before start() — one batch per feed
     val updater = (user: Long, evs: Iterator[Ev],
         state: GroupState[(Long, Double)]) => {
       val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
@@ -191,7 +217,6 @@ object Streams {
       .format("memory").queryName("s_stream_stateful")
       .outputMode("update").start()
     try {
-      stream.addData(b1.toSeq)
       q.processAllAvailable()
       stream.addData(b2.toSeq)
       q.processAllAvailable()
@@ -223,6 +248,7 @@ object Streams {
     val cust = graft.Tables.t(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val stream = newStream(spark)
+    stream.addData(eventRows(spark, sfDir).toSeq) // queued before start()
     val q = stream.toDF()
       .join(cust, col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment", "event_type")
@@ -230,10 +256,7 @@ object Streams {
       .writeStream.option("checkpointLocation", ckpt())
       .format("memory").queryName("s_stream_join")
       .outputMode("complete").start()
-    try {
-      stream.addData(eventRows(spark, sfDir).toSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table("s_stream_join")
       .orderBy("c_mktsegment", "event_type")
     }
@@ -250,9 +273,20 @@ object Streams {
     * to advance the watermark before unmatched rows emit null-padded.)
     */
   def sStreamStreamJoin(spark: SparkSession, sfDir: String): DataFrame =
-    withStreamPartitions(spark) {
+    withStreamPartitions(spark) { withNoDataBatchesOff(spark) {
+    // Round 13 (StreamProf: 3 micro-batches → 1): adding the two feeds
+    // AFTER start() raced the first trigger — the views landed as batch
+    // 0 and the purchases as batch 1 — and the post-data no-data cycle
+    // only advanced state eviction. For an INNER stream-stream join
+    // matches emit in the batch where both rows are present and the
+    // watermark bounds STATE only, so both feeds queued before start()
+    // (one combined batch) plus no-data batches off emit the exact same
+    // rows with two fewer micro-batch cycles.
     val vs = newStream(spark)
     val ps = newStream(spark)
+    val evs = eventRows(spark, sfDir)
+    vs.addData(evs.filter(_.event_type == "view").toSeq)
+    ps.addData(evs.filter(_.event_type == "purchase").toSeq)
     val views = vs.toDF()
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("v_id"))
@@ -268,17 +302,12 @@ object Streams {
       .writeStream.option("checkpointLocation", ckpt())
       .format("memory").queryName("s_stream_stream_join")
       .outputMode("append").start()
-    val evs = eventRows(spark, sfDir)
-    try {
-      vs.addData(evs.filter(_.event_type == "view").toSeq)
-      ps.addData(evs.filter(_.event_type == "purchase").toSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table("s_stream_stream_join")
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("user_id")
-    }
+    } }
 
   /** Stream-stream LEFT-OUTER interval join (round 10): the unmatched-
     * attribution case [[sStreamStreamJoin]]'s inner join cannot express
@@ -329,10 +358,7 @@ object Streams {
       Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
     ps.addData(evs.filter(_.event_type == "purchase").toSeq :+
       Ev(-2L, sentinelTs, -2L, "sentinel", 0.0))
-    val NoDataConf = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prevNoData = spark.conf.get(NoDataConf)
-    spark.conf.set(NoDataConf, "false")
-    try {
+    withNoDataBatchesOff(spark) {
       val q = views.join(purchases,
           col("v_user") === col("p_user") &&
             col("p_ts") >= col("v_ts") &&
@@ -348,7 +374,7 @@ object Streams {
         ps.addData(Ev(-4L, sentinel2, -4L, "sentinel", 0.0))
         q.processAllAvailable()
       } finally q.stop()
-    } finally spark.conf.set(NoDataConf, prevNoData)
+    }
     spark.table("s_stream_outer_join")
       .filter(col("v_user") >= 0)
       .groupBy(col("v_user").as("user_id"))
@@ -382,6 +408,11 @@ object Streams {
   def sStreamSession(spark: SparkSession, sfDir: String): DataFrame =
     withStreamPartitions(spark) {
     val stream = newStream(spark)
+    // single data+sentinel batch queued before start() — see
+    // s_stream_tumbling for why this emits the same append-mode rows
+    // with fewer batch cycles
+    stream.addData(eventRows(spark, sfDir).toSeq :+
+      Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
     val q = stream.toDF()
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -391,13 +422,7 @@ object Streams {
       .writeStream.option("checkpointLocation", ckpt())
       .format("memory").queryName("s_stream_session")
       .outputMode("append").start()
-    try {
-      // single data+sentinel batch — see s_stream_tumbling for why this
-      // emits the same append-mode rows with two fewer batch cycles
-      stream.addData(eventRows(spark, sfDir).toSeq :+
-        Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table("s_stream_session")
       .filter(col("user_id") >= 0)
       .groupBy("user_id")
@@ -416,6 +441,7 @@ object Streams {
     val rows = eventRows(spark, sfDir)
     val batches = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
     val stream = newStream(spark)
+    stream.addData(batches.head.toSeq) // queued before start()
     val q = stream.toDF()
       .writeStream
       .option("checkpointLocation", ckpt())
@@ -425,7 +451,8 @@ object Streams {
       }
       .start()
     try {
-      batches.foreach { bs =>
+      q.processAllAvailable()
+      batches.tail.foreach { bs =>
         stream.addData(bs.toSeq)
         q.processAllAvailable()
       }
@@ -498,6 +525,7 @@ object Streams {
       val rows = eventRows(spark, sfDir).filter(_.user_id < 8)
       val (b1, b2) = rows.splitAt(rows.length / 2)
       val stream = newStream(spark)
+      stream.addData(b1.toSeq) // queued before start() — one batch per feed
       val proc = new org.apache.spark.sql.streaming.StatefulProcessor[
           Long, Ev, (Long, Long, Double)] {
         @transient private var agg:
@@ -524,7 +552,6 @@ object Streams {
       .format("memory").queryName("s_stream_tws")
         .outputMode("update").start()
       try {
-        stream.addData(b1.toSeq)
         q.processAllAvailable()
         stream.addData(b2.toSeq)
         q.processAllAvailable()
@@ -654,6 +681,7 @@ object Streams {
       .select("doc_id", "text").as[Doc].collect().sortBy(_.doc_id)
     val (b1, b2) = docs.splitAt(docs.length / 2)
     val stream = MemoryStream[Doc](Encoders.product[Doc], spark)
+    stream.addData(b1.toSeq) // queued before start() — one batch per feed
     val q = graft.queries.Search.postingsProjection(
       stream.toDF()
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -663,7 +691,6 @@ object Streams {
       .format("memory").queryName("s_stream_index")
       .outputMode("complete").start()
     try {
-      stream.addData(b1.toSeq)
       q.processAllAvailable()
       stream.addData(b2.toSeq)
       q.processAllAvailable()
@@ -680,6 +707,9 @@ object Streams {
   def sStreamSliding(spark: SparkSession, sfDir: String): DataFrame =
     withStreamPartitions(spark) {
     val stream = newStream(spark)
+    // data + sentinel queued before start() (see s_stream_tumbling)
+    stream.addData(eventRows(spark, sfDir).toSeq :+
+      Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
     val q = stream.toDF()
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
@@ -694,11 +724,7 @@ object Streams {
       .writeStream.option("checkpointLocation", ckpt())
       .format("memory").queryName("s_stream_sliding")
       .outputMode("append").start()
-    try {
-      stream.addData(eventRows(spark, sfDir).toSeq :+
-        Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table("s_stream_sliding")
       .filter(col("win_start") < lit("2029-01-01").cast("timestamp"))
       .orderBy("win_start")
@@ -729,6 +755,7 @@ object Streams {
     // complete-mode float sum accumulates across micro-batch state in a
     // different order than the oracle's single pass, and per-type sums
     // here are large enough to brush the round(4) grid
+    stream.addData(b1.toSeq) // queued before start() — one batch per feed
     val q = stream.toDF()
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -737,7 +764,6 @@ object Streams {
       .format("memory").queryName("s_stream_complete")
       .outputMode("complete").start()
     try {
-      stream.addData(b1.toSeq)
       q.processAllAvailable()
       stream.addData(b2.toSeq)
       q.processAllAvailable()
