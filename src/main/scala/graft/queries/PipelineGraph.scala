@@ -140,25 +140,44 @@ object PipelineGraph {
     val edges = PipelinePlus.minhashPairs(spark, sfDir)
       .filter(col("est_jaccard") >= EdgeThreshold)
       .select(col("d1"), col("d2"))
-    // Lazy checkpoints (same rationale as connectedComponents): the
-    // iteration count is FIXED at 3, so no convergence scan exists and
-    // the single final action materializes the whole nested chain —
-    // 3 eager checkpoint jobs collapse into the output job, each
-    // iteration's RDD cached as it is first computed. Measured win:
-    // 2.71 → 1.97 s (3-run sf0.1 medians).
+    // Round 13 (JobProf: the warm run spent 4 concurrent ~0.7 s jobs
+    // re-deriving the LAZY sym checkpoint — concurrent AQE stages each
+    // recompute a not-yet-materialized localCheckpoint — plus a fresh
+    // deg aggregation per iteration):
+    //   - degree is folded into the edge list ONCE (the
+    //     pagerankConverge discipline) — one join per iteration, not two;
+    //   - the folded list is hash-partitioned and sorted by the
+    //     per-iteration join key d1 and checkpointed EAGERLY, so every
+    //     iteration's sort-merge join reads it exchange-free AND
+    //     sort-free, and nothing can recompute it concurrently;
+    //   - nodes is checkpointed: it fed the count action, the rank seed
+    //     and all 3 left joins — 5 re-derivations of the sample distinct.
+    // Per-iteration shuffle is now just the contribution groupBy — the
+    // Pregel floor. pr checkpoints stay lazy: each is consumed once, in
+    // sequence, by the next iteration's chain.
     val sym = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(false)
-    val deg = sym.groupBy(col("d1").as("doc_id"))
+    val deg = sym.groupBy(col("d1").as("dd"))
       .agg(count(lit(1)).as("deg"))
+    val symDeg0 = sym.join(deg, sym("d1") === col("dd"))
+      .select(col("d1"), col("d2"), col("deg"))
+      .localCheckpoint()
+    val nPart = math.max(1L, symDeg0.count() / 2000000L).toInt
+    // layout checkpoint under AQE-off so the LogicalRDD keeps
+    // hashpartitioning(d1, nPart) — see [[withAqeOff]]
+    val symDeg = withAqeOff(spark) {
+      symDeg0.repartition(nPart, col("d1"))
+        .sortWithinPartitions("d1")
+        .localCheckpoint()
+    }
     val nodes = PipelinePlus.sampleTerms(spark, sfDir)
       .select("doc_id").distinct()
+      .localCheckpoint()
     val n = nodes.count().toDouble
     var pr = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to 3) {
-      val contrib = sym
-        .join(pr, sym("d1") === pr("doc_id"))
-        .join(deg, "doc_id")
+      val contrib = symDeg
+        .join(pr, col("d1") === pr("doc_id"))
         .select(col("d2").as("doc_id"), (col("pr") / col("deg")).as("c"))
         .groupBy("doc_id").agg(sum("c").as("in_pr"))
       pr = nodes
@@ -519,14 +538,32 @@ object PipelineGraph {
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
     val deg = sym.groupBy(col("d1").as("dd"))
       .agg(count(lit(1)).as("deg"))
-    // degree folded into the edge list ONCE — one join per hop, not two
-    val symDeg = sym.join(deg, sym("d1") === col("dd"))
+    // degree folded into the edge list ONCE — one join per hop, not
+    // two. Round 13: hash-partitioned + sorted by the per-hop join key
+    // d1 and checkpointed EAGERLY (the qGraphPagerank rationale — every
+    // hop's sort-merge join reads it exchange-free and sort-free, and
+    // concurrent AQE stages cannot re-derive a lazy copy), and nodes is
+    // checkpointed (count action + seed).
+    val symDeg0 = sym.join(deg, sym("d1") === col("dd"))
       .select(col("d1"), col("d2"), col("deg"))
-      .localCheckpoint(false)
+      .localCheckpoint()
+    // scale-adaptive loop parallelism (the copurchaseLayouts sizing):
+    // ~2M edge rows per partition, never below 1 — a session-constant
+    // 32-way split made every hop a 32-task stage of task-launch
+    // overhead at sf0.1 while staying corpus-proportional at cluster SFs
+    val nPart = math.max(1L, symDeg0.count() / 2000000L).toInt
+    // layout checkpoint under AQE-off so the LogicalRDD keeps
+    // hashpartitioning(d1, nPart) — see [[withAqeOff]]
+    val symDeg = withAqeOff(spark) {
+      symDeg0.repartition(nPart, col("d1"))
+        .sortWithinPartitions("d1")
+        .localCheckpoint()
+    }
     val nodes = PipelinePlus.sampleTerms(spark, sfDir)
       .select("doc_id").distinct()
-    val n = nodes.count()
-    val t0 = 500000000L / n // (1−d)·10⁹ div n, exact long division
+      .localCheckpoint()
+    val nNodes = nodes.count()
+    val t0 = 500000000L / nNodes // (1−d)·10⁹ div n, exact long division
     val floor0 = math.max(1L, t0 / PrDrainShift)
     var state = nodes
       .select(col("doc_id"), lit(t0).as("t"), lit(t0).as("pr"))
@@ -548,12 +585,36 @@ object PipelineGraph {
     var iter = 0
     var maxT = t0
     // two hops per materialized round (the connectedComponents pairing):
-    // same fixpoint, half the checkpoint + convergence-scan round-trips
-    while (maxT > 0 && iter < PrHalfHops) {
-      val next = hop(hop(state)).localCheckpoint(false)
-      maxT = next.agg(max("t")).head().getLong(0)
-      state = next
-      iter += 2
+    // same fixpoint, half the checkpoint + convergence-scan round-trips.
+    // The INNER hop is checkpointed eagerly (round 13): the outer hop
+    // references it twice (contribution build + the state join), and a
+    // lazy/absent checkpoint let the two consumer stages each recompute
+    // the inner hop's |edges| shuffle concurrently — one small action
+    // barrier per round buys back a duplicated edge aggregation. AQE is
+    // off inside the loop (the hitsConvergeWithIters rationale: every
+    // loop stage is keyed on pre-partitioned or node-scaled inputs, and
+    // per-stage re-planning cost ~2 extra driver round-trips per round —
+    // JobProf measured 75 jobs for this loop with AQE on).
+    // loop shuffles (contribution groupBy, state-side exchange) use the
+    // same scale-derived width as the edge layout — with AQE off the
+    // session constant would fan every hop back out to 32 micro-tasks
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.get(aqeKey)
+    val prevPart = spark.conf.get(partKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(partKey, nPart.toString)
+    try {
+      while (maxT > 0 && iter < PrHalfHops) {
+        val mid = hop(state).localCheckpoint()
+        val next = hop(mid).localCheckpoint(false)
+        maxT = next.agg(max("t")).head().getLong(0)
+        state = next
+        iter += 2
+      }
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(partKey, prevPart)
     }
     (state.select(col("doc_id"), col("pr").as("pr_e9")).orderBy("doc_id"),
       iter)
@@ -633,6 +694,21 @@ object PipelineGraph {
     * one exchange). Worth it only for the 8-round loop: [[qGraphHits]]'
     * fixed 2 iterations measured FASTER on the plain checkpoint (4
     * saved exchanges don't pay for 2 extra checkpoint builds). */
+  /** Runs body with AQE disabled, restoring the session conf after.
+    * Needed around LAYOUT CHECKPOINT CREATION as well as the loops:
+    * Dataset.localCheckpoint captures the physical plan's output
+    * partitioning into the LogicalRDD, but under AQE the adaptive plan
+    * wrapper reports UnknownPartitioning (measured on 4.1.2: AQE-on
+    * checkpoint → UnknownPartitioning(0); AQE-off →
+    * hashpartitioning(key, n)) — so a pre-partitioned checkpoint built
+    * under AQE silently re-exchanges at every consumer. */
+  private def withAqeOff[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try body finally spark.conf.set(k, prev)
+  }
+
   private def copurchaseLayouts(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
     val e0 = copurchaseEdges(spark, sfDir)
@@ -643,8 +719,10 @@ object PipelineGraph {
     // while at cluster SFs the count grows with |edges|). The count is
     // one cheap job over the already-checkpointed rows.
     val n = math.max(1L, e0.count() / 2000000L).toInt
-    (e0.repartition(n, col("c")).localCheckpoint(),
-      e0.repartition(n, col("p")).localCheckpoint())
+    withAqeOff(spark) {
+      (e0.repartition(n, col("c")).localCheckpoint(),
+        e0.repartition(n, col("p")).localCheckpoint())
+    }
   }
 
   /** One normalized HITS round: h(c) = Σ_{p∈c} a(p) renormalized to
@@ -704,34 +782,37 @@ object PipelineGraph {
   private[graft] def hitsConvergeWithIters(
       spark: SparkSession, sfDir: String): (DataFrame, Int, Boolean) = {
     // layouts build with AQE ON (the edge build is a real corpus-scaled
-    // join that wants runtime broadcast promotion + coalescing) …
-    val (byC, byP) = copurchaseLayouts(spark, sfDir)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.get(aqeKey)
-    // … then AQE OFF for the loop's own actions: every loop stage is
+    // join that wants runtime broadcast promotion + coalescing) — then
+    // AQE OFF for the loop's own actions: every loop stage is
     // dimension-bounded or pre-partitioned (no skew, nothing to
     // re-plan), and AQE's per-stage re-optimization added ~2 driver
     // round-trips per round (JobProf round 13: ~60 jobs vs 30, 9.5 s vs
-    // 6.0 s warm — scheduling-bound, not data-bound). Restored before
-    // returning.
-    spark.conf.set(aqeKey, "false")
-    try {
-      var a = byP.select(col("p")).distinct()
-        .select(col("p"), lit(1000000L).as("a"))
-        .localCheckpoint(false)
-      var iter = 0
-      var fixed = false
-      while (!fixed && iter < HitsCap) {
-        val next = hitsRound(byC, byP, a).localCheckpoint(false)
-        fixed = iter >= HitsCap - 3 && next.toDF("p", "na")
-          .join(broadcast(a), "p")
-          .filter(col("na") =!= col("a"))
-          .isEmpty
-        a = next
-        iter += 1
-      }
-      (hitsTop10(a), iter, fixed)
-    } finally spark.conf.set(aqeKey, prevAqe)
+    // 6.0 s warm — scheduling-bound, not data-bound). The loop's one
+    // keyed exchange (the a₀ distinct) runs at the layout width, not
+    // the session constant.
+    val (byC, byP) = copurchaseLayouts(spark, sfDir)
+    withAqeOff(spark) {
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevPart = spark.conf.get(partKey)
+      spark.conf.set(partKey, byP.rdd.getNumPartitions.toString)
+      try {
+        var a = byP.select(col("p")).distinct()
+          .select(col("p"), lit(1000000L).as("a"))
+          .localCheckpoint(false)
+        var iter = 0
+        var fixed = false
+        while (!fixed && iter < HitsCap) {
+          val next = hitsRound(byC, byP, a).localCheckpoint(false)
+          fixed = iter >= HitsCap - 3 && next.toDF("p", "na")
+            .join(broadcast(a), "p")
+            .filter(col("na") =!= col("a"))
+            .isEmpty
+          a = next
+          iter += 1
+        }
+        (hitsTop10(a), iter, fixed)
+      } finally spark.conf.set(partKey, prevPart)
+    }
   }
 
   /** h·10⁶ can overflow neither side: h ≤ |parts|·10⁶ ≤ ~10¹² at any
@@ -789,16 +870,35 @@ object PipelineGraph {
     val edges = PipelinePlus.minhashPairs(spark, sfDir)
       .filter(col("est_jaccard") >= EdgeThreshold)
       .select(col("d1"), col("d2"))
-    val sym = edges
+    // same loop discipline as pagerankConvergeWithHops (round 13): the
+    // edge list is checkpointed EAGERLY (a lazy copy was re-derived by
+    // concurrent consumer stages), then laid out by the per-round join
+    // key d1 at scale-derived width; the loop itself runs with AQE off
+    // and its shuffles at that same width.
+    val sym0 = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(false)
+      .localCheckpoint()
+    val nPart = math.max(1L, sym0.count() / 2000000L).toInt
+    // layout checkpoint under AQE-off so the LogicalRDD keeps
+    // hashpartitioning(d1, nPart) — see [[withAqeOff]]
+    val sym = withAqeOff(spark) {
+      sym0.repartition(nPart, col("d1"))
+        .sortWithinPartitions("d1")
+        .localCheckpoint()
+    }
     var labels = PipelinePlus.sampleTerms(spark, sfDir)
       .select("doc_id").distinct()
       .withColumn("label", col("doc_id") % 16)
-      .localCheckpoint(false)
+      .localCheckpoint()
     var iter = 0
     var fixed = false
-    while (!fixed && iter < LpaCap) {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.get(aqeKey)
+    val prevPart = spark.conf.get(partKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(partKey, nPart.toString)
+    try while (!fixed && iter < LpaCap) {
       val votes = sym
         .join(labels.select(col("doc_id").as("src"), col("label")),
           sym("d1") === col("src"))
@@ -827,6 +927,9 @@ object PipelineGraph {
       fixed = next.agg(sum("chg")).head().getLong(0) == 0L
       labels = next
       iter += 1
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(partKey, prevPart)
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
     (labels.join(sizes, "label")
