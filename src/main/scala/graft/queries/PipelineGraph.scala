@@ -327,7 +327,10 @@ object PipelineGraph {
     val e = PipelinePlus.minhashPairs(spark, sfDir)
       .filter(col("est_jaccard") >= EdgeThreshold)
       .select(col("d1").as("a"), col("d2").as("b"))
-      .localCheckpoint(false) // lazy: cached on first scan of the output job
+      // EAGER (round 13): e feeds all three triangle-join positions;
+      // the output job's concurrent stages each re-derived a lazy copy
+      // from the candidate relation before any of them had cached it
+      .localCheckpoint()
     val tri = e
       .join(e.toDF("b", "c"), "b")
       .join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
@@ -384,7 +387,10 @@ object PipelineGraph {
       .select(col("d1"), col("d2"))
     val sym = edges
       .union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(false)
+      // EAGER (round 13): one reference per pull round — the rounds all
+      // collapse into the output job, whose concurrent stages raced the
+      // lazy copy and re-derived it up to 3×
+      .localCheckpoint()
     var dist = bfsSeedDist(spark, sfDir).localCheckpoint(false)
     for (_ <- 1 to 3) {
       val reached = dist.filter(col("hop").isNotNull)

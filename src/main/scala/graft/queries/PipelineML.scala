@@ -851,9 +851,12 @@ object PipelineML {
     */
   def qKmeansSteps(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.t(spark, sfDir, "embeddings")
+    // quantized matrix has FOUR consumers (seed slice + one cross-join
+    // per probe round) — eager checkpoint, one scan+transform not four
     val q = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
         .as("qv"))
+      .localCheckpoint()
     val k = emb.count() / 256 max 3
     val c0 = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("qv").as("cv"))
@@ -883,7 +886,12 @@ object PipelineML {
         .localCheckpoint(false)
     val c1 = update(assign(c0))
     val c2 = update(assign(c1))
-    val a3 = assign(c2)
+    // the third assignment feeds TWO branches (cluster sizes + the
+    // final centroid update): un-checkpointed, the final action's two
+    // consumer stages each re-ran the n·k cross-join fan-out — the
+    // query's single most expensive stage (round 13; guide §2.4). Eager
+    // so concurrent stages cannot race a lazy copy.
+    val a3 = assign(c2).localCheckpoint()
     val sizes = a3.groupBy("cluster").agg(count(lit(1)).as("n"))
     val c3 = update(a3)
     sizes.join(c3, "cluster")

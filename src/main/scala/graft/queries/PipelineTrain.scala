@@ -254,7 +254,11 @@ object PipelineTrain {
       .select(col("vec_id"), col("y"),
         (col("p") + 1).cast("long").as("dim"),
         round(col("xv").cast("double") * 1e6).cast("long").as("q"))
-      .localCheckpoint(false)
+      // EAGER (round 13): x feeds two subtrees per step (the logit join
+      // and the gradient join) × 3 steps; a lazy checkpoint let the
+      // first step's two concurrent consumer stages each re-run the
+      // |emb|×64 posexplode before either cached it
+      .localCheckpoint()
     def step(w: DataFrame): DataFrame = {
       val z = x.join(broadcast(w), "dim")
         .groupBy("vec_id", "y")

@@ -63,7 +63,15 @@ object SearchPlus {
     * signal. log2 of a ratio of exact integer counts; round(4) absorbs
     * libm last-ulp differences (q_fn_trig precedent). */
   def qCooccurPmi(spark: SparkSession, sfDir: String): DataFrame = {
-    val dt = Tables.docTerms(spark, sfDir)
+    // THREE consumers of the distinct (doc_id, term) relation (the df
+    // aggregate + both self-join sides) — each re-ran the scan →
+    // explode → distinct chain (round-13 plan dump: 7 parquet scans).
+    // Per-invocation checkpoint, the keyphrase/winnow discipline; the
+    // cross-query docTerms memo stays rejected (round 12: pushdown lost
+    // through the cache boundary for OTHER consumer classes — this
+    // query projects no columns and pushes no filters, so it loses
+    // nothing).
+    val dt = Tables.docTerms(spark, sfDir).localCheckpoint(false)
     val n = Tables.t(spark, sfDir, "documents")
       .agg(count(lit(1)).as("n_docs"))
     val df_ = dt.groupBy("term").agg(count(lit(1)).as("df"))
