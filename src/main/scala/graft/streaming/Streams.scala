@@ -183,6 +183,13 @@ object Streams {
       // batch END), so the late-drop semantics are identical while one
       // whole micro-batch cycle disappears; the post-batch no-data batch
       // then flushes the surviving windows, as in s_stream_tumbling.
+      // MEASURED REJECTION (round 13): collapsing the two no-data
+      // batches via noDataMicroBatches=false + a second sentinel feed
+      // (the s_stream_outer_join pattern) CHANGES THE OUTPUT — without
+      // the intermediate no-data batch the late windows' state is never
+      // evicted, the "late" replays land in still-open windows and 531
+      // windows emit instead of 3 (oracle-diffed at sf0.001). The
+      // no-data cycles here are load-bearing eviction, not overhead.
       stream.addData(late.toSeq :+ Ev(-1L, sentinelTs, -1L, "sentinel", 0.0))
       q.processAllAvailable()
     } finally q.stop()
