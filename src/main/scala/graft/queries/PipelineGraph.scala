@@ -717,17 +717,42 @@ object PipelineGraph {
 
   private def copurchaseLayouts(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
-    val e0 = copurchaseEdges(spark, sfDir)
+    val base = graft.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.Tables.t(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
     // scale-adaptive layout, NOT the session shuffle-partition constant:
     // ~2M (long, long) edges ≈ 32 MB per partition (guide §2.2 — fewer,
     // larger partitions; a fixed 32-way split of a few-MB edge list made
     // every half-round a 32-task stage of pure task-launch overhead,
-    // while at cluster SFs the count grows with |edges|). The count is
-    // one cheap job over the already-checkpointed rows.
-    val n = math.max(1L, e0.count() / 2000000L).toInt
+    // while at cluster SFs the count grows with |edges|). |edges| ≤
+    // |lineitem|, and the lineitem row count is a parquet-metadata read
+    // — good enough for sizing without materializing the edge list
+    // first.
+    val n = math.max(1L,
+      graft.Tables.t(spark, sfDir, "lineitem").count() / 2000000L).toInt
+    // The DISTINCT is folded into each layout exchange (round 13):
+    // hash-partitioning by c (or p) clusters every (c, p) duplicate
+    // into one partition — HashPartitioning(c) satisfies
+    // ClusteredDistribution(c, p) — so dropDuplicates after the
+    // repartition plans NO second exchange, and the previous
+    // intermediate distinct checkpoint (one extra full exchange by
+    // (c, p) + a third stored copy of the edge list) disappears. The
+    // two layouts are independent single-action builds over the same
+    // scan, so they run CONCURRENTLY (guide §2.6 — overlap independent
+    // jobs; the second build back-fills the first one's stragglers).
     withAqeOff(spark) {
-      (e0.repartition(n, col("c")).localCheckpoint(),
-        e0.repartition(n, col("p")).localCheckpoint())
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def layout(key: String) = Future {
+        base.repartition(n, col(key))
+          .dropDuplicates("c", "p")
+          .localCheckpoint()
+      }
+      val byC = layout("c")
+      val byP = layout("p")
+      (Await.result(byC, scala.concurrent.duration.Duration.Inf),
+        Await.result(byP, scala.concurrent.duration.Duration.Inf))
     }
   }
 
